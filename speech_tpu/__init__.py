@@ -1,0 +1,20 @@
+"""speech_tpu: a TPU-native speech feature-extraction framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of
+``pydrobert-speech`` (the reference implementation): log-mel filter banks,
+gammatone/gabor filter outputs, deltas, CMVN, streaming computation, a
+JSON/YAML-driven config factory, audio decoding (including NIST SPHERE with
+embedded "shorten" compression), and corpus-scale extraction tools.
+
+Architecture: filter banks and windows are host-side float64 "config ->
+weights compilers"; feature extraction is a fused, jittable array program
+(framing by gather, the windowed DFT as MXU matmuls, filter reduction as one
+matmul).  Batch and corpus scale come from ``vmap``/``shard_map`` over device
+meshes rather than per-utterance Python loops.
+"""
+
+__version__ = "0.1.0"
+
+from . import alias, config, scales, utils  # noqa: F401
+from . import filters, compute  # noqa: F401
+from . import pre, post  # noqa: F401

@@ -1,0 +1,179 @@
+"""The STFT feature pipeline as a fused array program.
+
+The reference computes, per frame and per filter, a Python-level walk over
+the truncated filter response with conjugate wrap-around
+(reference: compute.py:388-460).  Because both reductions it supports are
+linear in ``|H|`` (magnitude: ``sum |X_b . H_j| = sum |H_j| |X_b|``) or
+``|H|^2`` (power: ``sum |X_b . H_j|^2 = sum |H_j|^2 |X_b|^2``), and
+``|conj(X)| = |X|``, the *entire* per-filter walk folds at construction time
+into one dense nonnegative weight matrix ``W`` over the half spectrum, and
+the whole pipeline becomes
+
+    frames -> window -> rDFT -> |.|^p -> matmul(W) -> log
+
+On TPU the rDFT itself is optionally expressed as two real matmuls against
+precomputed cosine/sine matrices (with the analysis window folded in), so the
+complete computer is three MXU matmuls plus elementwise ops — no FFT op, no
+gather-scatter, no Python loops.
+
+Weight folding emulates the reference walk's *exact* index arithmetic
+(including its wrap quirks for even DFT sizes) rather than the textbook
+``b -> N - b`` conjugate mapping; the two disagree for wrapped complex banks
+and parity with the reference is the contract.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as _config
+
+__all__ = [
+    "fold_bank_to_weights",
+    "windowed_dft_matrices",
+    "stft_feats_from_frames",
+    "power_half_spectrum",
+]
+
+
+def fold_bank_to_weights(bank, dft_size: int, use_power: bool) -> np.ndarray:
+    """Fold a bank's truncated responses into half-spectrum weights.
+
+    Returns a float64 ``(dft_size // 2 + 1, num_filts)`` matrix ``W`` such
+    that feature ``f`` of a frame equals ``sum_b W[b, f] * |X_b|^p`` with
+    ``p = 2`` (power) or ``1`` (magnitude), exactly reproducing the
+    reference's truncated-response walk (reference: compute.py:416-460),
+    including the factor of 2 applied to real banks for Hermitian symmetry.
+    """
+    half_len = dft_size // 2 + 1
+    mod = half_len % 2
+    p = 2 if use_power else 1
+    half_positions = np.arange(half_len)
+    weights = np.zeros((half_len, bank.num_filts), dtype=np.float64)
+    for filt_idx in range(bank.num_filts):
+        start_idx, truncated = bank.get_truncated_response(filt_idx, dft_size)
+        magp = np.abs(truncated) ** p
+        trunc_len = len(truncated)
+        # emulate the reference's alternating direct/conjugate segment walk,
+        # accumulating |H|^p at whichever half-spectrum bin each tap lands on
+        consumed = 0
+        conjugate = False
+        while consumed < trunc_len:
+            if conjugate:
+                seg_len = (
+                    min(start_idx + trunc_len - consumed, half_len - 2 + mod)
+                    - start_idx
+                )
+                seg_len = max(0, seg_len)
+                if seg_len:
+                    bins = half_positions[
+                        (-2 + mod - start_idx) : (-2 + mod - start_idx - seg_len) : -1
+                    ]
+                    np.add.at(
+                        weights[:, filt_idx], bins, magp[consumed : consumed + seg_len]
+                    )
+                start_idx -= half_len - 2 + mod
+            else:
+                seg_len = min(start_idx + trunc_len - consumed, half_len) - start_idx
+                seg_len = max(0, seg_len)
+                if seg_len:
+                    bins = half_positions[start_idx : start_idx + seg_len]
+                    np.add.at(
+                        weights[:, filt_idx], bins, magp[consumed : consumed + seg_len]
+                    )
+                start_idx -= half_len
+            conjugate = not conjugate
+            consumed += seg_len
+            start_idx = max(0, start_idx)
+    if bank.is_real:
+        weights *= 2
+    return weights
+
+
+def windowed_dft_matrices(window: np.ndarray, dft_size: int):
+    """Real cos/sin DFT matrices with the analysis window folded in.
+
+    Returns float64 ``(frame_length, half_len)`` matrices ``C, S`` with
+    ``X_b = sum_t w_t x_t e^{-2 pi i t b / N}``, i.e.
+    ``Re X = x @ C`` and ``Im X = x @ S``.
+    """
+    frame_length = len(window)
+    half_len = dft_size // 2 + 1
+    t = np.arange(frame_length, dtype=np.float64)[:, None]
+    b = np.arange(half_len, dtype=np.float64)[None, :]
+    ang = 2 * np.pi * t * b / dft_size
+    C = np.cos(ang) * window[:, None]
+    S = -np.sin(ang) * window[:, None]
+    return C, S
+
+
+def _resolve_fft_mode(mode: Optional[str], dft_size: int) -> str:
+    if mode is None or mode == "auto":
+        mode = _config.FFT_MODE
+    if mode == "auto":
+        # the DFT-as-matmul runs on the MXU and wins for speech-sized DFTs
+        mode = "matmul" if dft_size <= 4096 else "fft"
+    return mode
+
+
+def power_half_spectrum(frames, params, dft_size: int, fft_mode: Optional[str]):
+    """``|X_b|^2`` over the half spectrum of windowed frames.
+
+    ``frames``: (..., frame_length) raw (unwindowed) frames.
+    ``params``: dict with ``window`` (frame_length,) and, for matmul mode,
+    ``dft_cos``/``dft_sin`` (frame_length, half_len).
+    """
+    mode = _resolve_fft_mode(fft_mode, dft_size)
+    if mode == "fft":
+        spect = jnp.fft.rfft(frames * params["window"], n=dft_size, axis=-1)
+        return jnp.real(spect) ** 2 + jnp.imag(spect) ** 2
+    # matmul mode: window folded into the DFT matrices
+    re = jnp.matmul(
+        frames, params["dft_cos"], precision=jax.lax.Precision.HIGHEST
+    )
+    im = jnp.matmul(
+        frames, params["dft_sin"], precision=jax.lax.Precision.HIGHEST
+    )
+    return re * re + im * im
+
+
+def stft_feats_from_frames(
+    frames,
+    params,
+    *,
+    dft_size: int,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+    fft_mode: Optional[str] = None,
+):
+    """Features for a batch of raw frames: the full post-framing pipeline.
+
+    ``frames``: (..., frame_length); returns (..., num_coeffs).
+
+    Pipeline: [energy from raw frame] ; window -> rDFT -> |.|^2 ->
+    [sqrt for magnitude mode] -> matmul with folded filter weights ->
+    [log floor].  Matches reference ``_compute_frame``
+    (reference: compute.py:388-460) with the filter walk pre-folded into
+    ``params["weights"]``.
+    """
+    frame_length = frames.shape[-1]
+    power_spec = power_half_spectrum(frames, params, dft_size, fft_mode)
+    spec = power_spec if use_power else jnp.sqrt(power_spec)
+    feats = jnp.matmul(
+        spec, params["weights"], precision=jax.lax.Precision.HIGHEST
+    )
+    if use_log:
+        feats = jnp.log(jnp.maximum(feats, log_floor))
+    if include_energy:
+        energy = jnp.sum(frames * frames, axis=-1) / frame_length
+        if not use_power:
+            energy = jnp.sqrt(energy)
+        if use_log:
+            energy = jnp.log(jnp.maximum(energy, log_floor))
+        feats = jnp.concatenate([energy[..., None], feats], axis=-1)
+    return feats

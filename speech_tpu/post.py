@@ -1,0 +1,414 @@
+"""Post-processors: transforms applied to computed feature tensors.
+
+Reference-compatible host API (``apply(features, axis=-1, in_place=False)``;
+reference: src/pydrobert/speech/post.py) with vectorized implementations
+(the reference's per-slice Python loops are replaced by sliding-window /
+reshape array code), plus jittable functional forms in
+:mod:`speech_tpu.ops.postops` for fusing into on-device pipelines.
+"""
+
+import abc
+import warnings
+
+from itertools import count
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+from .alias import AliasedFactory
+
+__all__ = [
+    "CMVN",
+    "Deltas",
+    "PostProcessor",
+    "Stack",
+    "Standardize",
+]
+
+
+class PostProcessor(AliasedFactory):
+    """A transform applied to a feature tensor."""
+
+    @abc.abstractmethod
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        """Apply the transformation along ``axis`` of ``features``."""
+        ...
+
+
+class Standardize(PostProcessor):
+    """Standardize feature coefficients to mean 0 (and variance 1).
+
+    With no statistics file, coefficients standardize locally (within the
+    tensor, over all axes but the target).  With accumulated or loaded
+    sufficient statistics ``stats[(2, F+1)] = [sum x | count ; sum x^2 | _]``
+    standardization is global, Kaldi-style (reference: post.py:66-364).
+    Output is always float64.
+
+    Parameters
+    ----------
+    rfilename
+        Optional file of sufficient statistics, loaded via
+        :func:`speech_tpu.io.read_signal`.
+    norm_var
+        Whether to normalize variance as well as mean.
+    """
+
+    aliases = {"standardize", "normalize", "unit", "cmvn"}
+
+    def __init__(
+        self, rfilename: Optional[str] = None, norm_var: bool = True, **kwargs
+    ):
+        self._stats = None
+        self._norm_var = bool(norm_var)
+        if rfilename is not None:
+            from .io import read_signal
+
+            if "dtype" in kwargs:
+                self._stats = read_signal(rfilename, **kwargs)
+            else:
+                for dtype in (np.float64, np.float32):
+                    try:
+                        self._stats = read_signal(rfilename, dtype=dtype, **kwargs)
+                        break
+                    except (IOError, ValueError, ImportError, TypeError):
+                        pass
+                if self._stats is None:
+                    raise IOError("Unable to load stats from {}".format(rfilename))
+                if len(self._stats.shape) == 1:
+                    self._sanitize_stats()
+        elif kwargs:
+            raise TypeError("Invalid keyword arguments: {}".format(tuple(kwargs)))
+        super().__init__()
+
+    def _sanitize_stats(self, checked_other_float: bool = False):
+        # stats stored as raw binary may have been written with a different
+        # float width; detect and repair (reference: post.py:127-153)
+        try:
+            self._stats = self._stats.reshape((2, -1))
+            valid = np.isclose(np.round(self._stats[0, -1]), self._stats[0, -1])
+            valid &= np.all(self._stats >= 0)
+        except ValueError:
+            valid = False
+        if not valid and checked_other_float:
+            raise IOError(
+                "Could not properly load statistics. Try specifying "
+                "additional parameters in init (see docstring)"
+            )
+        elif not valid:
+            if self._stats.dtype not in (np.float32, np.float64):
+                raise ValueError(
+                    "Statistics were loaded with a weird data type ({}) and "
+                    "are invalid".format(self._stats.dtype)
+                )
+            elif self._stats.dtype == np.float32:
+                self._stats = np.frombuffer(self._stats.tobytes(), dtype=np.float64)
+            else:
+                self._stats = np.frombuffer(
+                    self._stats.tobytes(), dtype=np.float32
+                ).astype(np.float64)
+            self._sanitize_stats(True)
+
+    @property
+    def have_stats(self) -> bool:
+        """Whether at least one feature vector has been accumulated."""
+        return self._stats is not None and bool(self._stats[0, -1])
+
+    @property
+    def stats(self) -> Optional[np.ndarray]:
+        """The ``(2, F+1)`` sufficient statistics, or None."""
+        return self._stats
+
+    def _check_coeffs(self, num_coeffs: int):
+        if self._stats is not None and self._stats.shape[1] != num_coeffs + 1:
+            raise ValueError(
+                "Expected feature vector of length {}; got {}".format(
+                    self._stats.shape[1] - 1, num_coeffs
+                )
+            )
+
+    def accumulate(self, features: np.ndarray, axis: int = -1) -> None:
+        """Accumulate sufficient statistics from a feature tensor."""
+        if (features.shape and not np.prod(features.shape)) or not len(features):
+            raise ValueError("Cannot accumulate from empty array")
+        if not features.shape or features.ndim == 1:
+            features = features.reshape(1, -1)
+            axis = -1
+        num_coeffs = features.shape[axis]
+        self._check_coeffs(num_coeffs)
+        if self._stats is None:
+            self._stats = np.zeros((2, num_coeffs + 1), dtype=np.float64)
+        other_axes = tuple(
+            idx for idx in range(features.ndim) if idx != axis % features.ndim
+        )
+        self._stats[0, -1] += np.prod(
+            tuple(features.shape[idx] for idx in other_axes)
+        )
+        self._stats[0, :-1] += features.sum(axis=other_axes, dtype=np.float64)
+        self._stats[1, :-1] += np.square(features, dtype=np.float64).sum(
+            axis=other_axes
+        )
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        if (features.shape and not np.prod(features.shape)) or not len(features):
+            raise ValueError("Cannot apply to empty array")
+        vector_input = not features.shape or features.ndim == 1
+        if vector_input:
+            num_coeffs = len(features)
+            self._check_coeffs(num_coeffs)
+            if not in_place or features.dtype != np.float64:
+                features = features.astype(np.float64)
+            if self.have_stats:
+                count_ = self._stats[0, -1]
+                means = self._stats[0, :-1] / count_
+                scales = self._scales(count_)
+                features *= scales
+                features -= means * scales
+            elif self._norm_var:
+                raise ValueError(
+                    "Unable to standardize the variance of a vector "
+                    "with no global statistics"
+                )
+            else:
+                warnings.warn("Standardizing a single vector to 0")
+                features[...] = 0
+            return features
+        num_coeffs = features.shape[axis]
+        self._check_coeffs(num_coeffs)
+        other_axes = tuple(
+            idx for idx in range(features.ndim) if idx != axis % features.ndim
+        )
+        if not in_place or features.dtype != np.float64:
+            features = features.astype(np.float64)
+        if self.have_stats:
+            count_ = self._stats[0, -1]
+            means = self._stats[0, :-1] / count_
+            varss = self._stats[1, :-1] / count_ - means ** 2
+        elif sum(features.shape[idx] for idx in other_axes) == len(other_axes):
+            if self._norm_var:
+                raise ValueError(
+                    "Unable to standardize the variance of a vector "
+                    "with no global statistics"
+                )
+            warnings.warn("Standardizing a single vector to 0")
+            features[...] = 0
+            return features
+        else:
+            count_ = np.prod(tuple(features.shape[idx] for idx in other_axes))
+            means = features.mean(axis=other_axes)
+            varss = (features ** 2).sum(axis=other_axes) / count_ - means ** 2
+        if self._norm_var:
+            close_zero = np.isclose(varss, 0)
+            if np.any(close_zero):
+                warnings.warn("0 variance encountered. Replacing with 1")
+                varss = np.where(close_zero, 1, varss)
+            scales = 1 / (varss ** 0.5)
+        else:
+            scales = np.ones(1)
+        shape = [1] * features.ndim
+        shape[axis % features.ndim] = -1
+        features *= scales.reshape(shape)
+        features -= (means * scales).reshape(shape)
+        return features
+
+    def _scales(self, count_):
+        if not self._norm_var:
+            return 1
+        varss = self._stats[1, :-1] / count_ - (self._stats[0, :-1] / count_) ** 2
+        close_zero = np.isclose(varss, 0)
+        if np.any(close_zero):
+            warnings.warn("0 variance encountered. Replacing with 1")
+            varss = np.where(close_zero, 1, varss)
+        return 1 / (varss ** 0.5)
+
+    def save(
+        self,
+        wfilename: str,
+        key: Optional[str] = None,
+        compress: bool = False,
+        overwrite: bool = True,
+    ) -> None:
+        r"""Save accumulated statistics to ``.npy``, ``.npz``, or raw binary.
+
+        ``.npy`` uses :func:`numpy.save`; ``.npz`` stores under ``key`` (or
+        the first unused ``arr_\d+``), merging with existing keys unless
+        ``overwrite``; anything else uses :func:`numpy.ndarray.tofile`
+        (reference: post.py:307-361).
+        """
+        if not self.have_stats:
+            raise ValueError("No stats have been accumulated to save")
+        if wfilename.endswith(".npy"):
+            np.save(wfilename, self._stats)
+        elif wfilename.endswith(".npz"):
+            array = dict()
+            if overwrite:
+                try:
+                    with np.load(wfilename) as existing:
+                        array = dict(existing)
+                except IOError:
+                    pass
+            if key is None:
+                for key in ("arr_{}".format(v) for v in count(0)):
+                    if key not in array:
+                        break
+            array[key] = self._stats
+            if compress:
+                np.savez_compressed(wfilename, **array)
+            else:
+                np.savez(wfilename, **array)
+        else:
+            self._stats.tofile(wfilename)
+
+
+CMVN = Standardize
+
+
+class Deltas(PostProcessor):
+    r"""Append feature deltas (weighted rolling averages) of increasing order.
+
+    Deltas are computed by correlating with the Kaldi-compatible filter
+    ``f(t) = t / sum_t t^2`` over a context window, iterated per order, with
+    edge-replication padding by default (reference: post.py:367-491).
+
+    If ``concatenate``, deltas are appended along ``target_axis``
+    (multiplying its size by ``num_deltas + 1``); otherwise a new axis of
+    size ``num_deltas + 1`` is inserted at ``target_axis``.
+
+    Parameters
+    ----------
+    num_deltas
+        Number of delta orders to compute.
+    target_axis
+        Axis deltas are concatenated along / inserted at.
+    concatenate
+        Concatenate (True) or stack along a new axis (False).
+    context_window
+        Filter half-width; positive.
+    pad_mode
+        Padding mode for :func:`numpy.pad` at sequence edges.
+    """
+
+    aliases = {"deltas"}
+
+    def __init__(
+        self,
+        num_deltas: int,
+        target_axis: int = -1,
+        concatenate: bool = True,
+        context_window: int = 2,
+        pad_mode: Union[str, Callable] = "edge",
+        **kwargs,
+    ):
+        self._target_axis = target_axis
+        self._pad_mode = pad_mode
+        self._pad_kwargs = kwargs
+        self.concatenate = bool(concatenate)
+        self.num_deltas = num_deltas
+        self._filts = [np.ones(1, dtype=np.float64)]
+        delta_filter = np.arange(1 + 2 * context_window, dtype=np.float64)
+        delta_filter -= context_window
+        delta_filter /= np.sum(delta_filter ** 2)
+        for idx in range(num_deltas):
+            self._filts.append(np.convolve(self._filts[idx], delta_filter))
+
+    @property
+    def filters(self):
+        """The per-order correlation filters (order 0 first)."""
+        return list(self._filts)
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        axis = axis % max(features.ndim, 1)
+        delta_feats = [features]
+        for filt in self._filts[1:]:
+            max_offset = (len(filt) - 1) // 2
+            if features.size:
+                pad = [(0, 0)] * features.ndim
+                pad[axis] = (max_offset, max_offset)
+                padded = np.pad(
+                    features.astype(np.float64, copy=False),
+                    pad,
+                    self._pad_mode,
+                    **self._pad_kwargs,
+                )
+                # correlate along `axis`: windows @ filt
+                windows = np.moveaxis(
+                    np.lib.stride_tricks.sliding_window_view(
+                        padded, len(filt), axis=axis
+                    ),
+                    -1,
+                    -1,
+                )
+                delta = np.tensordot(windows, filt, axes=([-1], [0]))
+                delta = delta.astype(features.dtype, copy=False)
+            else:
+                delta = np.empty_like(features)
+            delta_feats.append(delta)
+        if self.concatenate:
+            return np.concatenate(delta_feats, self._target_axis)
+        return np.stack(delta_feats, self._target_axis)
+
+
+class Stack(PostProcessor):
+    """Stack contiguous feature vectors into longer vectors.
+
+    ``num_vectors`` consecutive frames along ``time_axis`` merge into one
+    frame along the feature axis; the tail is either dropped or padded to
+    divisibility with ``pad_mode`` (reference: post.py:494-563).
+
+    Parameters
+    ----------
+    num_vectors
+        Number of consecutive frames to merge.
+    time_axis
+        Axis along which frames are drawn.
+    pad_mode
+        :func:`numpy.pad` mode for right-padding to divisibility; if None,
+        leftover frames are discarded.
+    """
+
+    aliases = {"stack"}
+
+    def __init__(
+        self,
+        num_vectors: int,
+        time_axis: int = 0,
+        pad_mode: Optional[Union[str, Callable]] = None,
+        **kwargs,
+    ) -> None:
+        if num_vectors < 1:
+            raise ValueError(f"Expected num_vectors to be positive, got {num_vectors}")
+        self.num_vectors = num_vectors
+        self.time_axis = time_axis
+        self._pad_mode = pad_mode
+        self._pad_kwargs = kwargs
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        axis = axis % features.ndim
+        time_axis = self.time_axis % features.ndim
+        if axis == time_axis:
+            raise RuntimeError(f"feature and time axes are the same ({axis})")
+        T = features.shape[time_axis]
+        if self._pad_mode is not None:
+            rem = T % self.num_vectors
+            if rem:
+                padding = [(0, 0)] * features.ndim
+                padding[time_axis] = (0, self.num_vectors - rem)
+                features = np.pad(
+                    features, padding, self._pad_mode, **self._pad_kwargs
+                )
+                T += self.num_vectors - rem
+        nT = T // self.num_vectors
+        T = nT * self.num_vectors
+        feat_slice = [slice(None)] * features.ndim
+        buffs = []
+        for i in range(self.num_vectors):
+            feat_slice[time_axis] = slice(i, T, self.num_vectors)
+            buffs.append(features[tuple(feat_slice)])
+        return np.concatenate(buffs, axis)

@@ -1,0 +1,119 @@
+"""Miscellaneous host-side math utilities.
+
+(reference: src/pydrobert/speech/util.py:55-186; the signal-reading dispatch
+that makes up the rest of that module lives in :mod:`speech_tpu.io`.)
+"""
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "angular_to_hertz",
+    "circshift_fourier",
+    "gauss_quant",
+    "hertz_to_angular",
+]
+
+
+def hertz_to_angular(hertz, samp_rate):
+    """Convert cycles/sec to radians/sec."""
+    return hertz * 2 * np.pi / samp_rate
+
+
+def angular_to_hertz(angle, samp_rate):
+    """Convert radians/sec to cycles/sec."""
+    return angle * samp_rate / (2 * np.pi)
+
+
+def _gauss_quant_odeh_evans(p: float, mu: float = 0, std: float = 1) -> float:
+    # rational approximation of the normal quantile (Odeh & Evans 1974)
+    r = 1 - p if p > 0.5 else p
+    if r < 1e-20:
+        z = 10
+    else:
+        y = (-2 * np.log(r)) ** 0.5
+        z = (
+            ((4.53642210148e-5 * y + 0.0204231210245) * y + 0.342242088547) * y + 1
+        ) * y + 0.322232431088
+        z /= (
+            ((0.0038560700634 * y + 0.10353775285) * y + 0.531103462366) * y
+            + 0.588581570495
+        ) * y + 0.099348462606
+        z = y - z
+    if p < 0.5:
+        z = -z
+    return z * std + mu
+
+
+try:
+    from scipy.stats import norm as _norm
+
+    def gauss_quant(p: float, mu: float = 0, std: float = 1) -> float:
+        return _norm.ppf(p) * std + mu
+
+except ImportError:  # pragma: no cover
+    gauss_quant = _gauss_quant_odeh_evans
+
+gauss_quant.__doc__ = """Gaussian quantile (inverse CDF) function.
+
+Uses :func:`scipy.stats.norm.ppf` when scipy is importable, otherwise the
+Odeh & Evans (1974) rational approximation.
+
+Parameters
+----------
+p
+    The probability.
+mu
+    The Gaussian mean.
+std
+    The Gaussian standard deviation.
+"""
+
+
+def circshift_fourier(
+    filt: np.ndarray,
+    shift: float,
+    start_idx: int = 0,
+    dft_size: Optional[int] = None,
+    copy: bool = True,
+) -> np.ndarray:
+    r"""Circularly shift a filter in time, from the Fourier domain.
+
+    Applies the DFT shift theorem
+    :math:`DFT(T_u x)[k] = DFT(x)[k] e^{-2 i \pi k u}` with
+    ``u = shift / dft_size`` (reference: util.py:118-186).
+
+    Parameters
+    ----------
+    filt
+        The filter, in the Fourier domain.
+    shift
+        Number of samples to translate by.
+    start_idx
+        If ``filt`` is a truncated response, the DFT index where its nonzero
+        region starts.
+    dft_size
+        DFT size; defaults to ``len(filt) + start_idx``.
+    copy
+        Whether to leave ``filt`` untouched.
+
+    Returns
+    -------
+    np.ndarray
+        complex128 shifted frequency response.
+    """
+    if dft_size is None:
+        dft_size = len(filt) + start_idx
+    shift %= dft_size
+    phase = np.exp(
+        -2j
+        * np.pi
+        * shift
+        / dft_size
+        * (np.arange(start_idx, start_idx + len(filt)) % dft_size)
+    )
+    if copy or filt.dtype != np.complex128:
+        return filt * phase
+    filt *= phase
+    return filt

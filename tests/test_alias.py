@@ -1,0 +1,63 @@
+import pytest
+
+from speech_tpu.alias import AliasedFactory, alias_factory_subclass_from_arg
+
+
+class Base(AliasedFactory):
+    pass
+
+
+class A(Base):
+    aliases = {"a", "shared"}
+
+    def __init__(self, x=1, **kwargs):
+        self.x = x
+        self.kwargs = kwargs
+
+
+class B(Base):
+    aliases = {"b", "shared"}
+
+
+class BChild(B):
+    aliases = {"shared"}
+
+
+def test_from_alias_finds_subclass():
+    assert isinstance(Base.from_alias("a"), A)
+    assert isinstance(Base.from_alias("b"), B)
+
+
+def test_last_registered_wins():
+    # BChild registered last among 'shared' claimants and is deepest
+    assert isinstance(Base.from_alias("shared"), BChild)
+
+
+def test_unknown_alias_raises():
+    with pytest.raises(ValueError):
+        Base.from_alias("nope")
+
+
+def test_arg_coercion_passthrough():
+    a = A()
+    assert alias_factory_subclass_from_arg(Base, a) is a
+
+
+def test_arg_coercion_string():
+    assert isinstance(alias_factory_subclass_from_arg(Base, "a"), A)
+
+
+def test_arg_coercion_mapping_name_and_alias():
+    obj = alias_factory_subclass_from_arg(Base, {"name": "a", "x": 5})
+    assert isinstance(obj, A) and obj.x == 5
+    obj = alias_factory_subclass_from_arg(Base, {"alias": "a", "x": 7})
+    assert obj.x == 7
+    # 'alias' takes precedence over 'name'
+    obj = alias_factory_subclass_from_arg(Base, {"alias": "a", "name": "b"})
+    assert isinstance(obj, A)
+    assert obj.kwargs == {"name": "b"}
+
+
+def test_arg_coercion_requires_name():
+    with pytest.raises(KeyError):
+        alias_factory_subclass_from_arg(Base, {"x": 2})

@@ -1,0 +1,267 @@
+import os
+
+from json import load as json_load
+from pickle import load as pickle_load
+
+import numpy as np
+import pytest
+
+import speech_tpu.compute as compute
+
+from speech_tpu.alias import alias_factory_subclass_from_arg
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+@pytest.fixture(params=["causal", "centered"], scope="module")
+def frame_style(request):
+    return request.param
+
+
+@pytest.fixture(
+    params=[
+        lambda frame_style: compute.STFTFrameComputer(
+            {"name": "gabor", "scaling_function": "mel"},
+            frame_length_ms=25,
+            frame_shift_ms=10,
+            use_power=True,
+            use_log=True,
+            pad_to_nearest_power_of_two=bool(np.random.randint(2)),
+            include_energy=bool(np.random.randint(2)),
+            frame_style=frame_style,
+            dtype="float64",
+        ),
+    ],
+    ids=["stft"],
+)
+def computer(request, frame_style):
+    return request.param(frame_style)
+
+
+@pytest.fixture(
+    params=[0, 1, 2 ** 8, 2 ** 10],
+    ids=["empty buffer", "length 1 buffer", "medium buffer", "large buffer"],
+    scope="module",
+)
+def buff(request):
+    b = np.random.random(request.param)
+    b.flags.writeable = False
+    return b
+
+
+def test_framewise_matches_full(computer, buff):
+    feats_full = computer.compute_full(buff)
+    feats_framewise = compute.frame_by_frame_calculation(computer, buff)
+    assert np.allclose(feats_full, feats_framewise)
+
+
+def test_chunk_sizes_dont_matter_to_result(computer, buff):
+    feats = compute.frame_by_frame_calculation(computer, buff)
+    feats_chunks = []
+    while len(buff):
+        next_len = np.random.randint(len(buff) + 1)
+        feats_chunks.append(computer.compute_chunk(buff[:next_len]))
+        buff = buff[next_len:]
+    feats_chunks.append(computer.finalize())
+    assert np.allclose(feats, np.concatenate(feats_chunks))
+
+
+def test_zero_samples_generate_zero_features(computer):
+    assert computer.compute_full(np.empty(0)).shape == (0, computer.num_coeffs)
+    assert computer.compute_chunk(np.empty(0)).shape == (0, computer.num_coeffs)
+    assert computer.finalize().shape == (0, computer.num_coeffs)
+
+
+def test_finalize_twice_generates_no_coefficients(computer):
+    buff = np.random.random(computer.frame_length * 2)
+    coeffs = np.concatenate(
+        [computer.compute_chunk(buff), computer.finalize()]
+    )
+    assert coeffs.shape[0] >= 1
+    assert computer.finalize().shape == (0, computer.num_coeffs)
+
+
+def test_started_makes_sense(computer):
+    assert not computer.started
+    computer.compute_chunk(np.empty(1))
+    assert computer.started
+    computer.finalize()
+    assert not computer.started
+
+
+def test_repeated_calls_generate_same_results(computer, buff):
+    assert np.allclose(computer.compute_full(buff), computer.compute_full(buff))
+    assert np.allclose(
+        compute.frame_by_frame_calculation(computer, buff),
+        compute.frame_by_frame_calculation(computer, buff),
+    )
+
+
+def test_fft_and_matmul_modes_agree(frame_style, buff):
+    # analog of the reference's numpy-vs-fftpack backend invariance
+    feats = {}
+    for mode in ("fft", "matmul"):
+        comp = compute.STFTFrameComputer(
+            {"name": "fbank", "num_filts": 40},
+            frame_length_ms=25,
+            frame_shift_ms=10,
+            use_power=True,
+            frame_style=frame_style,
+            dtype="float64",
+            fft_mode=mode,
+        )
+        feats[mode] = comp.compute_full(buff)
+    assert np.allclose(feats["fft"], feats["matmul"])
+
+
+def test_compute_batch_matches_compute_full(frame_style):
+    comp = compute.STFTFrameComputer(
+        {"name": "fbank", "num_filts": 10},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        frame_style=frame_style,
+        dtype="float64",
+    )
+    lengths = [2 ** 8, 2 ** 10, 3 * 2 ** 9, 401]
+    signals = [np.random.random(n) for n in lengths]
+    max_len = max(lengths)
+    batch = np.zeros((len(signals), max_len))
+    for i, s in enumerate(signals):
+        batch[i, : len(s)] = s
+    feats, counts = comp.compute_batch(batch, np.array(lengths))
+    feats, counts = np.asarray(feats), np.asarray(counts)
+    for i, s in enumerate(signals):
+        full = comp.compute_full(s)
+        assert counts[i] == full.shape[0]
+        assert np.allclose(feats[i, : counts[i]], full), i
+
+
+def test_kaldi_comp_matches_fbank_comp():
+    # golden features computed by Kaldi itself (tests/data/kaldi_feats.pkl on
+    # tests/data/noise.pkl with the 40-bin fbank config)
+    with open(os.path.join(DATA_DIR, "kaldi_feats.pkl"), "rb") as pkl_file:
+        kaldi_feats = pickle_load(pkl_file)
+    with open(os.path.join(DATA_DIR, "noise.pkl"), "rb") as pkl_file:
+        sig = pickle_load(pkl_file)
+    computer = compute.STFTFrameComputer(
+        {
+            "name": "fbank",
+            "num_filts": 40,
+            "low_hz": 20,
+            "high_hz": 8000,
+            "sampling_rate": 16000,
+            "analytic": False,
+        },
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        frame_style="centered",
+        include_energy=False,
+        pad_to_nearest_power_of_two=True,
+        window_function="hanning",
+        use_log=True,
+        use_power=True,
+        kaldi_shift=True,
+        dtype="float64",
+    )
+    fbank_feats = computer.compute_full(sig)
+    # remove the unit normalization of the Hann window (squared, since these
+    # are power features) and the x2 full-spectrum factor Kaldi doesn't have
+    fbank_feats += 2 * np.log(0.5 * (computer.frame_length - 1))
+    fbank_feats -= np.log(2)
+    assert fbank_feats.shape == kaldi_feats.shape
+    assert np.allclose(fbank_feats, kaldi_feats)
+
+
+def test_float32_device_path_accuracy():
+    # float32 (the TPU path) against float64, absolute error on log features
+    sig = np.random.random(2 ** 14) - 0.5
+    kwargs = dict(
+        frame_length_ms=25, frame_shift_ms=10, use_power=True, include_energy=True
+    )
+    c64 = compute.STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40}, dtype="float64", **kwargs
+    )
+    c32 = compute.STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40}, dtype="float32", **kwargs
+    )
+    f64 = c64.compute_full(sig)
+    f32 = c32.compute_full(sig.astype(np.float32))
+    assert f32.dtype == np.float32
+    assert np.max(np.abs(f64 - f32)) < 5e-4
+
+
+@pytest.mark.parametrize("use_power", [True, False])
+@pytest.mark.parametrize("kaldi_shift", [True, False])
+@pytest.mark.parametrize(
+    "bank_cfg",
+    [
+        {"name": "fbank", "num_filts": 40, "low_hz": 20, "high_hz": 8000,
+         "sampling_rate": 16000},
+        {"name": "gabor", "scaling_function": "mel", "low_hz": 0,
+         "num_filts": 11, "sampling_rate": 8000},
+        {"name": "gammatone", "scaling_function": "mel", "low_hz": 0,
+         "num_filts": 11, "sampling_rate": 8000},
+        {"name": "tri", "scaling_function": "mel", "low_hz": 5,
+         "num_filts": 7, "sampling_rate": 8000},
+    ],
+    ids=["fbank", "gabor", "gammatone", "tri"],
+)
+def test_reference_oracle_parity(
+    reference_speech, bank_cfg, use_power, kaldi_shift, frame_style
+):
+    """compute_full matches the reference implementation to float64 noise."""
+    import pydrobert.speech.compute as ref_compute
+
+    np.random.seed(7)
+    sig = np.random.randn(5000)
+    kwargs = dict(
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        use_power=use_power,
+        use_log=True,
+        include_energy=True,
+        frame_style=frame_style,
+        kaldi_shift=kaldi_shift,
+    )
+    mine = compute.STFTFrameComputer(bank_cfg, dtype="float64", **kwargs)
+    ref = ref_compute.STFTFrameComputer(bank_cfg, **kwargs)
+    a = mine.compute_full(sig)
+    b = ref.compute_full(sig)
+    assert a.shape == b.shape
+    assert np.max(np.abs(a - b)) < 1e-10
+
+
+def test_reference_streaming_parity(reference_speech, frame_style):
+    """compute_chunk/finalize match the reference's streaming exactly."""
+    import pydrobert.speech.compute as ref_compute
+
+    np.random.seed(11)
+    cfg = {"name": "gabor", "scaling_function": "mel", "num_filts": 11,
+           "sampling_rate": 8000, "low_hz": 0}
+    kwargs = dict(frame_length_ms=25, frame_shift_ms=10, frame_style=frame_style)
+    mine = compute.STFTFrameComputer(cfg, dtype="float64", **kwargs)
+    ref = ref_compute.STFTFrameComputer(cfg, **kwargs)
+    buff = np.random.random(2000)
+    pos = 0
+    while pos < len(buff):
+        n = np.random.randint(0, 300)
+        chunk = buff[pos : pos + n]
+        a = mine.compute_chunk(chunk)
+        b = ref.compute_chunk(chunk)
+        assert a.shape == b.shape
+        assert np.allclose(a, b, atol=1e-10)
+        pos += n
+    a = mine.finalize()
+    b = ref.finalize()
+    assert a.shape == b.shape
+    assert np.allclose(a, b, atol=1e-10)
+
+
+def test_json_config_construction():
+    with open(os.path.join(DATA_DIR, "fbank.json")) as f:
+        cfg = json_load(f)
+    computer = alias_factory_subclass_from_arg(compute.FrameComputer, cfg)
+    assert isinstance(computer, compute.STFTFrameComputer)
+    assert computer.num_coeffs == 40
+    assert computer.frame_shift == 160
