@@ -1,0 +1,63 @@
+"""Headline benchmark: 40-dim log-mel fbank extraction throughput.
+
+Prints ONE JSON line: real-time factor (seconds of audio processed per
+wall-clock second per chip) for the flagship fused STFT pipeline, against
+the driver's north-star target of 5000x real time (BASELINE.json).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from speech_tpu.compute import STFTFrameComputer
+
+    computer = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+    )
+
+    batch, seconds, rate = 128, 15, 16000
+    max_len = seconds * rate
+    rng = np.random.RandomState(0)
+    signals = jnp.asarray(
+        rng.randn(batch, max_len).astype(np.float32)
+    )
+    lengths = jnp.full((batch,), max_len, dtype=jnp.int32)
+    audio_sec = batch * seconds
+
+    # warm up / compile
+    feats, counts = computer.compute_batch(signals, lengths)
+    feats.block_until_ready()
+
+    # steady state: best of several timed repeats
+    reps, best = 5, float("inf")
+    for _ in range(reps):
+        start = time.perf_counter()
+        feats, counts = computer.compute_batch(signals, lengths)
+        feats.block_until_ready()
+        best = min(best, time.perf_counter() - start)
+
+    rt_factor = audio_sec / best
+    print(
+        json.dumps(
+            {
+                "metric": "fbank_rt_factor",
+                "value": round(rt_factor, 1),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(rt_factor / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

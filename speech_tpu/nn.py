@@ -1,0 +1,163 @@
+"""Learnable feature frontends: the STFT computer as a trainable module.
+
+The reference's accelerator layer exposes the STFT computer's precomputed
+filters and window as learnable ``torch.nn.Parameter``s
+(reference: src/pydrobert/speech/torch.py:238-432, 362-366).  Here the same
+idea is expressed JAX-style: a frontend is a pure ``apply(params, ...)``
+function plus an ``init`` that pulls the precomputed arrays out of a host
+:class:`~speech_tpu.compute.STFTFrameComputer`.  ``params`` is a plain dict
+pytree, so it composes with any optimizer (optax) and any sharding
+(`jax.sharding.NamedSharding` leaves).
+
+Unlike the inference path (:mod:`speech_tpu.ops.stft`), the analysis window
+is *not* folded into the DFT matrices here — it must stay a separate leaf so
+its gradient exists.  The DFT cosine/sine matrices are non-learnable
+constants and live in the returned ``consts`` dict.
+"""
+
+from typing import Mapping, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .compute import STFTFrameComputer
+from .ops import framing as _framing
+
+__all__ = [
+    "STFTFrontend",
+]
+
+
+def _dft_matrices(frame_length: int, dft_size: int):
+    """Plain (windowless) real-DFT matrices ``C``, ``S``.
+
+    ``Re X = (w * x) @ C``; ``Im X = (w * x) @ S``.
+    """
+    half_len = dft_size // 2 + 1
+    t = np.arange(frame_length, dtype=np.float64)[:, None]
+    b = np.arange(half_len, dtype=np.float64)[None, :]
+    ang = 2 * np.pi * t * b / dft_size
+    return np.cos(ang), -np.sin(ang)
+
+
+class STFTFrontend:
+    """A trainable STFT feature frontend.
+
+    Functional module: ``params, consts = STFTFrontend.init(computer)``;
+    ``feats = frontend.apply(params, consts, signals, lengths)``.  Learnable
+    leaves are the analysis ``window`` and the folded half-spectrum filter
+    ``weights`` — the exact analog of the reference's learnable
+    ``_window``/``_filt_pack`` parameters (reference: torch.py:362-412).
+
+    Parameters
+    ----------
+    computer
+        A host :class:`~speech_tpu.compute.STFTFrameComputer` (or the kwargs
+        to build one) whose precomputed arrays seed the parameters.
+    dtype
+        Parameter/computation dtype.
+    """
+
+    def __init__(
+        self,
+        computer: Union[STFTFrameComputer, Mapping, str],
+        dtype=jnp.float32,
+    ):
+        if not isinstance(computer, STFTFrameComputer):
+            from .alias import alias_factory_subclass_from_arg
+            from .compute import FrameComputer
+
+            computer = alias_factory_subclass_from_arg(FrameComputer, computer)
+            if not isinstance(computer, STFTFrameComputer):
+                raise ValueError("frontend requires an STFT computer")
+        self._computer = computer
+        self.dtype = dtype
+        self.frame_length = computer.frame_length
+        self.frame_shift = computer.frame_shift
+        self.dft_size = computer.dft_size
+        self.num_coeffs = computer.num_coeffs
+        self.use_log = computer._log
+        self.use_power = computer._power
+        self.include_energy = computer.includes_energy
+        self.pad_left = computer._pad_left
+
+    def init(self) -> Tuple[dict, dict]:
+        """Build ``(params, consts)`` pytrees from the host computer."""
+        c = self._computer
+        C, S = _dft_matrices(self.frame_length, self.dft_size)
+        params = {
+            "window": jnp.asarray(c._window, dtype=self.dtype),
+            "weights": jnp.asarray(c._weights, dtype=self.dtype),
+        }
+        consts = {
+            "dft_cos": jnp.asarray(C, dtype=self.dtype),
+            "dft_sin": jnp.asarray(S, dtype=self.dtype),
+        }
+        return params, consts
+
+    def apply_frames(self, params: dict, consts: dict, frames):
+        """Features for pre-assembled raw frames ``(..., frame_length)``."""
+        windowed = frames * params["window"]
+        re = jnp.matmul(
+            windowed, consts["dft_cos"], precision=jax.lax.Precision.HIGHEST
+        )
+        im = jnp.matmul(
+            windowed, consts["dft_sin"], precision=jax.lax.Precision.HIGHEST
+        )
+        power = re * re + im * im
+        spec = power if self.use_power else jnp.sqrt(jnp.maximum(power, 0))
+        feats = jnp.matmul(
+            spec, params["weights"], precision=jax.lax.Precision.HIGHEST
+        )
+        if self.use_log:
+            feats = jnp.log(jnp.maximum(feats, config.LOG_FLOOR_VALUE))
+        if self.include_energy:
+            energy = jnp.sum(frames * frames, axis=-1) / self.frame_length
+            if not self.use_power:
+                energy = jnp.sqrt(energy)
+            if self.use_log:
+                energy = jnp.log(jnp.maximum(energy, config.LOG_FLOOR_VALUE))
+            feats = jnp.concatenate([energy[..., None], feats], axis=-1)
+        return feats
+
+    def apply(
+        self,
+        params: dict,
+        consts: dict,
+        signals,
+        lengths=None,
+        max_frames: Optional[int] = None,
+    ):
+        """Features for a batch of padded signals ``(batch, max_len)``.
+
+        Returns ``(batch, max_frames, num_coeffs)``; rows past a signal's
+        true frame count are reflected garbage the caller masks.
+        """
+        signals = jnp.asarray(signals, dtype=self.dtype)
+        max_len = signals.shape[-1]
+        if lengths is None:
+            lengths = jnp.full(signals.shape[:-1], max_len, dtype=jnp.int32)
+        if max_frames is None:
+            max_frames = _framing.frame_count_np(
+                max_len, self.frame_length, self.frame_shift
+            )
+
+        def one(signal, length):
+            frames = _framing.frame_signal(
+                signal,
+                length,
+                max_frames,
+                self.frame_length,
+                self.frame_shift,
+                self.pad_left,
+            )
+            return self.apply_frames(params, consts, frames)
+
+        return jax.vmap(one)(signals, lengths)
+
+    def frame_counts(self, lengths):
+        """Valid frame counts for true signal ``lengths``."""
+        return _framing.frame_count(lengths, self.frame_length, self.frame_shift)

@@ -1,0 +1,148 @@
+"""Data-parallel feature extraction over a device mesh.
+
+Replaces the reference's one-utterance-per-worker-process model
+(reference: src/pydrobert/speech/command_line.py:585-604) with a single
+SPMD program: signals are padded into ``(batch, max_len)`` buckets, the
+batch axis is sharded over the mesh's data axis, and each chip runs the
+fused framing->DFT->filter->log pipeline on its shard.  Forward extraction
+needs no collectives at all; optional postprocessing statistics reduce with
+``psum`` (see :mod:`speech_tpu.parallel.stats`).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec
+
+from ..compute import STFTFrameComputer
+from ..ops import framing as _framing
+from ..ops import stft as _stft
+from .mesh import named_sharding
+
+__all__ = ["ShardedExtractor"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+class ShardedExtractor:
+    """Batched, bucketed, mesh-sharded feature extraction.
+
+    Parameters
+    ----------
+    computer
+        A host :class:`~speech_tpu.compute.STFTFrameComputer`.
+    mesh
+        The device mesh.  ``None`` runs unsharded on the default device.
+    data_axis
+        Mesh axis name carrying the utterance batch.
+    """
+
+    def __init__(
+        self,
+        computer: STFTFrameComputer,
+        mesh: Optional[Mesh] = None,
+        data_axis: str = "data",
+    ):
+        self._computer = computer
+        self._mesh = mesh
+        self._data_axis = data_axis
+        self._fns = {}
+
+    @property
+    def batch_multiple(self) -> int:
+        """Batch sizes must be a multiple of this (the data-axis size)."""
+        if self._mesh is None:
+            return 1
+        return self._mesh.shape[self._data_axis]
+
+    def _fn(self, batch: int, max_len: int):
+        key = (batch, max_len)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        c = self._computer
+        params = c.params
+        spec = c._static_spec
+        frame_length, frame_shift, pad_left = (
+            c._frame_length,
+            c._frame_shift,
+            c._pad_left,
+        )
+        max_frames = _framing.frame_count_np(max_len, frame_length, frame_shift)
+
+        def one(signal, length):
+            frames = _framing.frame_signal(
+                signal, length, max_frames, frame_length, frame_shift, pad_left
+            )
+            return _stft.stft_feats_from_frames(frames, params, **spec)
+
+        def run(signals, lengths):
+            feats = jax.vmap(one)(signals, lengths)
+            counts = _framing.frame_count(lengths, frame_length, frame_shift)
+            return feats, counts
+
+        if self._mesh is None:
+            fn = jax.jit(run)
+        else:
+            dp = named_sharding(self._mesh, self._data_axis)
+            rep = named_sharding(self._mesh)
+            fn = jax.jit(
+                run,
+                in_shardings=(
+                    named_sharding(self._mesh, self._data_axis, None),
+                    dp,
+                ),
+                out_shardings=(
+                    named_sharding(self._mesh, self._data_axis, None, None),
+                    dp,
+                ),
+            )
+            del rep
+        self._fns[key] = fn
+        return fn
+
+    def extract_batch(self, signals, lengths) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Features for a device-ready padded batch.
+
+        ``signals``: ``(batch, max_len)``; ``lengths``: ``(batch,)``.
+        Returns ``(feats, frame_counts)`` with feats
+        ``(batch, max_frames, num_coeffs)``; rows past a signal's count are
+        garbage to be masked.
+        """
+        signals = jnp.asarray(signals, dtype=self._computer._dtype)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        batch, max_len = signals.shape
+        if batch % self.batch_multiple:
+            raise ValueError(
+                f"batch ({batch}) must be a multiple of {self.batch_multiple}"
+            )
+        return self._fn(batch, max_len)(signals, lengths)
+
+    def extract(self, signals: Sequence[np.ndarray]):
+        """Features for a list of host 1-D signals of any lengths.
+
+        Pads to a power-of-two bucket (bounding recompilation), rounds the
+        batch up to the mesh multiple, and returns a list of
+        ``(num_frames_i, num_coeffs)`` arrays.
+        """
+        if not signals:
+            return []
+        n = len(signals)
+        lengths = np.array([len(s) for s in signals], dtype=np.int32)
+        c = self._computer
+        max_len = _next_pow2(max(int(lengths.max()), c.frame_length))
+        batch = -(-n // self.batch_multiple) * self.batch_multiple
+        buf = np.zeros((batch, max_len), dtype=np.dtype(c._dtype.name))
+        for i, s in enumerate(signals):
+            buf[i, : len(s)] = s
+        pad_lengths = np.ones(batch, dtype=np.int32) * c.frame_length
+        pad_lengths[:n] = lengths
+        feats, counts = self.extract_batch(buf, pad_lengths)
+        feats = np.asarray(feats)
+        counts = np.asarray(counts)
+        return [feats[i, : counts[i]] for i in range(n)]

@@ -1,0 +1,127 @@
+"""Sequence parallelism: time-axis sharding of one long signal.
+
+The reference handles unbounded signals with a streaming chunk API in
+bounded memory (reference: src/pydrobert/speech/compute.py:462-572).  The
+multi-chip analog shards the *time axis* of a long signal over a mesh axis:
+each chip frames its own span, which requires up to ``frame_length`` samples
+of left/right context from its neighbors.  That context is a **static halo
+exchange** — one :func:`jax.lax.ppermute` each way over ICI — after which
+framing and the feature pipeline are purely chip-local.  Reflection
+("symmetric") padding applies at the *global* signal edges only; the index
+math reflects in global coordinates, so edge chips reproduce the exact
+single-chip output.
+
+Static-shape contract: the sharded span per chip ``C = sig_len / n`` must be
+a multiple of ``frame_shift`` and at least ``frame_length``; then each chip
+owns exactly ``C / frame_shift`` frames and the global output matches
+``compute_full``'s ``(len + shift//2) // shift`` frame count.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.framing import reflect_index
+from ..ops import stft as _stft
+
+__all__ = ["halo_frame_signal", "sharded_stft_feats"]
+
+
+def _halo_exchange(chunk, halo: int, axis: str, n: int):
+    """Fetch the last ``halo`` samples of the left neighbor and the first
+    ``halo`` of the right neighbor (zeros at the mesh edges, never read)."""
+    left = lax.ppermute(
+        chunk[-halo:], axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    right = lax.ppermute(
+        chunk[:halo], axis, [(i + 1, i) for i in range(n - 1)]
+    )
+    return jnp.concatenate([left, chunk, right])
+
+
+def _local_frames(
+    chunk,
+    *,
+    axis: str,
+    n: int,
+    sig_len: int,
+    frame_length: int,
+    frame_shift: int,
+    pad_left: int,
+):
+    span = chunk.shape[0]
+    frames_per_shard = span // frame_shift
+    buf = _halo_exchange(chunk, frame_length, axis, n)
+    d = lax.axis_index(axis)
+    base = d * span
+    k = base // frame_shift + jnp.arange(frames_per_shard)
+    pos = k[:, None] * frame_shift - pad_left + jnp.arange(frame_length)[None, :]
+    pos = reflect_index(pos, sig_len)  # global symmetric reflection
+    return jnp.take(buf, pos - base + frame_length, axis=0)
+
+
+def halo_frame_signal(
+    signal,
+    mesh: Mesh,
+    axis: str,
+    frame_length: int,
+    frame_shift: int,
+    pad_left: int,
+):
+    """Frame a time-sharded signal with neighbor halo exchange.
+
+    ``signal`` is the full ``(sig_len,)`` array (sharded or shardable over
+    ``axis``); returns ``(sig_len // frame_shift, frame_length)`` frames
+    sharded over ``axis`` on the frame dimension.  Bit-equivalent to
+    single-device :func:`speech_tpu.ops.framing.frame_signal` on the whole
+    signal.
+    """
+    n = mesh.shape[axis]
+    sig_len = signal.shape[0]
+    span = sig_len // n
+    if sig_len % n or span % frame_shift or span < frame_length:
+        raise ValueError(
+            f"sig_len ({sig_len}) must split into per-chip spans that are "
+            f"multiples of frame_shift ({frame_shift}) and at least "
+            f"frame_length ({frame_length})"
+        )
+    fn = jax.shard_map(
+        functools.partial(
+            _local_frames,
+            axis=axis,
+            n=n,
+            sig_len=sig_len,
+            frame_length=frame_length,
+            frame_shift=frame_shift,
+            pad_left=pad_left,
+        ),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis, None),
+    )
+    return fn(signal)
+
+
+def sharded_stft_feats(computer, signal, mesh: Mesh, axis: str):
+    """Full sequence-parallel STFT features for one long signal.
+
+    Halo-exchange framing (above) followed by the chip-local fused pipeline;
+    everything downstream of the single ppermute pair is collective-free.
+    When ``sig_len`` is a multiple of ``n * frame_shift`` the global frame
+    count ``(sig_len + shift//2) // shift == sig_len // shift`` and the
+    output matches ``computer.compute_full(signal)`` exactly.
+    """
+    params = computer.params
+    spec = computer._static_spec
+    frames = halo_frame_signal(
+        signal,
+        mesh,
+        axis,
+        computer._frame_length,
+        computer._frame_shift,
+        computer._pad_left,
+    )
+    return _stft.stft_feats_from_frames(frames, params, **spec)

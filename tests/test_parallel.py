@@ -1,0 +1,163 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_tpu.compute import STFTFrameComputer
+from speech_tpu import parallel as par
+from speech_tpu.ops import framing as framing_ops
+from speech_tpu import nn as stpu_nn
+
+
+@pytest.fixture(scope="module")
+def computer():
+    return STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        dtype="float64",
+    )
+
+
+def test_mesh_shapes():
+    mesh = par.make_mesh(("data",))
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh = par.make_mesh(("data", "filt"), shape=(-1, 2))
+    assert mesh.shape["data"] * mesh.shape["filt"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        par.make_mesh(("data",), shape=(3,))
+
+
+@pytest.mark.parametrize("frame_style", ["causal", "centered"])
+def test_halo_framing_matches_single_device(computer, frame_style):
+    mesh = par.make_mesh(("t",))
+    n = mesh.shape["t"]
+    frame_length, frame_shift = computer.frame_length, computer.frame_shift
+    pad_left = framing_ops.left_pad_width(
+        frame_style, frame_length, frame_shift, False
+    )
+    rng = np.random.RandomState(5)
+    sig_len = n * frame_shift * 8
+    signal = rng.randn(sig_len)
+    got = par.halo_frame_signal(
+        jnp.asarray(signal), mesh, "t", frame_length, frame_shift, pad_left
+    )
+    want = framing_ops.frame_signal(
+        jnp.asarray(signal),
+        sig_len,
+        sig_len // frame_shift,
+        frame_length,
+        frame_shift,
+        pad_left,
+    )
+    assert np.allclose(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_stft_feats_match_compute_full(computer):
+    mesh = par.make_mesh(("t",))
+    n = mesh.shape["t"]
+    rng = np.random.RandomState(6)
+    sig_len = n * computer.frame_shift * 16
+    signal = rng.randn(sig_len)
+    got = np.asarray(par.sharded_stft_feats(computer, jnp.asarray(signal), mesh, "t"))
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_sharded_extractor_matches_compute_full(computer):
+    mesh = par.make_mesh(("data",))
+    ex = par.ShardedExtractor(computer, mesh)
+    rng = np.random.RandomState(7)
+    signals = [rng.randn(rng.randint(800, 4000)) for _ in range(11)]
+    got = ex.extract(signals)
+    for sig, feats in zip(signals, got):
+        want = computer.compute_full(sig)
+        assert feats.shape == want.shape
+        assert np.allclose(feats, want, atol=1e-8), np.abs(feats - want).max()
+
+
+def test_accumulate_stats_matches_reference(computer, reference_speech):
+    from pydrobert.speech.post import Standardize as RefStandardize
+
+    rng = np.random.RandomState(8)
+    feats = rng.randn(8, 20, 13)
+    counts = rng.randint(1, 21, size=8)
+    ref = RefStandardize()
+    for f, c in zip(feats, counts):
+        ref.accumulate(f[:c])
+    got = np.asarray(par.accumulate_stats(feats, counts))
+    assert np.allclose(got, ref._stats)
+    mesh = par.make_mesh(("data",))
+    got_sharded = np.asarray(
+        par.accumulate_stats_sharded(feats, counts, mesh)
+    )
+    assert np.allclose(got_sharded, ref._stats)
+    # accumulation onto existing stats
+    got2 = np.asarray(par.accumulate_stats(feats, counts, stats=got))
+    assert np.allclose(got2, 2 * ref._stats)
+
+
+def test_frontend_matches_computer(computer):
+    frontend = stpu_nn.STFTFrontend(computer, dtype=jnp.float64)
+    params, consts = frontend.init()
+    rng = np.random.RandomState(9)
+    signals = np.stack([rng.randn(3200) for _ in range(4)])
+    lengths = np.array([3200, 3000, 2500, 3200], dtype=np.int32)
+    feats = np.asarray(frontend.apply(params, consts, signals, lengths))
+    counts = np.asarray(frontend.frame_counts(lengths))
+    for i in range(4):
+        want = computer.compute_full(signals[i, : lengths[i]])
+        assert counts[i] == want.shape[0]
+        assert np.allclose(feats[i, : counts[i]], want, atol=1e-8)
+
+
+def test_frontend_gradients_finite(computer):
+    frontend = stpu_nn.STFTFrontend(computer, dtype=jnp.float64)
+    params, consts = frontend.init()
+    rng = np.random.RandomState(10)
+    signals = jnp.asarray(rng.randn(2, 1600))
+
+    def loss(p):
+        feats = frontend.apply(p, consts, signals)
+        return jnp.mean(feats ** 2)
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+        assert np.abs(np.asarray(leaf)).max() > 0
+
+
+def test_frontend_sharded_train_step(computer):
+    """A dp x filt sharded gradient step compiles and runs on the mesh."""
+    mesh = par.make_mesh(("data", "filt"), shape=(-1, 2))
+    frontend = stpu_nn.STFTFrontend(computer, dtype=jnp.float64)
+    params, consts = frontend.init()
+    dp = par.named_sharding(mesh, "data")
+    wspec = par.named_sharding(mesh, None, "filt")
+    params = {
+        "window": jax.device_put(params["window"], par.named_sharding(mesh)),
+        "weights": jax.device_put(params["weights"], wspec),
+    }
+    rng = np.random.RandomState(11)
+    signals = jax.device_put(
+        jnp.asarray(rng.randn(8, 1600)), par.named_sharding(mesh, "data", None)
+    )
+
+    @jax.jit
+    def step(params, signals):
+        def loss(p):
+            feats = frontend.apply(p, consts, signals)
+            return jnp.mean(feats ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        new = jax.tree_util.tree_map(lambda p, g: p - 1e-3 * g, params, g)
+        return l, new
+
+    l, new_params = step(params, signals)
+    del dp
+    assert np.isfinite(float(l))
+    assert new_params["weights"].shape == params["weights"].shape
