@@ -28,13 +28,16 @@ from . import config
 from .alias import AliasedFactory, alias_factory_subclass_from_arg
 from .filters import GammaWindow, HannWindow, LinearFilterBank, WindowFunction
 from .ops import framing as _framing
+from .ops import si as _si
 from .ops import stft as _stft
 
 __all__ = [
     "frame_by_frame_calculation",
     "FrameComputer",
     "LinearFilterBankFrameComputer",
+    "ShortIntegrationFrameComputer",
     "ShortTimeFourierTransformFrameComputer",
+    "SIFrameComputer",
     "STFTFrameComputer",
 ]
 
@@ -559,6 +562,309 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
 
 
 STFTFrameComputer = ShortTimeFourierTransformFrameComputer
+
+
+class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
+    """Features by windowed short-time integration of filtered signals.
+
+    Each filter is convolved with the whole signal, a pointwise modulus or
+    power squashes the band to baseband, and a window of ``2*frame_shift``
+    samples integrates it per frame.  Matches the reference SI computer
+    (reference: compute.py:613-999); see :mod:`speech_tpu.ops.si` for the
+    closed form its overlap-save/accumulator machinery reduces to and for
+    the fused TPU program used here.
+
+    Parameters
+    ----------
+    bank
+        A :class:`LinearFilterBank`, alias string, or config mapping.
+    frame_shift_ms
+        Offset between successive frames (also the integration length) in
+        milliseconds.
+    frame_style
+        'causal' or 'centered'; defaults to 'centered' for zero-phase
+        banks.  Centered mode recenters each filter's support.
+    include_energy
+        Prepend an energy coefficient (a Dirac filter's integration).
+    pad_to_nearest_power_of_two
+        Pad internal DFT sizes to powers of two.
+    window_function
+        Integration window; defaults to :class:`GammaWindow` (causal) or
+        :class:`HannWindow` (centered).
+    use_power
+        Pointwise power instead of magnitude.
+    use_log
+        Log the integrations.
+    dtype
+        Device compute dtype ('float32' default; 'float64' needs jax x64).
+    """
+
+    aliases = {"si"}
+
+    def __init__(
+        self,
+        bank: Union[LinearFilterBank, Mapping, str],
+        frame_shift_ms: float = 10,
+        frame_style: Optional[str] = None,
+        include_energy: bool = False,
+        pad_to_nearest_power_of_two: bool = True,
+        window_function: Optional[Union[WindowFunction, Mapping, str]] = None,
+        use_power: bool = False,
+        use_log: bool = True,
+        dtype: str = "float32",
+    ):
+        bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
+        self._rate = bank.sampling_rate
+        self._frame_shift = int(0.001 * frame_shift_ms * self._rate)
+        self._log = bool(use_log)
+        self._power = bool(use_power)
+        self._dtype = jnp.dtype(dtype)
+        if frame_style is None:
+            frame_style = "centered" if bank.is_zero_phase else "causal"
+        elif frame_style not in ("centered", "causal"):
+            raise ValueError('Invalid frame style: "{}"'.format(frame_style))
+        self._frame_style = frame_style
+        if window_function is None:
+            window_function = (
+                GammaWindow() if frame_style == "causal" else HannWindow()
+            )
+        else:
+            window_function = alias_factory_subclass_from_arg(
+                WindowFunction, window_function
+            )
+        window = window_function.get_impulse_response(2 * self._frame_shift)
+        self._kernel = _si.build_si_kernel(
+            bank, self._frame_shift, frame_style, window, include_energy
+        )
+        if not pad_to_nearest_power_of_two:
+            # power-of-two padding only affects the reference's internal
+            # block DFT size, not its output; our FFT size is independent
+            pass
+        # streaming state: raw samples seen and frames already emitted; the
+        # history buffer holds x from global index _hist_start
+        self._seen = 0
+        self._frames_done = 0
+        self._hist = np.zeros(0, dtype=np.float64)
+        self._hist_start = 0
+        self._started = False
+        self._chunk_dtype = np.float64
+        self._device_params = None
+        self._fns = {}
+        super().__init__(bank, include_energy=include_energy)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def frame_style(self) -> str:
+        return self._frame_style
+
+    @property
+    def sampling_rate(self) -> float:
+        return self._rate
+
+    @property
+    def frame_length(self) -> int:
+        return self._kernel["frame_length"]
+
+    @property
+    def frame_shift(self) -> int:
+        return self._frame_shift
+
+    @property
+    def started(self) -> bool:
+        return self._started
+
+    @property
+    def max_support(self) -> int:
+        """Length all filters are FIR-clamped to."""
+        return self._kernel["max_support"]
+
+    @property
+    def params(self):
+        """Device arrays for the jitted pipeline."""
+        if self._device_params is None:
+            if self._kernel["is_real"]:
+                fdt = self._dtype
+            else:
+                fdt = jnp.complex64 if self._dtype == jnp.float32 else jnp.complex128
+            self._device_params = {
+                "firs": jnp.asarray(self._kernel["firs"], dtype=fdt),
+                "window": jnp.asarray(self._kernel["window"], dtype=self._dtype),
+            }
+        return self._device_params
+
+    @property
+    def _shift_eff(self) -> int:
+        return self._kernel["shift_eff"]
+
+    def _spec(self, fft_size: int) -> dict:
+        return dict(
+            frame_shift=self._frame_shift,
+            shift_eff=self._shift_eff,
+            max_support=self._kernel["max_support"],
+            is_real=self._kernel["is_real"],
+            include_energy=self._include_energy,
+            use_log=self._log,
+            use_power=self._power,
+            log_floor=config.LOG_FLOOR_VALUE,
+            fft_size=fft_size,
+            energy_offset=self._shift_eff - self._kernel["translation"],
+        )
+
+    def _fn(self, buf_len: int, num_frames: int):
+        key = (buf_len, num_frames)
+        fn = self._fns.get(key)
+        if fn is None:
+            params = self.params
+            fft_size = _next_pow2(buf_len + self._kernel["max_support"])
+            spec = self._spec(fft_size)
+
+            def run(buf, sig_len):
+                return _si.si_feats_from_signal(
+                    buf, sig_len, num_frames, params, **spec
+                )
+
+            fn = jax.jit(run)
+            self._fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # batch API
+    # ------------------------------------------------------------------
+
+    def compute_full(self, signal: np.ndarray) -> np.ndarray:
+        """One-shot SI features; ``(len + shift//2) // shift`` frames."""
+        if self._started:
+            raise ValueError("Already started computing frames")
+        signal = np.asarray(signal)
+        ret_dtype = signal.dtype
+        sig_len = signal.shape[0]
+        shift = self._frame_shift
+        T = self._kernel["max_support"]
+        target = (sig_len + shift // 2) // shift
+        after_pad = (target * shift + T - 1 - self._shift_eff) // shift - 1
+        num_frames = max(0, min(target, after_pad))
+        if num_frames == 0:
+            return np.empty((0, self.num_coeffs), dtype=ret_dtype)
+        bucket_len = _next_pow2(max(sig_len, 1))
+        max_frames = (bucket_len + shift // 2) // shift
+        buf = np.zeros(bucket_len, dtype=self._dtype)
+        buf[:sig_len] = signal
+        feats = self._fn(bucket_len, max_frames)(jnp.asarray(buf), sig_len)
+        return np.asarray(feats[:num_frames], dtype=ret_dtype)
+
+    # ------------------------------------------------------------------
+    # streaming API
+    # ------------------------------------------------------------------
+    #
+    # Equivalent formulation of the reference's overlap-save streaming
+    # (reference: compute.py:774-891): with S raw samples seen, the counted
+    # stream holds S - shift_eff samples and frame k is emittable once
+    # counted >= (k + 2) * shift.  Frames are produced from a sliding
+    # history window of x via the same fused conv program as compute_full.
+
+    def _frames_avail(self) -> int:
+        counted = self._seen - self._shift_eff
+        return max(0, counted // self._frame_shift - 1)
+
+    def compute_chunk(self, chunk: np.ndarray) -> np.ndarray:
+        chunk = np.asarray(chunk)
+        if self._started:
+            if chunk.dtype != self._chunk_dtype:
+                raise ValueError(
+                    "Chunk does not share a type with previous chunks"
+                )
+        else:
+            if not np.issubdtype(chunk.dtype, np.floating):
+                raise ValueError("Chunk must be a float type")
+            self._chunk_dtype = chunk.dtype
+            self._started = True
+        self._hist = np.concatenate(
+            [self._hist, chunk.astype(np.float64, copy=False)]
+        )
+        self._seen += len(chunk)
+        return self._emit(self._frames_avail())
+
+    def _emit(self, f1: int) -> np.ndarray:
+        f0, shift = self._frames_done, self._frame_shift
+        T = self._kernel["max_support"]
+        if f1 <= f0:
+            return np.empty((0, self.num_coeffs), dtype=self._chunk_dtype)
+        # x span needed for frames [f0, f1): conv taps reach back T - 1
+        need_start = f0 * shift + self._shift_eff - (T - 1)
+        need_end = f1 * shift + shift - 1 + self._shift_eff  # inclusive
+        xw_len = need_end - need_start + 1
+        bucket = _next_pow2(xw_len)
+        buf = np.zeros(bucket, dtype=self._dtype)
+        lo = max(0, need_start)
+        hi = min(self._seen, need_end + 1)
+        if hi > lo:
+            buf[lo - need_start : hi - need_start] = self._hist[
+                lo - self._hist_start : hi - self._hist_start
+            ]
+        num_frames = f1 - f0
+        params = self.params
+        fft_size = _next_pow2(bucket + T)
+        spec = self._spec(fft_size)
+        # shift_eff in local window coordinates: y_loc[n] corresponds to
+        # global y[f0*shift + n]; x_loc[j] = x[need_start + j]
+        spec["shift_eff"] = f0 * shift + self._shift_eff - need_start
+        spec["energy_offset"] = spec["shift_eff"] - self._kernel["translation"]
+        key = ("chunk", bucket, num_frames, spec["shift_eff"])
+        fn = self._fns.get(key)
+        if fn is None:
+
+            def run(buf, valid_len):
+                return _si.si_feats_from_signal(
+                    buf, valid_len, num_frames, params, **spec
+                )
+
+            fn = jax.jit(run)
+            self._fns[key] = fn
+        # right-edge masking is irrelevant here (buffer is zero-filled and
+        # emitted frames never read past seen samples), so pass the bucket
+        feats = np.asarray(fn(jnp.asarray(buf), bucket), dtype=self._chunk_dtype)
+        self._frames_done = f1
+        # trim history to what future frames can still need
+        keep_from = max(0, f1 * shift + self._shift_eff - (T - 1))
+        if keep_from > self._hist_start:
+            self._hist = self._hist[keep_from - self._hist_start :]
+            self._hist_start = keep_from
+        return feats
+
+    def finalize(self) -> np.ndarray:
+        feats = np.empty((0, self.num_coeffs), dtype=self._chunk_dtype)
+        if self._started:
+            shift = self._frame_shift
+            T = self._kernel["max_support"]
+            target = (self._seen + shift // 2) // shift
+            # the reference finalizes by zero-padding with
+            # ``target*shift + frame_length - 1 - len`` samples and slicing
+            # to at most ``target`` frames (reference: compute.py:824-846);
+            # when the padded counted stream still can't cover frame
+            # target-1 (banks whose right-edge support is under ~shift/2),
+            # it emits fewer — reproduce that exactly
+            after_pad = (
+                target * shift + T - 1 - self._shift_eff
+            ) // shift - 1
+            total = max(self._frames_done, min(target, after_pad))
+            if total > self._frames_done:
+                pad = (total + 1) * shift + self._shift_eff - self._seen
+                if pad > 0:
+                    self._hist = np.concatenate(
+                        [self._hist, np.zeros(pad, dtype=np.float64)]
+                    )
+                    self._seen += pad
+                feats = self._emit(total)
+        self._seen = 0
+        self._frames_done = 0
+        self._hist = np.zeros(0, dtype=np.float64)
+        self._hist_start = 0
+        self._started = False
+        return feats
+
+
+SIFrameComputer = ShortIntegrationFrameComputer
 
 
 def frame_by_frame_calculation(

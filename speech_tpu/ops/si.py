@@ -1,0 +1,193 @@
+"""Short-integration features as a fused array program.
+
+The reference SI computer streams overlap-save DFT blocks through a
+per-filter Python loop with a two-block windowed accumulator
+(reference: src/pydrobert/speech/compute.py:613-999).  Its intricate
+roll/skip/borrow bookkeeping collapses to a closed form: with ``fir_f`` the
+filter's impulse response rolled to start at sample 0 and clamped to the
+largest support ``T`` (reference: compute.py:735-742), and
+``conv[m] = sum_k fir_f[k] x[m - k]`` the plain linear convolution
+(``x`` zero outside its support), the filtered stream is
+
+    y_f[n] = conv_f[n + shift_eff]        (shift_eff = translation  for
+                                           causal, translation - frame_shift
+                                           for centered;
+                                           reference: compute.py:869-877)
+
+and frame ``k``'s coefficient is one dot product of the pointwise
+modulus/power of ``y`` against the length-``2*frame_shift`` integration
+window:
+
+    coeff[k] = sum_{t<2s} w[t] * |y_f[k*s + t]|^p
+
+(reference: compute.py:893-926, 982-996 — block ``b`` accumulates
+``y[b*s+t] * w2d[:, t]`` and a frame reads block ``k`` under the first half
+window plus block ``k+1`` under the second).  Total frame count over a
+finalized signal is ``(len + shift//2) // shift``, identical to the STFT
+computer (reference: compute.py:825-846).
+
+On TPU this runs as: one batched FFT convolution (all filters at once in
+the frequency domain), elementwise modulus, a strided gather of
+``(num_frames, 2*shift)`` windows, and a matvec with the window — all in a
+single jitted program.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "build_si_kernel",
+    "si_feats_from_signal",
+]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+def build_si_kernel(
+    bank,
+    frame_shift: int,
+    frame_style: str,
+    window: np.ndarray,
+    include_energy: bool,
+) -> dict:
+    """Host precompute: FIR matrix, alignment offsets, integration window.
+
+    Reproduces the reference's filter preparation exactly
+    (reference: compute.py:695-749): impulse responses are materialized in a
+    ``dft_size`` circular buffer, rolled so that causal mode places each
+    support at its true acausal alignment and centered mode recenters each
+    filter's support midpoint, then clamped to the largest support ``T``.
+    """
+    rate = bank.sampling_rate
+    if frame_style == "centered":
+        max_support = max(right - left for left, right in bank.supports)
+        translation = max_support // 2
+    else:
+        translation = 0
+        max_support = 0
+        for left, right in bank.supports:
+            translation = max(-left, translation)
+            max_support = max(max_support, right)
+        max_support += translation
+    min_support_hz = min(right - left for left, right in bank.supports_hz)
+    frame_length = max_support + frame_shift - 1
+    dft_size = max(frame_length, int(np.ceil(2 * rate / min_support_hz)))
+    dft_size = _next_pow2(dft_size)
+
+    is_real = bank.is_real
+    fir_dtype = np.float64 if is_real else np.complex128
+    firs = np.zeros((bank.num_filts, max_support), dtype=fir_dtype)
+    for filt_idx in range(bank.num_filts):
+        filt = bank.get_impulse_response(filt_idx, dft_size)
+        if frame_style == "centered":
+            left_samp, right_samp = bank.supports[filt_idx]
+            mid_samp = (left_samp + right_samp) // 2
+            filt = np.roll(filt, translation - mid_samp + 1)
+        else:
+            filt = np.roll(filt, translation)
+        firs[filt_idx] = filt[:max_support]
+
+    shift_eff = (
+        translation - frame_shift if frame_style == "centered" else translation
+    )
+    return {
+        "firs": firs,
+        "window": np.asarray(window, dtype=np.float64),
+        "shift_eff": shift_eff,
+        "translation": translation,
+        "max_support": max_support,
+        "frame_length": frame_length,
+        "frame_shift": frame_shift,
+        "dft_size": dft_size,
+        "is_real": is_real,
+        "include_energy": include_energy,
+    }
+
+
+def si_feats_from_signal(
+    signal,
+    sig_len,
+    num_frames: int,
+    params: dict,
+    *,
+    frame_shift: int,
+    shift_eff: int,
+    max_support: int,
+    is_real: bool,
+    include_energy: bool,
+    use_log: bool,
+    use_power: bool,
+    log_floor: float,
+    fft_size: int,
+    energy_offset: int = 0,
+):
+    """Jittable SI pipeline for one signal buffer.
+
+    ``signal``: fixed-size zero-padded buffer; ``sig_len`` (traced) true
+    length — samples at or past ``sig_len`` must already be zero.
+    ``params``: device arrays ``firs`` (complex or real ``(F, T)``),
+    ``window`` ``(2*shift,)``.  Returns ``(num_frames, num_coeffs)``.
+    """
+    window = params["window"]
+    firs = params["firs"]
+    num_filts = firs.shape[0]
+    two_shift = 2 * frame_shift
+    # last frame k = num_frames-1 reads y up to (k*shift + 2*shift - 1)
+    ny = (num_frames + 1) * frame_shift
+
+    # linear convolution conv[m] = sum_k fir[k] x[m-k] via one FFT product;
+    # fft_size >= buffer + T guarantees no circular wrap of valid samples
+    if is_real:
+        X = jnp.fft.rfft(signal, n=fft_size)
+        H = jnp.fft.rfft(firs, n=fft_size, axis=-1)
+        conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
+    else:
+        X = jnp.fft.fft(signal, n=fft_size)
+        H = jnp.fft.fft(firs, n=fft_size, axis=-1)
+        conv = jnp.fft.ifft(X[None, :] * H, axis=-1)
+
+    # y_f[n] = conv_f[n + shift_eff], zero for out-of-range conv indices
+    n_idx = jnp.arange(ny) + shift_eff
+    valid = (n_idx >= 0) & (n_idx < sig_len + max_support - 1)
+    y = jnp.take(conv, jnp.clip(n_idx, 0, fft_size - 1), axis=-1)
+    y = jnp.where(valid[None, :], y, 0)
+
+    if use_power:
+        y_mod = (y * y.conj()).real if not is_real else y * y
+    else:
+        y_mod = jnp.abs(y)
+
+    if include_energy:
+        # dirac filter: y_e[n] = x[n + shift_eff - translation]; with the
+        # reference's translations this is x[n] (causal) or x[n - shift]
+        # (centered) (reference: compute.py:722-732).  energy_offset =
+        # shift_eff - translation, passed statically.
+        e_idx = jnp.arange(ny) + energy_offset
+        e_valid = (e_idx >= 0) & (e_idx < sig_len)
+        xe = jnp.take(signal, jnp.clip(e_idx, 0, signal.shape[0] - 1))
+        xe = jnp.where(e_valid, xe, 0)
+        if is_real:
+            e_mod = xe * xe if use_power else jnp.abs(xe)
+        else:
+            e_mod = (
+                (xe * xe.conj()).real if use_power else jnp.abs(xe)
+            )
+        y_mod = jnp.concatenate([e_mod[None, :].astype(y_mod.dtype), y_mod])
+        num_filts += 1
+
+    # frame k <- dot(window, y_mod[:, k*s : k*s + 2s])
+    starts = jnp.arange(num_frames) * frame_shift
+    idx = starts[:, None] + jnp.arange(two_shift)[None, :]
+    framed = jnp.take(y_mod, idx, axis=-1)  # (F, num_frames, 2s)
+    feats = jnp.einsum(
+        "fkt,t->kf", framed, window, precision=jax.lax.Precision.HIGHEST
+    )
+    if use_log:
+        feats = jnp.log(jnp.maximum(feats, log_floor))
+    return feats

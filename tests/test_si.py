@@ -1,0 +1,163 @@
+"""Short-integration computer: reference parity, streaming, oracle tests."""
+
+import numpy as np
+import pytest
+
+from speech_tpu.compute import SIFrameComputer, frame_by_frame_calculation
+
+
+BANKS = [
+    {"name": "fbank", "num_filts": 10, "sampling_rate": 8000},
+    {
+        "name": "tri",
+        "scaling_function": "mel",
+        "num_filts": 8,
+        "sampling_rate": 8000,
+    },
+    {
+        "name": "gabor",
+        "scaling_function": "mel",
+        "num_filts": 6,
+        "sampling_rate": 8000,
+    },
+    {
+        "name": "gammatone",
+        "scaling_function": "mel",
+        "num_filts": 6,
+        "sampling_rate": 8000,
+    },
+]
+
+
+def _ref_computer(reference_speech, bank, **kw):
+    from pydrobert.speech.compute import (
+        ShortIntegrationFrameComputer as RefSI,
+    )
+
+    return RefSI(dict(bank), **kw)
+
+
+@pytest.mark.parametrize("bank", BANKS, ids=lambda b: b["name"])
+@pytest.mark.parametrize("use_power", [False, True], ids=["mag", "power"])
+@pytest.mark.parametrize(
+    "frame_style", ["causal", "centered"], ids=["causal", "centered"]
+)
+def test_si_matches_reference(reference_speech, bank, use_power, frame_style):
+    ours = SIFrameComputer(
+        dict(bank),
+        frame_shift_ms=10,
+        frame_style=frame_style,
+        use_power=use_power,
+        dtype="float64",
+    )
+    ref = _ref_computer(
+        reference_speech,
+        bank,
+        frame_shift_ms=10,
+        frame_style=frame_style,
+        use_power=use_power,
+    )
+    rng = np.random.RandomState(42)
+    signal = rng.randn(4000)
+    want = ref.compute_full(signal)
+    got = ours.compute_full(signal)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("frame_style", ["causal", "centered"])
+def test_si_energy_matches_reference(reference_speech, frame_style):
+    bank = BANKS[0]
+    ours = SIFrameComputer(
+        dict(bank),
+        frame_style=frame_style,
+        include_energy=True,
+        dtype="float64",
+    )
+    ref = _ref_computer(
+        reference_speech, bank, frame_style=frame_style, include_energy=True
+    )
+    rng = np.random.RandomState(43)
+    signal = rng.randn(3000)
+    want = ref.compute_full(signal)
+    got = ours.compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("bank", BANKS[:2], ids=lambda b: b["name"])
+def test_si_streaming_matches_batch(bank):
+    computer = SIFrameComputer(dict(bank), dtype="float64")
+    rng = np.random.RandomState(44)
+    signal = rng.randn(5000)
+    want = computer.compute_full(signal)
+    got = frame_by_frame_calculation(computer, signal, chunk_size=512)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_streaming_chunk_invariance():
+    computer = SIFrameComputer(dict(BANKS[0]), dtype="float64")
+    rng = np.random.RandomState(45)
+    signal = rng.randn(3210)
+    want = computer.compute_full(signal)
+    for chunk_size in (1, 7, 100, 1024, 10000):
+        coeffs = []
+        sig = signal
+        while len(sig):
+            coeffs.append(computer.compute_chunk(sig[:chunk_size]))
+            sig = sig[chunk_size:]
+        coeffs.append(computer.finalize())
+        got = np.concatenate(coeffs)
+        assert got.shape == want.shape, chunk_size
+        assert np.allclose(got, want, atol=1e-8), chunk_size
+
+
+def test_si_empty_and_short_signals():
+    computer = SIFrameComputer(dict(BANKS[0]), dtype="float64")
+    out = computer.compute_full(np.zeros(0))
+    assert out.shape == (0, computer.num_coeffs)
+    out = computer.compute_full(np.zeros(3))
+    assert out.shape[1] == computer.num_coeffs
+    # streaming empty
+    computer.compute_chunk(np.zeros(0))
+    out = computer.finalize()
+    assert out.shape == (0, computer.num_coeffs)
+
+
+def test_si_convolve_oracle():
+    """Cross-check against a from-scratch np.convolve implementation
+    (modeled on the reference's oracle test, tests/test_compute.py:129-187,
+    but written directly from the SI definition)."""
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.filters import LinearFilterBank, HannWindow
+
+    bank_cfg = {"name": "fbank", "num_filts": 5, "sampling_rate": 8000}
+    computer = SIFrameComputer(
+        dict(bank_cfg), frame_style="centered", use_log=False, dtype="float64"
+    )
+    bank = alias_factory_subclass_from_arg(LinearFilterBank, dict(bank_cfg))
+    rng = np.random.RandomState(46)
+    signal = rng.randn(2000)
+    shift = computer.frame_shift
+    window = HannWindow().get_impulse_response(2 * shift)
+    T = computer.max_support
+    translation = T // 2
+    num_frames = (len(signal) + shift // 2) // shift
+    want = np.zeros((num_frames, bank.num_filts))
+    dft_size = computer._kernel["dft_size"]
+    for f in range(bank.num_filts):
+        ir = bank.get_impulse_response(f, dft_size)
+        left, right = bank.supports[f]
+        mid = (left + right) // 2
+        fir = np.roll(ir, translation - mid + 1)[:T]
+        conv = np.convolve(signal, fir)  # conv[m] = sum fir[k] x[m-k]
+        y = np.zeros((num_frames + 1) * shift + shift)
+        for n in range(len(y)):
+            m = n + translation - shift
+            if 0 <= m < len(conv):
+                y[n] = np.abs(conv[m])
+        for k in range(num_frames):
+            want[k, f] = np.dot(window, y[k * shift : k * shift + 2 * shift])
+    got = computer.compute_full(signal)
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
