@@ -1,0 +1,145 @@
+"""Jittable functional forms of the post-processors.
+
+The host classes in :mod:`speech_tpu.post` mirror the reference's NumPy API
+(reference: src/pydrobert/speech/post.py); these are their pure-function
+device twins, written to fuse into the feature pipeline under one ``jit``
+(and to batch with ``vmap`` / shard with ``pjit``).  All take and return
+``(..., time, feats)`` tensors unless noted.
+"""
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "delta_filters",
+    "deltas",
+    "stack",
+    "standardize",
+    "standardize_with_stats",
+]
+
+
+def delta_filters(num_deltas: int, context_window: int = 2):
+    """The per-order Kaldi delta filters (order 1..num_deltas), host-side.
+
+    Order-1 filter is ``t / sum t^2`` over ``[-W, W]``; higher orders are
+    repeated convolutions (reference: post.py:455-460).
+    """
+    filts = [np.ones(1, dtype=np.float64)]
+    base = np.arange(1 + 2 * context_window, dtype=np.float64) - context_window
+    base /= np.sum(base ** 2)
+    for idx in range(num_deltas):
+        filts.append(np.convolve(filts[idx], base))
+    return filts[1:]
+
+
+def deltas(
+    features,
+    filts: Sequence,
+    concatenate: bool = True,
+    time_axis: int = -2,
+    target_axis: int = -1,
+):
+    """Append/stack delta orders of ``features``.
+
+    ``filts`` from :func:`delta_filters` (device or host arrays).  Edge
+    (replication) padding, matching the reference default
+    (reference: post.py:471-487).
+    """
+    features = jnp.asarray(features)
+    time_axis = time_axis % features.ndim
+    outs = [features]
+    T = features.shape[time_axis]
+    for filt in filts:
+        filt = jnp.asarray(filt, dtype=features.dtype)
+        K = filt.shape[0]
+        off = (K - 1) // 2
+        pad = [(0, 0)] * features.ndim
+        pad[time_axis] = (off, off)
+        padded = jnp.pad(features, pad, mode="edge")
+        idx = jnp.arange(T)[:, None] + jnp.arange(K)[None, :]
+        windows = jnp.take(padded, idx, axis=time_axis)
+        # windows has shape (..., T, K, ...) with K right after time_axis
+        outs.append(jnp.tensordot(windows, filt, axes=([time_axis + 1], [0])))
+    if concatenate:
+        return jnp.concatenate(outs, axis=target_axis)
+    return jnp.stack(outs, axis=target_axis)
+
+
+def stack(
+    features,
+    num_vectors: int,
+    time_axis: int = -2,
+    feat_axis: int = -1,
+    pad: bool = False,
+):
+    """Merge ``num_vectors`` consecutive frames into wider vectors.
+
+    With ``pad``, the tail is edge-padded to divisibility; otherwise
+    leftover frames are dropped (reference: post.py:536-554).
+    """
+    features = jnp.asarray(features)
+    time_axis = time_axis % features.ndim
+    feat_axis = feat_axis % features.ndim
+    if time_axis == feat_axis:
+        raise RuntimeError(f"feature and time axes are the same ({time_axis})")
+    T = features.shape[time_axis]
+    rem = T % num_vectors
+    if rem and pad:
+        padding = [(0, 0)] * features.ndim
+        padding[time_axis] = (0, num_vectors - rem)
+        features = jnp.pad(features, padding, mode="edge")
+        T += num_vectors - rem
+    nT = T // num_vectors
+    T = nT * num_vectors
+    sl = [slice(None)] * features.ndim
+    buffs = []
+    for i in range(num_vectors):
+        sl[time_axis] = slice(i, T, num_vectors)
+        buffs.append(features[tuple(sl)])
+    return jnp.concatenate(buffs, axis=feat_axis)
+
+
+def standardize(features, norm_var: bool = True, feat_axis: int = -1):
+    """Local (per-tensor) standardization over all axes but ``feat_axis``.
+
+    Zero-variance coefficients scale by 1 (reference: post.py:282-287).
+    """
+    features = jnp.asarray(features)
+    feat_axis = feat_axis % features.ndim
+    other = tuple(i for i in range(features.ndim) if i != feat_axis)
+    means = features.mean(axis=other, keepdims=True)
+    if norm_var:
+        varss = (features ** 2).mean(axis=other, keepdims=True) - means ** 2
+        varss = jnp.where(jnp.isclose(varss, 0), 1.0, varss)
+        scales = jax.lax.rsqrt(varss)
+    else:
+        scales = jnp.ones_like(means)
+    return features * scales - means * scales
+
+
+def standardize_with_stats(
+    features, stats, norm_var: bool = True, feat_axis: int = -1
+):
+    """Global standardization from ``(2, F+1)`` sufficient statistics
+    (reference: post.py:258-276)."""
+    features = jnp.asarray(features)
+    stats = jnp.asarray(stats, dtype=features.dtype)
+    feat_axis = feat_axis % features.ndim
+    count = stats[0, -1]
+    means = stats[0, :-1] / count
+    if norm_var:
+        varss = stats[1, :-1] / count - means ** 2
+        varss = jnp.where(jnp.isclose(varss, 0), 1.0, varss)
+        scales = jax.lax.rsqrt(varss)
+    else:
+        scales = jnp.ones_like(means)
+    shape = [1] * features.ndim
+    shape[feat_axis] = -1
+    scales = scales.reshape(shape)
+    means = means.reshape(shape)
+    return features * scales - means * scales
