@@ -1,0 +1,177 @@
+"""End-to-end CLI tests (reference pattern: tests/test_command_line.py —
+random wavs, in-process invocation, shape/determinism/manifest checks)."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from speech_tpu import command_line
+
+
+@pytest.fixture
+def wav_dir(temp_dir):
+    """20 random 16-bit wavs + a map file."""
+    rng = np.random.RandomState(50)
+    d = os.path.join(temp_dir, "wavs")
+    os.makedirs(d)
+    map_path = os.path.join(temp_dir, "map.txt")
+    with open(map_path, "w") as mf:
+        for i in range(20):
+            n = rng.randint(1600, 8000)
+            sig = (rng.randn(n) * 1000).astype(np.int16)
+            path = os.path.join(d, f"utt{i:02d}.wav")
+            with wave.open(path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(sig.tobytes())
+            mf.write(f"utt{i:02d} {path}\n")
+    return map_path
+
+
+COMPUTER_JSON = json.dumps(
+    {
+        "name": "stft",
+        "bank": {"name": "fbank", "num_filts": 10, "sampling_rate": 8000},
+        "frame_length_ms": 25,
+        "frame_shift_ms": 10,
+    }
+)
+
+
+def test_signals_to_torch_feat_dir(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    out_dir = os.path.join(temp_dir, "feats")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_dir]
+        )
+        == 0
+    )
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 20
+    for f in files:
+        feats = torch.load(os.path.join(out_dir, f))
+        assert feats.dtype == torch.float32
+        assert feats.ndim == 2 and feats.shape[1] == 10
+        assert torch.isfinite(feats).all()
+
+
+def test_signals_to_torch_feat_dir_matches_compute_full(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.io import read_signal
+
+    out_dir = os.path.join(temp_dir, "feats")
+    command_line.signals_to_torch_feat_dir([wav_dir, COMPUTER_JSON, out_dir])
+    computer = alias_factory_subclass_from_arg(
+        FrameComputer, json.loads(COMPUTER_JSON)
+    )
+    with open(wav_dir) as f:
+        utt, path = f.readline().split()
+    sig = read_signal(path, dtype=np.float64)
+    want = computer.compute_full(sig)
+    got = torch.load(os.path.join(out_dir, utt + ".pt")).numpy()
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4)
+
+
+def test_signals_to_torch_feat_dir_raw(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    out_dir = os.path.join(temp_dir, "raw")
+    assert command_line.signals_to_torch_feat_dir([wav_dir, out_dir]) == 0
+    f = sorted(os.listdir(out_dir))[0]
+    feats = torch.load(os.path.join(out_dir, f))
+    assert feats.ndim == 2 and feats.shape[1] == 1
+
+
+def test_signals_to_torch_feat_dir_deterministic(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    pre = json.dumps([{"name": "dither", "coeff": 0.1}])
+    out1 = os.path.join(temp_dir, "f1")
+    out2 = os.path.join(temp_dir, "f2")
+    for out, workers in ((out1, "0"), (out2, "4")):
+        assert (
+            command_line.signals_to_torch_feat_dir(
+                [
+                    wav_dir,
+                    COMPUTER_JSON,
+                    out,
+                    "--preprocess",
+                    pre,
+                    "--seed",
+                    "5",
+                    "--num-workers",
+                    workers,
+                ]
+            )
+            == 0
+        )
+    for f in sorted(os.listdir(out1)):
+        a = torch.load(os.path.join(out1, f))
+        b = torch.load(os.path.join(out2, f))
+        assert torch.equal(a, b), f
+
+
+def test_signals_to_torch_feat_dir_manifest_resume(wav_dir, temp_dir):
+    pytest.importorskip("torch")
+    out_dir = os.path.join(temp_dir, "feats")
+    manifest = os.path.join(temp_dir, "manifest.txt")
+    # pre-populate the manifest with some utterances
+    with open(manifest, "w") as f:
+        f.write("utt00\nutt01\n")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_dir, "--manifest", manifest]
+        )
+        == 0
+    )
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 18
+    assert "utt00.pt" not in files and "utt02.pt" in files
+    with open(manifest) as f:
+        done = sorted(line.strip() for line in f if line.strip())
+    assert done == [f"utt{i:02d}" for i in range(20)]
+    # rerunning does nothing
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_dir, "--manifest", manifest]
+        )
+        == 0
+    )
+    assert sorted(os.listdir(out_dir)) == files
+
+
+def test_signals_to_torch_feat_dir_postprocess(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    out_dir = os.path.join(temp_dir, "feats")
+    post = json.dumps([{"name": "deltas", "num_deltas": 2}])
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_dir, "--postprocess", post]
+        )
+        == 0
+    )
+    f = sorted(os.listdir(out_dir))[0]
+    feats = torch.load(os.path.join(out_dir, f))
+    assert feats.shape[1] == 30
+
+
+def test_cli_help_exits_zero(capsys):
+    assert command_line.signals_to_torch_feat_dir(["--help"]) == 0
+    assert "map" in capsys.readouterr().out
+
+
+def test_kaldi_tables_graceful_without_dep(capsys):
+    code = command_line.compute_feats_from_kaldi_tables(
+        ["scp:foo.scp", "ark:bar.ark", COMPUTER_JSON]
+    )
+    try:
+        import pydrobert.kaldi  # noqa: F401
+    except ImportError:
+        assert code == 1
+        assert "pydrobert-kaldi" in capsys.readouterr().err
