@@ -1,0 +1,185 @@
+"""Corpus iterators: post-processing wrappers and a TPU batch loader.
+
+``post_process_wrapper`` mirrors the reference's class decorator for
+pydrobert-kaldi ``Data`` iterators (reference:
+src/pydrobert/speech/corpus.py:30-83): it intercepts ``batch_generator``
+and applies per-sub-batch postprocessor chains.  It is duck-typed — any
+class exposing ``batch_generator(repeat=False)`` and ``num_sub`` works.
+
+``FeatureCorpus`` is the TPU-native loader: reads utterances on host
+threads, buckets them by length, and yields padded device batches through
+one fused jitted program (optionally sharded over a mesh) — the streaming
+corpus analog of the CLI's batched extraction.
+"""
+
+from itertools import cycle
+from typing import Mapping, Optional, Sequence, Tuple, Type, TypeVar
+
+import numpy as np
+
+from .alias import alias_factory_subclass_from_arg
+from .post import PostProcessor
+
+__all__ = ["post_process_wrapper", "FeatureCorpus"]
+
+T = TypeVar("T")
+
+
+def post_process_wrapper(cls: Type[T]) -> Type[T]:
+    """Wrap a Data-iterator class with batch post-processing.
+
+    The returned subclass accepts two extra keyword arguments:
+
+    - ``postprocessors``: a sequence of :class:`PostProcessor` configs
+      (applied to the whole batch, or sub-batch 0 when ``num_sub > 1``), or
+      a mapping ``{sub_batch_idx: sequence}``.
+    - ``postprocess_axis``: an int, sequence of ints (zipped cyclically
+      against the postprocessors), or mapping thereof.  Defaults to ``-1``.
+    """
+
+    class _Wrapper(cls):
+        def __init__(self, table, *additional_tables, **kwargs):
+            postprocessors = kwargs.pop("postprocessors", dict())
+            if not hasattr(postprocessors, "get"):
+                postprocessors = {0: postprocessors}
+            self.postprocessors = {
+                key: tuple(
+                    alias_factory_subclass_from_arg(PostProcessor, p)
+                    for p in value
+                )
+                for key, value in postprocessors.items()
+            }
+            postprocess_axis = kwargs.pop("postprocess_axis", -1)
+            if not hasattr(postprocess_axis, "__len__"):
+                postprocess_axis = (postprocess_axis,)
+            if not hasattr(postprocess_axis, "get"):
+                postprocess_axis = {
+                    key: postprocess_axis for key in self.postprocessors
+                }
+            self.postprocess_axis = postprocess_axis
+            super().__init__(table, *additional_tables, **kwargs)
+
+        def _apply(self, tensor, sub_batch_idx):
+            for postprocessor, axis in zip(
+                self.postprocessors.get(sub_batch_idx, tuple()),
+                cycle(self.postprocess_axis.get(sub_batch_idx, (-1,))),
+            ):
+                tensor = postprocessor.apply(tensor, axis=axis, in_place=True)
+            return tensor
+
+        def batch_generator(self, repeat=False):
+            subsamples = self.num_sub != 1
+            for batch in super().batch_generator(repeat=repeat):
+                if subsamples:
+                    yield tuple(
+                        self._apply(sub, idx) for idx, sub in enumerate(batch)
+                    )
+                else:
+                    yield self._apply(batch, 0)
+
+    _Wrapper.__name__ = cls.__name__
+    _Wrapper.__qualname__ = cls.__qualname__
+    if cls.__doc__:
+        _Wrapper.__doc__ = cls.__doc__ + "\n\n(post-process wrapped)"
+    return _Wrapper
+
+
+class FeatureCorpus:
+    """Iterate a corpus as padded, bucketed device feature batches.
+
+    Parameters
+    ----------
+    computer
+        A frame computer (or config) with a ``compute_batch`` method.
+    utt2path
+        Mapping/sequence of ``(utt_id, path)`` pairs.
+    batch_size
+        Utterances per yielded batch.
+    mesh
+        Optional mesh for data-parallel extraction.
+    preprocessors, postprocessors
+        Host processor chains (or configs) applied around computation.
+    num_workers
+        Host reader threads (0 = read in the iterating thread).
+    seed
+        Per-utterance RNG seed base for preprocessor determinism.
+    sort_by_length
+        Bucket utterances by length to minimize padding waste.
+    """
+
+    def __init__(
+        self,
+        computer,
+        utt2path,
+        batch_size: int = 32,
+        mesh=None,
+        preprocessors: Sequence = (),
+        postprocessors: Sequence = (),
+        num_workers: int = 0,
+        seed: Optional[int] = None,
+        sort_by_length: bool = True,
+    ):
+        from .compute import FrameComputer
+        from .parallel import ShardedExtractor
+        from .pre import PreProcessor
+
+        computer = alias_factory_subclass_from_arg(FrameComputer, computer)
+        self.computer = computer
+        self.extractor = ShardedExtractor(computer, mesh)
+        if hasattr(utt2path, "items"):
+            utt2path = list(utt2path.items())
+        self.utt2path = list(utt2path)
+        self.batch_size = int(batch_size)
+        self.preprocessors = [
+            alias_factory_subclass_from_arg(PreProcessor, p)
+            for p in preprocessors
+        ]
+        self.postprocessors = [
+            alias_factory_subclass_from_arg(PostProcessor, p)
+            for p in postprocessors
+        ]
+        self.num_workers = int(num_workers)
+        self.seed = seed
+        self.sort_by_length = bool(sort_by_length)
+
+    def _load(self, item) -> Tuple[str, np.ndarray]:
+        from .command_line import _load_utt
+
+        return _load_utt(item, self.preprocessors, -1, None, self.seed)
+
+    def __len__(self) -> int:
+        return (len(self.utt2path) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        """Yield ``(utt_ids, [feats_i])`` per batch; each ``feats_i`` is a
+        ``(num_frames_i, num_coeffs)`` float array."""
+        items = list(enumerate(self.utt2path))
+        if self.num_workers:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(self.num_workers)
+            mapper = pool.map
+        else:
+            pool, mapper = None, map
+        try:
+            loaded = list(mapper(self._load, items))
+            order = range(len(loaded))
+            if self.sort_by_length:
+                order = sorted(order, key=lambda i: len(loaded[i][1]))
+            for start in range(0, len(loaded), self.batch_size):
+                chunk = [loaded[i] for i in order[start : start + self.batch_size]]
+                utts = [u for u, _ in chunk]
+                feats = self.extractor.extract([s for _, s in chunk])
+                if self.postprocessors:
+                    feats = [
+                        self._post(np.asarray(f, np.float64)) for f in feats
+                    ]
+                yield utts, feats
+        finally:
+            if pool is not None:
+                pool.shutdown()
+
+    def _post(self, feats):
+        for p in self.postprocessors:
+            feats = p.apply(feats, axis=-1)
+        return feats
