@@ -364,6 +364,29 @@ def _decode_shortened(preread: bytes, file_, data: np.ndarray) -> int:
     return sampsdone
 
 
+def _try_decode_shortened_native(
+    preread: bytes, file_, data: np.ndarray, chancount: int
+):
+    """Decode via the C++ library (speech_tpu/csrc/shorten.cpp); None if it
+    is unavailable.  Bit-identical to :func:`_decode_shortened`."""
+    try:
+        from ._native import decode_shorten_native
+    except Exception:
+        return None
+    payload = preread + file_.read()
+    result = decode_shorten_native(payload, len(data), ULAW_OUTWARD)
+    if result is None:
+        return None
+    out, sampsdone, ftype = result
+    convert = data.dtype.itemsize > 1 and ftype in (_TYPE_AU1, _TYPE_AU2)
+    n = min(len(data), sampsdone * chancount)
+    if convert:
+        data[:n] = ULAW2PCM[out[:n]]
+    else:
+        data[:n] = out[:n]
+    return sampsdone
+
+
 def _read_samples(file_, header, dtype):
     samptype, sampsize, sampcount, samprate, chancount, inporder = header
     if sampsize == 1:
@@ -390,7 +413,11 @@ def _read_samples(file_, header, dtype):
         if not buf:
             break
         if first and buf[:4] == _MAGIC:
-            sampsdone = _decode_shortened(buf, file_, data)
+            native = _try_decode_shortened_native(buf, file_, data, chancount)
+            if native is not None:
+                sampsdone = native
+            else:
+                sampsdone = _decode_shortened(buf, file_, data)
             break
         first = False
         ns = len(buf) // (chancount * sampsize)
