@@ -366,8 +366,11 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             pad_left = self._pad_left
 
             def run(buf, sig_len):
-                frames = _framing.frame_signal(
-                    buf, sig_len, max_frames, frame_length, frame_shift, pad_left
+                padded = _framing.pad_signal(
+                    buf, sig_len, frame_length, frame_shift, pad_left
+                )
+                frames = _framing.frame_padded(
+                    padded, max_frames, frame_length, frame_shift
                 )
                 return _stft.stft_feats_from_frames(frames, params, **spec)
 
@@ -466,8 +469,11 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             pad_left = self._pad_left
 
             def one(signal, length):
-                frames = _framing.frame_signal(
-                    signal, length, max_frames, frame_length, frame_shift, pad_left
+                padded = _framing.pad_signal(
+                    signal, length, frame_length, frame_shift, pad_left
+                )
+                frames = _framing.frame_padded(
+                    padded, max_frames, frame_length, frame_shift
                 )
                 return _stft.stft_feats_from_frames(frames, params, **spec)
 

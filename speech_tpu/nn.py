@@ -146,13 +146,11 @@ class STFTFrontend:
             )
 
         def one(signal, length):
-            frames = _framing.frame_signal(
-                signal,
-                length,
-                max_frames,
-                self.frame_length,
-                self.frame_shift,
-                self.pad_left,
+            padded = _framing.pad_signal(
+                signal, length, self.frame_length, self.frame_shift, self.pad_left
+            )
+            frames = _framing.frame_padded(
+                padded, max_frames, self.frame_length, self.frame_shift
             )
             return self.apply_frames(params, consts, frames)
 

@@ -76,8 +76,11 @@ class ShardedExtractor:
         max_frames = _framing.frame_count_np(max_len, frame_length, frame_shift)
 
         def one(signal, length):
-            frames = _framing.frame_signal(
-                signal, length, max_frames, frame_length, frame_shift, pad_left
+            padded = _framing.pad_signal(
+                signal, length, frame_length, frame_shift, pad_left
+            )
+            frames = _framing.frame_padded(
+                padded, max_frames, frame_length, frame_shift
             )
             return _stft.stft_feats_from_frames(frames, params, **spec)
 

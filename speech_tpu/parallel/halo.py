@@ -57,10 +57,29 @@ def _local_frames(
     buf = _halo_exchange(chunk, frame_length, axis, n)
     d = lax.axis_index(axis)
     base = d * span
-    k = base // frame_shift + jnp.arange(frames_per_shard)
-    pos = k[:, None] * frame_shift - pad_left + jnp.arange(frame_length)[None, :]
-    pos = reflect_index(pos, sig_len)  # global symmetric reflection
-    return jnp.take(buf, pos - base + frame_length, axis=0)
+    # Global-edge fix-up: halo samples whose global positions fall outside
+    # [0, sig_len) take their symmetric reflections (which always land
+    # inside this chip's own span).  Two frame_length-element gathers —
+    # negligible; interior chips gather identity positions.
+    halo_i = jnp.arange(frame_length)
+    lpos = reflect_index(base - frame_length + halo_i, sig_len)
+    buf = buf.at[:frame_length].set(
+        jnp.take(buf, lpos - base + frame_length, axis=0)
+    )
+    rpos = reflect_index(base + span + halo_i, sig_len)
+    buf = buf.at[frame_length + span :].set(
+        jnp.take(buf, rpos - base + frame_length, axis=0)
+    )
+    # local frame j covers buffer [j*shift + frame_length - pad_left, ...):
+    # static offsets, so framing is pure strided slices
+    from ..ops.framing import frame_padded
+
+    return frame_padded(
+        buf[frame_length - pad_left :],
+        frames_per_shard,
+        frame_length,
+        frame_shift,
+    )
 
 
 def halo_frame_signal(
