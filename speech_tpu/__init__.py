@@ -18,3 +18,10 @@ __version__ = "0.1.0"
 from . import alias, config, scales, utils  # noqa: F401
 from . import filters, compute  # noqa: F401
 from . import pre, post  # noqa: F401
+from . import corpus, nn, parallel, profiling  # noqa: F401
+
+# heavier / optional-dependency modules are imported lazily:
+#   speech_tpu.io       (audio decoding; always importable but large)
+#   speech_tpu.torch    (requires torch)
+#   speech_tpu.vis      (requires matplotlib)
+#   speech_tpu.command_line

@@ -168,6 +168,15 @@ def _signals_to_torch_feat_dir_parse_args(args):
         default=64,
         help="Utterances per device batch (0: one at a time on host)",
     )
+    parser.add_argument(
+        "--profile",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="TRACE_DIR",
+        help="Log per-stage timings; with a directory argument, also "
+        "capture a TensorBoard device trace there",
+    )
     return parser.parse_args(args)
 
 
@@ -298,41 +307,64 @@ def signals_to_torch_feat_dir(args: Optional[Sequence[str]] = None) -> int:
             mesh = None
         extractor = ShardedExtractor(computer, mesh)
 
-    loader = mapper(
-        lambda it: _load_utt(
-            it, preprocessors, options.channel, options.force_as, seed
-        ),
-        items,
-    )
-    try:
-        if computer is None:
-            for utt_id, signal in loader:
-                save(utt_id, postprocess(signal[:, None]))
-        elif extractor is not None:
-            batch_utts, batch_sigs = [], []
+    from .profiling import StageTimer, trace
 
-            def flush():
-                if not batch_utts:
+    timer = StageTimer()
+
+    def loader():
+        it = mapper(
+            lambda item: _load_utt(
+                item, preprocessors, options.channel, options.force_as, seed
+            ),
+            items,
+        )
+        while True:
+            with timer.stage("read"):
+                try:
+                    yield next(it)
+                except StopIteration:
                     return
-                for utt_id, feats in zip(
-                    batch_utts, extractor.extract(batch_sigs)
-                ):
-                    save(utt_id, postprocess(np.asarray(feats, np.float64)))
-                batch_utts.clear()
-                batch_sigs.clear()
 
-            for utt_id, signal in loader:
-                batch_utts.append(utt_id)
-                batch_sigs.append(signal)
-                if len(batch_utts) >= options.batch_size:
-                    flush()
-            flush()
-        else:
-            for utt_id, signal in loader:
-                save(utt_id, postprocess(computer.compute_full(signal)))
+    def save_timed(utt_id, feats):
+        with timer.stage("write"):
+            save(utt_id, feats)
+
+    try:
+        with trace(options.profile or None):
+            if computer is None:
+                for utt_id, signal in loader():
+                    save_timed(utt_id, postprocess(signal[:, None]))
+            elif extractor is not None:
+                batch_utts, batch_sigs = [], []
+
+                def flush():
+                    if not batch_utts:
+                        return
+                    with timer.stage("compute"):
+                        batch_feats = extractor.extract(batch_sigs)
+                    for utt_id, feats in zip(batch_utts, batch_feats):
+                        save_timed(
+                            utt_id, postprocess(np.asarray(feats, np.float64))
+                        )
+                    batch_utts.clear()
+                    batch_sigs.clear()
+
+                for utt_id, signal in loader():
+                    batch_utts.append(utt_id)
+                    batch_sigs.append(signal)
+                    if len(batch_utts) >= options.batch_size:
+                        flush()
+                flush()
+            else:
+                for utt_id, signal in loader():
+                    with timer.stage("compute"):
+                        feats = postprocess(computer.compute_full(signal))
+                    save_timed(utt_id, feats)
     finally:
         if pool is not None:
             pool.shutdown()
+    if options.profile is not None:
+        print(timer.summary(), file=sys.stderr)
     return 0
 
 
