@@ -38,13 +38,15 @@ def main():
     feats, counts = computer.compute_batch(signals, lengths)
     feats.block_until_ready()
 
-    # steady state: best of several timed repeats
-    reps, best = 5, float("inf")
-    for _ in range(reps):
+    # steady-state throughput: back-to-back batches amortize dispatch
+    # latency, as in production extraction; best of 3 timed runs
+    inner, best = 10, float("inf")
+    for _ in range(3):
         start = time.perf_counter()
-        feats, counts = computer.compute_batch(signals, lengths)
+        for _ in range(inner):
+            feats, counts = computer.compute_batch(signals, lengths)
         feats.block_until_ready()
-        best = min(best, time.perf_counter() - start)
+        best = min(best, (time.perf_counter() - start) / inner)
 
     rt_factor = audio_sec / best
     print(

@@ -355,6 +355,26 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             fft_mode=self._fft_mode,
         )
 
+    def _use_pallas(self) -> bool:
+        mode = self._fft_mode or config.FFT_MODE
+        return mode == "pallas"
+
+    def _pallas_feats(self, padded, max_frames: int):
+        from .ops import pallas_stft as _pallas
+
+        return _pallas.stft_feats_pallas(
+            padded,
+            self.params,
+            num_frames=max_frames,
+            frame_length=self._frame_length,
+            frame_shift=self._frame_shift,
+            use_log=self._log,
+            use_power=self._power,
+            include_energy=self._include_energy,
+            log_floor=config.LOG_FLOOR_VALUE,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     def _full_fn(self, bucket_len: int, max_frames: int):
         key = (bucket_len, max_frames)
         fn = self._full_fns.get(key)
@@ -364,11 +384,14 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             frame_length = self._frame_length
             frame_shift = self._frame_shift
             pad_left = self._pad_left
+            use_pallas = self._use_pallas()
 
             def run(buf, sig_len):
                 padded = _framing.pad_signal(
                     buf, sig_len, frame_length, frame_shift, pad_left
                 )
+                if use_pallas:
+                    return self._pallas_feats(padded[None], max_frames)[0]
                 frames = _framing.frame_padded(
                     padded, max_frames, frame_length, frame_shift
                 )
@@ -468,10 +491,14 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             frame_shift = self._frame_shift
             pad_left = self._pad_left
 
+            use_pallas = self._use_pallas()
+
             def one(signal, length):
                 padded = _framing.pad_signal(
                     signal, length, frame_length, frame_shift, pad_left
                 )
+                if use_pallas:
+                    return padded
                 frames = _framing.frame_padded(
                     padded, max_frames, frame_length, frame_shift
                 )
@@ -479,6 +506,8 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
 
             def run(signals, lengths):
                 feats = jax.vmap(one)(signals, lengths)
+                if use_pallas:
+                    feats = self._pallas_feats(feats, max_frames)
                 counts = _framing.frame_count(
                     lengths, frame_length, frame_shift
                 )
@@ -758,6 +787,49 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         buf[:sig_len] = signal
         feats = self._fn(bucket_len, max_frames)(jnp.asarray(buf), sig_len)
         return np.asarray(feats[:num_frames], dtype=ret_dtype)
+
+    def frame_counts_np(self, lengths) -> np.ndarray:
+        """Valid frame counts per signal length (host math)."""
+        shift = self._frame_shift
+        T = self._kernel["max_support"]
+        lengths = np.asarray(lengths)
+        target = (lengths + shift // 2) // shift
+        after_pad = (target * shift + T - 1 - self._shift_eff) // shift - 1
+        return np.maximum(0, np.minimum(target, after_pad))
+
+    def compute_batch(self, signals, lengths):
+        """Batched SI features over padded signals.
+
+        ``signals``: ``(batch, max_len)``; ``lengths``: ``(batch,)``.
+        Returns ``(feats, frame_counts)``; rows at or past a signal's count
+        are garbage to be masked.  Padding values in ``signals`` must be
+        zero (they are traversed by the convolution).
+        """
+        signals = np.asarray(signals)
+        lengths = np.asarray(lengths, dtype=np.int64)
+        batch, max_len = signals.shape
+        shift = self._frame_shift
+        max_frames = (max_len + shift // 2) // shift
+        key = ("batch", max_len, max_frames)
+        fn = self._fns.get(key)
+        if fn is None:
+            params = self.params
+            fft_size = _next_pow2(max_len + self._kernel["max_support"])
+            spec = self._spec(fft_size)
+
+            def run(signals, lengths):
+                def one(signal, length):
+                    return _si.si_feats_from_signal(
+                        signal, length, max_frames, params, **spec
+                    )
+
+                return jax.vmap(one)(signals, lengths)
+
+            fn = jax.jit(run)
+            self._fns[key] = fn
+        buf = jnp.asarray(signals, dtype=self._dtype)
+        feats = fn(buf, jnp.asarray(lengths))
+        return feats, jnp.asarray(self.frame_counts_np(lengths))
 
     # ------------------------------------------------------------------
     # streaming API

@@ -56,7 +56,9 @@ class ShardedExtractor:
     @property
     def batch_multiple(self) -> int:
         """Batch sizes must be a multiple of this (the data-axis size)."""
-        if self._mesh is None:
+        if self._mesh is None or not isinstance(
+            self._computer, STFTFrameComputer
+        ):
             return 1
         return self._mesh.shape[self._data_axis]
 
@@ -117,6 +119,11 @@ class ShardedExtractor:
         ``(batch, max_frames, num_coeffs)``; rows past a signal's count are
         garbage to be masked.
         """
+        if not isinstance(self._computer, STFTFrameComputer):
+            # non-STFT computers provide their own batched path (e.g. the
+            # SI computer's FFT-convolution pipeline); mesh sharding for
+            # them is not yet wired up
+            return self._computer.compute_batch(signals, lengths)
         signals = jnp.asarray(signals, dtype=self._computer._dtype)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
         batch, max_len = signals.shape

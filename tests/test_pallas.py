@@ -1,0 +1,78 @@
+"""Fused Pallas STFT kernel vs the XLA pipeline (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_tpu.compute import STFTFrameComputer
+from speech_tpu.ops import framing as F
+from speech_tpu.ops import stft as S
+from speech_tpu.ops.pallas_stft import stft_feats_pallas
+
+BANK = {"name": "fbank", "num_filts": 40, "sampling_rate": 16000}
+
+
+@pytest.mark.parametrize("include_energy", [False, True], ids=["", "energy"])
+@pytest.mark.parametrize("use_power", [False, True], ids=["mag", "power"])
+def test_pallas_matches_xla_pipeline(include_energy, use_power):
+    c = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=include_energy,
+        use_power=use_power,
+        dtype="float32",
+    )
+    params = c.params
+    spec = c._static_spec
+    FL, FS, PL = c._frame_length, c._frame_shift, c._pad_left
+    rng = np.random.RandomState(70)
+    B, L = 2, 8000
+    sigs = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    lens = jnp.asarray([L, L - 1000], dtype=jnp.int32)
+    MF = F.frame_count_np(L, FL, FS)
+    padded = jax.vmap(lambda s, l: F.pad_signal(s, l, FL, FS, PL))(sigs, lens)
+    frames = jax.vmap(lambda p: F.frame_padded(p, MF, FL, FS))(padded)
+    want = np.asarray(S.stft_feats_from_frames(frames, params, **spec))
+    got = np.asarray(
+        stft_feats_pallas(
+            padded,
+            params,
+            num_frames=MF,
+            frame_length=FL,
+            frame_shift=FS,
+            use_log=True,
+            use_power=use_power,
+            include_energy=include_energy,
+            log_floor=1e-5,
+            block_frames=16,
+            interpret=True,
+        )
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_pallas_mode_computer_matches_matmul_mode():
+    rng = np.random.RandomState(71)
+    sig = rng.randn(20000).astype(np.float32)
+    kwargs = dict(frame_length_ms=25, frame_shift_ms=10, dtype="float32")
+    c_ref = STFTFrameComputer(dict(BANK), fft_mode="matmul", **kwargs)
+    c_pal = STFTFrameComputer(dict(BANK), fft_mode="pallas", **kwargs)
+    want = c_ref.compute_full(sig)
+    got = c_pal.compute_full(sig)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+    # batched path
+    sigs = np.stack([sig, sig * 0.5])
+    lens = np.array([20000, 15000], dtype=np.int32)
+    fw, cw = c_ref.compute_batch(sigs, lens)
+    fp, cp = c_pal.compute_batch(sigs, lens)
+    assert np.array_equal(np.asarray(cw), np.asarray(cp))
+    for i in range(2):
+        n = int(np.asarray(cw)[i])
+        assert np.allclose(
+            np.asarray(fp)[i, :n], np.asarray(fw)[i, :n], atol=1e-4
+        )

@@ -161,3 +161,34 @@ def test_si_convolve_oracle():
             want[k, f] = np.dot(window, y[k * shift : k * shift + 2 * shift])
     got = computer.compute_full(signal)
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_compute_batch_matches_full():
+    computer = SIFrameComputer(dict(BANKS[0]), include_energy=True, dtype="float64")
+    rng = np.random.RandomState(47)
+    signals = [rng.randn(n) for n in (3000, 2200, 1500)]
+    max_len = 3000
+    buf = np.zeros((3, max_len))
+    for i, s in enumerate(signals):
+        buf[i, : len(s)] = s
+    lengths = np.array([len(s) for s in signals])
+    feats, counts = computer.compute_batch(buf, lengths)
+    feats, counts = np.asarray(feats), np.asarray(counts)
+    for i, s in enumerate(signals):
+        want = computer.compute_full(s)
+        assert counts[i] == want.shape[0]
+        assert np.allclose(feats[i, : counts[i]], want, atol=1e-8)
+
+
+def test_si_through_sharded_extractor():
+    from speech_tpu.parallel import ShardedExtractor
+
+    computer = SIFrameComputer(dict(BANKS[0]), dtype="float64")
+    ex = ShardedExtractor(computer)
+    rng = np.random.RandomState(48)
+    signals = [rng.randn(n) for n in (2500, 1800)]
+    outs = ex.extract(signals)
+    for s, got in zip(signals, outs):
+        want = computer.compute_full(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
