@@ -48,27 +48,27 @@ def _kernel(
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
-    start = j * (block_frames * frame_shift)
+    # signal arrives pre-shaped (batch, rows, frame_shift); frame k is rows
+    # k..k+q of the row view (last one partial) — all unit-stride slices
     dma = pltpu.make_async_copy(
-        sig_ref.at[b, pl.ds(start, seg_len)], seg, sem
+        sig_ref.at[b, pl.ds(j * block_frames, seg_len // frame_shift), :],
+        seg,
+        sem,
     )
     dma.start()
     dma.wait()
 
-    g = int(np.gcd(frame_length, frame_shift))
-    rows_per_frame = frame_length // g
-    row_step = frame_shift // g
-    rows = seg[:].reshape(seg_len // g, g)
-    cols = [
-        jax.lax.slice(
-            rows,
-            (jj, 0),
-            (jj + (block_frames - 1) * row_step + 1, g),
-            (row_step, 1),
-        )
-        for jj in range(rows_per_frame)
+    rows = seg[:]
+    q_full, rem = divmod(frame_length, frame_shift)
+    pieces = [
+        jax.lax.slice(rows, (r, 0), (r + block_frames, frame_shift))
+        for r in range(q_full)
     ]
-    frames = jnp.concatenate(cols, axis=1).reshape(block_frames, frame_length)
+    if rem:
+        pieces.append(
+            jax.lax.slice(rows, (q_full, 0), (q_full + block_frames, rem))
+        )
+    frames = jnp.concatenate(pieces, axis=1)
 
     # the analysis window is folded into the DFT matrices
     # (speech_tpu.ops.stft.windowed_dft_matrices)
@@ -116,13 +116,13 @@ def stft_feats_pallas(
     num_coeffs = num_filts + int(include_energy)
     blocks = -(-num_frames // block_frames)
     grid_frames = blocks * block_frames
-    seg_len = (block_frames - 1) * frame_shift + frame_length
-    # round the VMEM segment up so the gcd row view tiles exactly
-    g = int(np.gcd(frame_length, frame_shift))
-    seg_len = -(-seg_len // g) * g
+    # rows of frame_shift samples; frame k needs rows k .. k + ceil(FL/FS)
+    q_rows = -(-frame_length // frame_shift)
+    seg_len = (block_frames + q_rows) * frame_shift
     need = (blocks - 1) * block_frames * frame_shift + seg_len
     if padded_len < need:
         padded = jnp.pad(padded, ((0, 0), (0, need - padded_len)))
+    padded = padded[:, :need].reshape(batch, need // frame_shift, frame_shift)
 
     cos = jnp.asarray(params["dft_cos"], jnp.float32)
     sin = jnp.asarray(params["dft_sin"], jnp.float32)
@@ -158,14 +158,13 @@ def stft_feats_pallas(
             (batch, grid_frames, num_coeffs), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((seg_len,), jnp.float32),
+            pltpu.VMEM((seg_len // frame_shift, frame_shift), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * grid_frames
             * (frame_length * half_len * 2 + half_len * num_filts),
-            bytes_accessed=4
-            * (batch * padded.shape[1] + batch * grid_frames * num_coeffs),
+            bytes_accessed=4 * (batch * need + batch * grid_frames * num_coeffs),
             transcendentals=batch * grid_frames * (half_len + num_coeffs),
         ),
         interpret=interpret,

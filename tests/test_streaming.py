@@ -1,0 +1,100 @@
+"""Jittable streaming vs the host streaming / batch paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_tpu.compute import STFTFrameComputer
+from speech_tpu.streaming import StreamingSTFT
+
+BANK = {"name": "fbank", "num_filts": 10, "sampling_rate": 8000}
+
+
+def _computer(**kw):
+    kw.setdefault("frame_length_ms", 25)
+    kw.setdefault("frame_shift_ms", 10)
+    kw.setdefault("dtype", "float64")
+    return STFTFrameComputer(dict(BANK), **kw)
+
+
+@pytest.mark.parametrize("style", ["centered", "causal"])
+@pytest.mark.parametrize("chunk_size", [400, 1024])
+def test_streaming_matches_host_streaming(style, chunk_size):
+    """The jittable stream reproduces the host streaming path exactly.
+
+    (Host streaming itself is reference-parity; in causal mode the
+    reference's own finalize diverges slightly from compute_full when the
+    leftover tail is shorter than the final reflection depth, so the host
+    chunked path — not compute_full — is the ground truth here.)
+    """
+    computer = _computer(frame_style=style)
+    host = _computer(frame_style=style)
+    stream = StreamingSTFT(computer, chunk_size)
+    rng = np.random.RandomState(80)
+    signal = rng.randn(chunk_size * 7)
+    outs = []
+    for i in range(7):
+        outs.append(host.compute_chunk(signal[i * chunk_size : (i + 1) * chunk_size]))
+    outs.append(host.finalize())
+    want = np.concatenate(outs)
+    got = stream.transform(signal)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+    if style == "centered":
+        full = computer.compute_full(signal)
+        assert np.allclose(got, full, atol=1e-8)
+
+
+def test_streaming_tiny_chunks():
+    computer = _computer()
+    # chunk barely larger than the reflection prefix
+    cs = computer._pad_left + 3
+    stream = StreamingSTFT(computer, cs)
+    rng = np.random.RandomState(81)
+    signal = rng.randn(cs * 30)
+    want = computer.compute_full(signal)
+    got = stream.transform(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_streaming_state_is_a_pytree():
+    computer = _computer()
+    stream = StreamingSTFT(computer, 800)
+    state = stream.init_state()
+    leaves = jax.tree_util.tree_leaves(state)
+    assert len(leaves) == 3
+
+
+def test_streaming_vmapped_streams():
+    computer = _computer()
+    stream = StreamingSTFT(computer, 800)
+    rng = np.random.RandomState(82)
+    signals = rng.randn(3, 3200)
+
+    states = jax.vmap(lambda _: stream.init_state())(jnp.arange(3))
+    outs = [[] for _ in range(3)]
+    for j in range(4):
+        states, feats, nfs = jax.vmap(stream._process)(
+            states, jnp.asarray(signals[:, j * 800 : (j + 1) * 800])
+        )
+        for i in range(3):
+            outs[i].append(np.asarray(feats[i])[: int(nfs[i])])
+    feats, nfs = jax.vmap(stream._finalize)(states)
+    for i in range(3):
+        outs[i].append(np.asarray(feats[i])[: int(nfs[i])])
+        got = np.concatenate(outs[i])
+        want = computer.compute_full(signals[i])
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
+
+
+def test_streaming_validates_chunk_size():
+    computer = _computer()
+    stream = StreamingSTFT(computer, 800)
+    with pytest.raises(ValueError):
+        stream.process(stream.init_state(), jnp.zeros(799))
+    with pytest.raises(ValueError):
+        StreamingSTFT(computer, 1)
