@@ -159,3 +159,19 @@ class STFTFrontend:
     def frame_counts(self, lengths):
         """Valid frame counts for true signal ``lengths``."""
         return _framing.frame_count(lengths, self.frame_length, self.frame_shift)
+
+    # checkpointing --------------------------------------------------------
+
+    @staticmethod
+    def save_params(wfilename: str, params: dict) -> None:
+        """Checkpoint learnable parameters to an ``.npz`` file."""
+        np.savez(
+            wfilename, **{k: np.asarray(v) for k, v in params.items()}
+        )
+
+    def load_params(self, rfilename: str) -> dict:
+        """Load a checkpoint saved by :meth:`save_params`."""
+        with np.load(rfilename) as data:
+            return {
+                k: jnp.asarray(data[k], dtype=self.dtype) for k in data.files
+            }

@@ -133,16 +133,27 @@ class ShardedExtractor:
             )
         return self._fn(batch, max_len)(signals, lengths)
 
-    def extract(self, signals: Sequence[np.ndarray]):
-        """Features for a list of host 1-D signals of any lengths.
+    def extract_iter(self, batches):
+        """Double-buffered extraction over an iterable of signal lists.
 
-        Pads to a power-of-two bucket (bounding recompilation), rounds the
-        batch up to the mesh multiple, and returns a list of
-        ``(num_frames_i, num_coeffs)`` arrays.
+        Dispatches batch ``i+1``'s (asynchronous) device computation before
+        materializing batch ``i``'s results, so host IO/padding overlaps
+        device compute.  Yields one ``[(num_frames_j, num_coeffs)]`` list
+        per input batch.
         """
-        if not signals:
-            return []
+        pending = None  # (feats, counts, n)
+        for signals in batches:
+            nxt = self._dispatch(signals)
+            if pending is not None:
+                yield self._collect(*pending)
+            pending = nxt
+        if pending is not None:
+            yield self._collect(*pending)
+
+    def _dispatch(self, signals: Sequence[np.ndarray]):
         n = len(signals)
+        if n == 0:
+            return None, None, 0
         lengths = np.array([len(s) for s in signals], dtype=np.int32)
         c = self._computer
         max_len = _next_pow2(max(int(lengths.max()), c.frame_length))
@@ -153,6 +164,21 @@ class ShardedExtractor:
         pad_lengths = np.ones(batch, dtype=np.int32) * c.frame_length
         pad_lengths[:n] = lengths
         feats, counts = self.extract_batch(buf, pad_lengths)
+        return feats, counts, n
+
+    @staticmethod
+    def _collect(feats, counts, n):
+        if n == 0:
+            return []
         feats = np.asarray(feats)
         counts = np.asarray(counts)
         return [feats[i, : counts[i]] for i in range(n)]
+
+    def extract(self, signals: Sequence[np.ndarray]):
+        """Features for a list of host 1-D signals of any lengths.
+
+        Pads to a power-of-two bucket (bounding recompilation), rounds the
+        batch up to the mesh multiple, and returns a list of
+        ``(num_frames_i, num_coeffs)`` arrays.
+        """
+        return self._collect(*self._dispatch(signals))

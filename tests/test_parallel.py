@@ -161,3 +161,26 @@ def test_frontend_sharded_train_step(computer):
     del dp
     assert np.isfinite(float(l))
     assert new_params["weights"].shape == params["weights"].shape
+
+
+def test_extract_iter_double_buffered(computer):
+    ex = par.ShardedExtractor(computer)
+    rng = np.random.RandomState(12)
+    batches = [[rng.randn(rng.randint(800, 2000)) for _ in range(3)] for _ in range(3)]
+    outs = list(ex.extract_iter(iter(batches)))
+    assert len(outs) == 3
+    for sigs, feats in zip(batches, outs):
+        for s, f in zip(sigs, feats):
+            want = computer.compute_full(s)
+            assert np.allclose(f, want, atol=1e-8)
+
+
+def test_frontend_param_checkpoint(computer, tmp_path):
+    frontend = stpu_nn.STFTFrontend(computer, dtype=jnp.float64)
+    params, consts = frontend.init()
+    path = str(tmp_path / "ckpt.npz")
+    frontend.save_params(path, params)
+    loaded = frontend.load_params(path)
+    assert set(loaded) == set(params)
+    for k in params:
+        assert np.allclose(np.asarray(loaded[k]), np.asarray(params[k]))
