@@ -61,26 +61,36 @@ def _kernel(
     rows = seg[:]
     q_full, rem = divmod(frame_length, frame_shift)
     pieces = [
-        jax.lax.slice(rows, (r, 0), (r + block_frames, frame_shift))
+        (jax.lax.slice(rows, (r, 0), (r + block_frames, frame_shift)), r, frame_shift)
         for r in range(q_full)
     ]
     if rem:
         pieces.append(
-            jax.lax.slice(rows, (q_full, 0), (q_full + block_frames, rem))
+            (jax.lax.slice(rows, (q_full, 0), (q_full + block_frames, rem)), q_full, rem)
         )
-    frames = jnp.concatenate(pieces, axis=1)
 
-    # the analysis window is folded into the DFT matrices
-    # (speech_tpu.ops.stft.windowed_dft_matrices)
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    # never assemble the frame matrix (Mosaic cannot concat pieces at
+    # different sublane offsets): frames @ M == sum_r piece_r @ M_r where
+    # M_r is the matching row band of the (window-folded) DFT matrix
+    re = None
+    im = None
+    energy = None
+    for piece, r, width in pieces:
+        band = slice(r * frame_shift, r * frame_shift + width)
+        re_t = jnp.dot(piece, cos_ref[band, :], preferred_element_type=jnp.float32)
+        im_t = jnp.dot(piece, sin_ref[band, :], preferred_element_type=jnp.float32)
+        re = re_t if re is None else re + re_t
+        im = im_t if im is None else im + im_t
+        if include_energy:
+            e_t = jnp.sum(piece * piece, axis=-1, keepdims=True)
+            energy = e_t if energy is None else energy + e_t
     power = re * re + im * im
     spec = power if use_power else jnp.sqrt(power)
     feats = jnp.dot(spec, w_ref[:], preferred_element_type=jnp.float32)
     if use_log:
         feats = jnp.log(jnp.maximum(feats, log_floor))
     if include_energy:
-        energy = jnp.sum(frames * frames, axis=-1, keepdims=True) / frame_length
+        energy = energy / frame_length
         if not use_power:
             energy = jnp.sqrt(energy)
         if use_log:

@@ -1,0 +1,63 @@
+"""Utility math helpers + package metadata."""
+
+import numpy as np
+import pytest
+
+import speech_tpu
+from speech_tpu import utils
+
+
+def test_version_set():
+    assert speech_tpu.__version__
+    assert speech_tpu.__version__ != "inplace"
+
+
+def test_hertz_angular_roundtrip():
+    rate = 16000
+    for hz in (20.0, 440.0, 7999.0):
+        ang = utils.hertz_to_angular(hz, rate)
+        assert np.isclose(utils.angular_to_hertz(ang, rate), hz)
+    assert np.isclose(utils.hertz_to_angular(rate / 2, rate), np.pi)
+
+
+def test_gauss_quant_matches_scipy_or_is_close(reference_speech):
+    from pydrobert.speech.util import gauss_quant as ref_gq
+
+    for p in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert np.isclose(
+            utils.gauss_quant(p), ref_gq(p), atol=1e-5
+        ), p
+    # mean/std scaling
+    assert np.isclose(
+        utils.gauss_quant(0.75, mu=3, std=2), 3 + 2 * utils.gauss_quant(0.75)
+    )
+
+
+def test_gauss_quant_inverts_cdf():
+    try:
+        from math import erf
+    except ImportError:  # pragma: no cover
+        pytest.skip("no erf")
+    for p in (0.1, 0.3, 0.5, 0.9):
+        x = utils.gauss_quant(p)
+        cdf = 0.5 * (1 + erf(x / np.sqrt(2)))
+        assert np.isclose(cdf, p, atol=1e-5)
+
+
+def test_circshift_fourier_matches_roll(reference_speech):
+    rng = np.random.RandomState(90)
+    x = rng.randn(64)
+    X = np.fft.fft(x)
+    for shift in (0, 1, 5, -3, 63):
+        shifted = utils.circshift_fourier(X.copy(), shift)
+        want = np.fft.fft(np.roll(x, shift))
+        assert np.allclose(shifted, want, atol=1e-10), shift
+
+
+def test_circshift_fourier_half_spectrum():
+    rng = np.random.RandomState(91)
+    x = rng.randn(64)
+    half = np.fft.rfft(x)
+    shifted = utils.circshift_fourier(half.copy(), 7, dft_size=64, start_idx=0)
+    want = np.fft.rfft(np.roll(x, 7))
+    assert np.allclose(shifted, want, atol=1e-10)
