@@ -13,6 +13,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from speech_tpu.utils import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 
 def main():
     from speech_tpu.compute import STFTFrameComputer

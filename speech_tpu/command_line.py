@@ -266,6 +266,10 @@ def signals_to_torch_feat_dir(args: Optional[Sequence[str]] = None) -> int:
         )
     preprocessors, postprocessors = _build_processors(options)
     os.makedirs(options.dir, exist_ok=True)
+    if computer is not None:
+        from .utils import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
 
     items = list(enumerate(sorted(utt2path.items())))
     if options.num_workers:

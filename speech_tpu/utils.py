@@ -16,6 +16,34 @@ __all__ = [
 ]
 
 
+def enable_persistent_compilation_cache(cache_dir=None):
+    """Point jax at an on-disk compilation cache (no-op if already set).
+
+    TPU compiles of the feature pipelines can take minutes; the persistent
+    cache makes every later process start instantly.  Called by the CLI and
+    benchmarks; safe to call any time before the first compilation.
+    """
+    import os
+
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        if cache_dir is None:
+            cache_dir = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(
+                    os.path.expanduser("~"), ".cache", "speech_tpu_jax"
+                ),
+            )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def hertz_to_angular(hertz, samp_rate):
     """Convert cycles/sec to radians/sec."""
     return hertz * 2 * np.pi / samp_rate
