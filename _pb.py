@@ -1,4 +1,6 @@
 import time
+from speech_tpu.utils import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
 import numpy as np
 import jax, jax.numpy as jnp
 from speech_tpu.compute import STFTFrameComputer

@@ -119,10 +119,12 @@ class ShardedExtractor:
         ``(batch, max_frames, num_coeffs)``; rows past a signal's count are
         garbage to be masked.
         """
-        if not isinstance(self._computer, STFTFrameComputer):
+        if not isinstance(self._computer, STFTFrameComputer) or (
+            self._mesh is None and self._computer._use_pallas()
+        ):
             # non-STFT computers provide their own batched path (e.g. the
-            # SI computer's FFT-convolution pipeline); mesh sharding for
-            # them is not yet wired up
+            # SI computer's FFT-convolution pipeline), as does the fused
+            # Pallas tier; mesh sharding for those is not yet wired up
             return self._computer.compute_batch(signals, lengths)
         signals = jnp.asarray(signals, dtype=self._computer._dtype)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
