@@ -145,3 +145,23 @@ def circshift_fourier(
         return filt * phase
     filt *= phase
     return filt
+
+
+def read_signal(*args, **kwargs):
+    """Compatibility re-export of :func:`speech_tpu.io.read_signal`.
+
+    The reference exposes signal reading from its util module
+    (reference: util.py:362); the canonical home here is
+    :mod:`speech_tpu.io`.
+    """
+    from .io import read_signal as _read_signal
+
+    return _read_signal(*args, **kwargs)
+
+
+def wds_read_signal(key, data):
+    """Compatibility re-export of :func:`speech_tpu.io.wds_read_signal`
+    (reference: util.py:513)."""
+    from .io import wds_read_signal as _wds
+
+    return _wds(key, data)
