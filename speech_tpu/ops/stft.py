@@ -140,6 +140,29 @@ def power_half_spectrum(frames, params, dft_size: int, fft_mode: Optional[str]):
     return re * re + im * im
 
 
+def _matmul_feats_nyquist_split(frames, params, use_power: bool):
+    """Matmul-mode features with the Nyquist bin as a rank-1 correction.
+
+    For even DFT sizes the half spectrum has ``2^k + 1`` bins, which pads
+    the MXU lane dimension by a full extra 128-tile (~33% wasted work on
+    the two big DFT matmuls).  Splitting the last bin — whose imaginary
+    part is identically zero (``sin(pi t) = 0``) — keeps the matmuls a
+    clean power-of-two wide and adds it back as one dot product and an
+    outer product.  Numerically identical to the unsplit path.
+    """
+    cos, sin, w = params["dft_cos"], params["dft_sin"], params["weights"]
+    re = jnp.matmul(frames, cos[:, :-1], precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, sin[:, :-1], precision=jax.lax.Precision.HIGHEST)
+    power = re * re + im * im
+    spec = power if use_power else jnp.sqrt(power)
+    feats = jnp.matmul(spec, w[:-1], precision=jax.lax.Precision.HIGHEST)
+    x_nyq = jnp.matmul(
+        frames, cos[:, -1:], precision=jax.lax.Precision.HIGHEST
+    )
+    nyq = x_nyq * x_nyq if use_power else jnp.abs(x_nyq)
+    return feats + nyq * w[-1]
+
+
 def stft_feats_from_frames(
     frames,
     params,
@@ -162,11 +185,15 @@ def stft_feats_from_frames(
     ``params["weights"]``.
     """
     frame_length = frames.shape[-1]
-    power_spec = power_half_spectrum(frames, params, dft_size, fft_mode)
-    spec = power_spec if use_power else jnp.sqrt(power_spec)
-    feats = jnp.matmul(
-        spec, params["weights"], precision=jax.lax.Precision.HIGHEST
-    )
+    mode = _resolve_fft_mode(fft_mode, dft_size)
+    if mode != "fft" and dft_size % 2 == 0:
+        feats = _matmul_feats_nyquist_split(frames, params, use_power)
+    else:
+        power_spec = power_half_spectrum(frames, params, dft_size, fft_mode)
+        spec = power_spec if use_power else jnp.sqrt(power_spec)
+        feats = jnp.matmul(
+            spec, params["weights"], precision=jax.lax.Precision.HIGHEST
+        )
     if use_log:
         feats = jnp.log(jnp.maximum(feats, log_floor))
     if include_energy:
