@@ -141,27 +141,32 @@ def si_feats_from_signal(
     # last frame k = num_frames-1 reads y up to (k*shift + 2*shift - 1)
     ny = (num_frames + 1) * frame_shift
 
-    # linear convolution conv[m] = sum_k fir[k] x[m-k] via one FFT product;
-    # fft_size >= buffer + T guarantees no circular wrap of valid samples
-    if is_real:
-        X = jnp.fft.rfft(signal, n=fft_size)
-        H = jnp.fft.rfft(firs, n=fft_size, axis=-1)
-        conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
-    else:
-        X = jnp.fft.fft(signal, n=fft_size)
-        H = jnp.fft.fft(firs, n=fft_size, axis=-1)
-        conv = jnp.fft.ifft(X[None, :] * H, axis=-1)
-
-    # y_f[n] = conv_f[n + shift_eff], zero for out-of-range conv indices
+    # linear convolution conv[m] = sum_k fir[k] x[m-k] via FFT products;
+    # fft_size >= buffer + T guarantees no circular wrap of valid samples.
+    # The signal is real, so a complex bank's convolution decomposes into
+    # two real-FFT pipelines (x (*) Re fir, x (*) Im fir) — half the
+    # transform work of a complex FFT, and the TPU backend implements only
+    # the real kinds at these sizes.
+    X = jnp.fft.rfft(signal, n=fft_size)
     n_idx = jnp.arange(ny) + shift_eff
     valid = (n_idx >= 0) & (n_idx < sig_len + max_support - 1)
-    y = jnp.take(conv, jnp.clip(n_idx, 0, fft_size - 1), axis=-1)
-    y = jnp.where(valid[None, :], y, 0)
+    idx = jnp.clip(n_idx, 0, fft_size - 1)
 
-    if use_power:
-        y_mod = (y * y.conj()).real if not is_real else y * y
+    def _conv_part(f):
+        H = jnp.fft.rfft(f, n=fft_size, axis=-1)
+        conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
+        part = jnp.take(conv, idx, axis=-1)
+        return jnp.where(valid[None, :], part, 0)
+
+    if is_real:
+        y = _conv_part(firs)
+        y_mod = y * y if use_power else jnp.abs(y)
     else:
-        y_mod = jnp.abs(y)
+        yr = _conv_part(firs.real)
+        yi = _conv_part(firs.imag)
+        y_mod = yr * yr + yi * yi
+        if not use_power:
+            y_mod = jnp.sqrt(y_mod)
 
     if include_energy:
         # dirac filter: y_e[n] = x[n + shift_eff - translation]; with the
