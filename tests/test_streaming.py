@@ -98,3 +98,19 @@ def test_streaming_validates_chunk_size():
         stream.process(stream.init_state(), jnp.zeros(799))
     with pytest.raises(ValueError):
         StreamingSTFT(computer, 1)
+
+
+def test_streaming_kaldi_shift():
+    computer = _computer(frame_style="centered", kaldi_shift=True)
+    host = _computer(frame_style="centered", kaldi_shift=True)
+    stream = StreamingSTFT(computer, 800)
+    rng = np.random.RandomState(83)
+    signal = rng.randn(4000)
+    outs = []
+    for i in range(5):
+        outs.append(host.compute_chunk(signal[i * 800 : (i + 1) * 800]))
+    outs.append(host.finalize())
+    want = np.concatenate(outs)
+    got = stream.transform(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
