@@ -716,16 +716,23 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
 
     @property
     def params(self):
-        """Device arrays for the jitted pipeline."""
+        """Device arrays for the jitted pipeline.
+
+        Complex FIRs are stored as separate real/imaginary float arrays —
+        complex device arrays are unsupported on some TPU runtimes, and
+        the pipeline only ever needs the real-FFT convolutions of the two
+        parts (see :func:`speech_tpu.ops.si.si_feats_from_signal`).
+        """
         if self._device_params is None:
-            if self._kernel["is_real"]:
-                fdt = self._dtype
-            else:
-                fdt = jnp.complex64 if self._dtype == jnp.float32 else jnp.complex128
+            firs = self._kernel["firs"]
             self._device_params = {
-                "firs": jnp.asarray(self._kernel["firs"], dtype=fdt),
+                "firs_re": jnp.asarray(firs.real, dtype=self._dtype),
                 "window": jnp.asarray(self._kernel["window"], dtype=self._dtype),
             }
+            if not self._kernel["is_real"]:
+                self._device_params["firs_im"] = jnp.asarray(
+                    firs.imag, dtype=self._dtype
+                )
         return self._device_params
 
     @property

@@ -135,8 +135,8 @@ def si_feats_from_signal(
     ``window`` ``(2*shift,)``.  Returns ``(num_frames, num_coeffs)``.
     """
     window = params["window"]
-    firs = params["firs"]
-    num_filts = firs.shape[0]
+    firs_re = params["firs_re"]
+    num_filts = firs_re.shape[0]
     two_shift = 2 * frame_shift
     # last frame k = num_frames-1 reads y up to (k*shift + 2*shift - 1)
     ny = (num_frames + 1) * frame_shift
@@ -159,11 +159,11 @@ def si_feats_from_signal(
         return jnp.where(valid[None, :], part, 0)
 
     if is_real:
-        y = _conv_part(firs)
+        y = _conv_part(firs_re)
         y_mod = y * y if use_power else jnp.abs(y)
     else:
-        yr = _conv_part(firs.real)
-        yi = _conv_part(firs.imag)
+        yr = _conv_part(firs_re)
+        yi = _conv_part(params["firs_im"])
         y_mod = yr * yr + yi * yi
         if not use_power:
             y_mod = jnp.sqrt(y_mod)
