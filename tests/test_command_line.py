@@ -175,3 +175,36 @@ def test_kaldi_tables_graceful_without_dep(capsys):
     except ImportError:
         assert code == 1
         assert "pydrobert-kaldi" in capsys.readouterr().err
+
+
+def test_signals_to_torch_feat_dir_si_computer(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    si_json = json.dumps(
+        {
+            "name": "si",
+            "bank": {"name": "fbank", "num_filts": 6, "sampling_rate": 8000},
+            "frame_shift_ms": 10,
+        }
+    )
+    out_dir = os.path.join(temp_dir, "si_feats")
+    assert (
+        command_line.signals_to_torch_feat_dir([wav_dir, si_json, out_dir])
+        == 0
+    )
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 20
+    feats = torch.load(os.path.join(out_dir, files[0]))
+    assert feats.shape[1] == 6 and torch.isfinite(feats).all()
+
+
+def test_profile_flag(wav_dir, temp_dir, capsys):
+    pytest.importorskip("torch")
+    out_dir = os.path.join(temp_dir, "pf")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_dir, "--profile"]
+        )
+        == 0
+    )
+    err = capsys.readouterr().err
+    assert "stages" in err and "compute" in err

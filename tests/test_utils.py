@@ -61,3 +61,20 @@ def test_circshift_fourier_half_spectrum():
     shifted = utils.circshift_fourier(half.copy(), 7, dft_size=64, start_idx=0)
     want = np.fft.rfft(np.roll(x, 7))
     assert np.allclose(shifted, want, atol=1e-10)
+
+
+def test_stage_timer():
+    import time
+
+    from speech_tpu.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.totals["a"] >= 0.01
+    s = t.summary()
+    assert "a: " in s and "b: " in s and "/2x" in s
