@@ -632,6 +632,10 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         Log the integrations.
     dtype
         Device compute dtype ('float32' default; 'float64' needs jax x64).
+    conv_mode
+        How the filter convolutions run: 'fft' (real-FFT products),
+        'direct' (``lax.conv`` on the MXU — faster on TPU, where XLA's FFT
+        is slow), or 'auto' (direct on TPU, fft elsewhere).
     """
 
     aliases = {"si"}
@@ -647,7 +651,11 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         use_power: bool = False,
         use_log: bool = True,
         dtype: str = "float32",
+        conv_mode: str = "auto",
     ):
+        if conv_mode not in ("auto", "fft", "direct"):
+            raise ValueError(f"Invalid conv_mode: {conv_mode}")
+        self._conv_mode = conv_mode
         bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
         self._rate = bank.sampling_rate
         self._frame_shift = int(0.001 * frame_shift_ms * self._rate)
@@ -740,6 +748,9 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         return self._kernel["shift_eff"]
 
     def _spec(self, fft_size: int) -> dict:
+        conv_mode = self._conv_mode
+        if conv_mode == "auto":
+            conv_mode = "direct" if jax.default_backend() == "tpu" else "fft"
         return dict(
             frame_shift=self._frame_shift,
             shift_eff=self._shift_eff,
@@ -751,6 +762,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             log_floor=config.LOG_FLOOR_VALUE,
             fft_size=fft_size,
             energy_offset=self._shift_eff - self._kernel["translation"],
+            conv_mode=conv_mode,
         )
 
     def _fn(self, buf_len: int, num_frames: int):

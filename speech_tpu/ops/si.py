@@ -126,6 +126,7 @@ def si_feats_from_signal(
     log_floor: float,
     fft_size: int,
     energy_offset: int = 0,
+    conv_mode: str = "fft",
 ):
     """Jittable SI pipeline for one signal buffer.
 
@@ -141,22 +142,46 @@ def si_feats_from_signal(
     # last frame k = num_frames-1 reads y up to (k*shift + 2*shift - 1)
     ny = (num_frames + 1) * frame_shift
 
-    # linear convolution conv[m] = sum_k fir[k] x[m-k] via FFT products;
-    # fft_size >= buffer + T guarantees no circular wrap of valid samples.
-    # The signal is real, so a complex bank's convolution decomposes into
-    # two real-FFT pipelines (x (*) Re fir, x (*) Im fir) — half the
-    # transform work of a complex FFT, and the TPU backend implements only
-    # the real kinds at these sizes.
-    X = jnp.fft.rfft(signal, n=fft_size)
+    # linear convolution conv[m] = sum_k fir[k] x[m-k].  Two backends:
+    # "fft" (real-FFT products; a complex bank decomposes into its real and
+    # imaginary parts — half the transform work of a complex FFT, and the
+    # TPU backend implements only the real kinds) and "direct" (the
+    # convolution as one MXU matmul over stacked signal shifts — XLA's TPU
+    # FFT is slow enough that brute FLOPs win at speech-sized supports).
     n_idx = jnp.arange(ny) + shift_eff
     valid = (n_idx >= 0) & (n_idx < sig_len + max_support - 1)
-    idx = jnp.clip(n_idx, 0, fft_size - 1)
 
-    def _conv_part(f):
-        H = jnp.fft.rfft(f, n=fft_size, axis=-1)
-        conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
-        part = jnp.take(conv, idx, axis=-1)
-        return jnp.where(valid[None, :], part, 0)
+    if conv_mode == "direct":
+        # lax.conv computes correlations: corr[q] = sum_j pad[q+j] rev[j]
+        # with rev = flip(fir) gives conv[m] at q = m - T + 1 (in padded
+        # coordinates).  We need conv at m = n + shift_eff for n in
+        # [0, ny); left-pad so the first window starts at q >= 0.
+        T = max_support
+        pl = max(0, T - 1 - shift_eff)
+        q0 = shift_eff + pl - T + 1
+        need = q0 + ny - 1 + T
+        padded = jnp.pad(signal, (pl, max(0, need - pl - signal.shape[0])))
+
+        def _conv_part(f):
+            rev = jnp.flip(f, axis=-1)[:, None, :]  # (F, 1, T)
+            out = jax.lax.conv_general_dilated(
+                padded[None, None, :],
+                rev,
+                window_strides=(1,),
+                padding="VALID",
+                precision=jax.lax.Precision.HIGHEST,
+            )[0]  # (F, L - T + 1)
+            part = jax.lax.slice_in_dim(out, q0, q0 + ny, axis=1)
+            return jnp.where(valid[None, :], part, 0)
+    else:
+        X = jnp.fft.rfft(signal, n=fft_size)
+        idx = jnp.clip(n_idx, 0, fft_size - 1)
+
+        def _conv_part(f):
+            H = jnp.fft.rfft(f, n=fft_size, axis=-1)
+            conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
+            part = jnp.take(conv, idx, axis=-1)
+            return jnp.where(valid[None, :], part, 0)
 
     if is_real:
         y = _conv_part(firs_re)

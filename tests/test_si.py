@@ -192,3 +192,20 @@ def test_si_through_sharded_extractor():
         want = computer.compute_full(s)
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=1e-8)
+
+
+@pytest.mark.parametrize("frame_style", ["causal", "centered"])
+@pytest.mark.parametrize("bank", [BANKS[0], BANKS[2]], ids=lambda b: b["name"])
+def test_si_direct_conv_matches_fft(bank, frame_style):
+    rng = np.random.RandomState(49)
+    signal = rng.randn(3000)
+    want = SIFrameComputer(
+        dict(bank), frame_style=frame_style, include_energy=True,
+        conv_mode="fft", dtype="float64",
+    ).compute_full(signal)
+    got = SIFrameComputer(
+        dict(bank), frame_style=frame_style, include_energy=True,
+        conv_mode="direct", dtype="float64",
+    ).compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
