@@ -633,9 +633,10 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     dtype
         Device compute dtype ('float32' default; 'float64' needs jax x64).
     conv_mode
-        How the filter convolutions run: 'fft' (real-FFT products),
-        'direct' (``lax.conv`` on the MXU — faster on TPU, where XLA's FFT
-        is slow), or 'auto' (direct on TPU, fft elsewhere).
+        How the filter convolutions run: 'fft' (real-FFT products,
+        overlap-save blocked for long signals), 'direct' (``lax.conv``;
+        measured slower on TPU — XLA lowers long 1D convolutions poorly),
+        or 'auto' (currently 'fft').
     """
 
     aliases = {"si"}
@@ -750,7 +751,9 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     def _spec(self, fft_size: int) -> dict:
         conv_mode = self._conv_mode
         if conv_mode == "auto":
-            conv_mode = "direct" if jax.default_backend() == "tpu" else "fft"
+            # measured on v5e: blocked FFT convolution beats both the
+            # single big FFT and lax.conv (XLA lowers 1D convs poorly)
+            conv_mode = "fft"
         return dict(
             frame_shift=self._frame_shift,
             shift_eff=self._shift_eff,

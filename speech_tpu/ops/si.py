@@ -173,6 +173,30 @@ def si_feats_from_signal(
             )[0]  # (F, L - T + 1)
             part = jax.lax.slice_in_dim(out, q0, q0 + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
+    elif conv_mode == "fft" and fft_size >= 4 * _next_pow2(2 * max_support):
+        # blocked overlap-save: batched medium-size real FFTs run far more
+        # efficiently on the TPU backend than a few huge ones.  Block i
+        # produces conv outputs m in [m0 + i*V, m0 + (i+1)*V) from the
+        # signal span [m_block - T + 1, m_block + V).
+        T = max_support
+        B = _next_pow2(2 * T)
+        V = B - T + 1
+        m0 = shift_eff  # first conv index needed (y[0])
+        nblocks = -(-ny // V)
+        pl = max(0, T - 1 - m0)
+        need = m0 + pl + (nblocks - 1) * V + B
+        padded = jnp.pad(signal, (pl, max(0, need - pl - signal.shape[0])))
+        starts = [m0 + pl + i * V - (T - 1) for i in range(nblocks)]
+        x_blocks = jnp.stack(
+            [jax.lax.slice_in_dim(padded, s, s + B, axis=0) for s in starts]
+        )  # (nblocks, B)
+        Xb = jnp.fft.rfft(x_blocks, axis=-1)
+
+        def _conv_part(f):
+            H = jnp.fft.rfft(f, n=B, axis=-1)
+            yb = jnp.fft.irfft(Xb[None] * H[:, None, :], n=B, axis=-1)
+            y = yb[..., T - 1 :].reshape(f.shape[0], nblocks * V)[:, :ny]
+            return jnp.where(valid[None, :], y, 0)
     else:
         X = jnp.fft.rfft(signal, n=fft_size)
         idx = jnp.clip(n_idx, 0, fft_size - 1)

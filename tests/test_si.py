@@ -209,3 +209,22 @@ def test_si_direct_conv_matches_fft(bank, frame_style):
     ).compute_full(signal)
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_blocked_overlap_save_matches_single_fft():
+    """Long signals trigger the blocked overlap-save path; it must match."""
+    bank = {"name": "fbank", "num_filts": 8, "sampling_rate": 8000}
+    computer = SIFrameComputer(dict(bank), include_energy=True, dtype="float64")
+    T = computer.max_support
+    import speech_tpu.ops.si as si_ops
+
+    rng = np.random.RandomState(50)
+    # long enough that fft_size >= 4 * next_pow2(2T)
+    signal = rng.randn(8 * si_ops._next_pow2(2 * T))
+    got = computer.compute_full(signal)
+    ref = SIFrameComputer(dict(bank), include_energy=True, dtype="float64")
+    # force the single-FFT branch by computing through streaming chunks
+    # (small local buffers) as the oracle
+    want = frame_by_frame_calculation(ref, signal, chunk_size=4096)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
