@@ -204,6 +204,10 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
     fft_mode
         'fft', 'matmul', 'pallas', or None to follow
         ``speech_tpu.config.FFT_MODE``.
+    precision
+        Matmul precision: 'highest' (default; full f32, matches the
+        float64 reference to ~1e-4) or 'default' (single-pass MXU — ~25%
+        faster on v5e, ~1.5e-2 max abs error on log features).
     """
 
     aliases = {"stft"}
@@ -222,7 +226,9 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         kaldi_shift: bool = False,
         dtype: str = "float32",
         fft_mode: Optional[str] = None,
+        precision: str = "highest",
     ):
+        self._precision = precision
         bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
         self._rate = bank.sampling_rate
         self._frame_shift = int(0.001 * frame_shift_ms * self._rate)
@@ -353,6 +359,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             include_energy=self._include_energy,
             log_floor=config.LOG_FLOOR_VALUE,
             fft_mode=self._fft_mode,
+            precision=self._precision,
         )
 
     def _use_pallas(self) -> bool:

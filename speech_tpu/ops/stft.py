@@ -119,6 +119,14 @@ def _resolve_fft_mode(mode: Optional[str], dft_size: int) -> str:
     return mode
 
 
+def _resolve_precision(precision):
+    if precision is None or precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    if isinstance(precision, str):
+        return jax.lax.Precision(precision.upper())
+    return precision
+
+
 def power_half_spectrum(frames, params, dft_size: int, fft_mode: Optional[str]):
     """``|X_b|^2`` over the half spectrum of windowed frames.
 
@@ -140,7 +148,7 @@ def power_half_spectrum(frames, params, dft_size: int, fft_mode: Optional[str]):
     return re * re + im * im
 
 
-def _matmul_feats_nyquist_split(frames, params, use_power: bool):
+def _matmul_feats_nyquist_split(frames, params, use_power: bool, precision=None):
     """Matmul-mode features with the Nyquist bin as a rank-1 correction.
 
     For even DFT sizes the half spectrum has ``2^k + 1`` bins, which pads
@@ -150,15 +158,14 @@ def _matmul_feats_nyquist_split(frames, params, use_power: bool):
     clean power-of-two wide and adds it back as one dot product and an
     outer product.  Numerically identical to the unsplit path.
     """
+    prec = _resolve_precision(precision)
     cos, sin, w = params["dft_cos"], params["dft_sin"], params["weights"]
-    re = jnp.matmul(frames, cos[:, :-1], precision=jax.lax.Precision.HIGHEST)
-    im = jnp.matmul(frames, sin[:, :-1], precision=jax.lax.Precision.HIGHEST)
+    re = jnp.matmul(frames, cos[:, :-1], precision=prec)
+    im = jnp.matmul(frames, sin[:, :-1], precision=prec)
     power = re * re + im * im
     spec = power if use_power else jnp.sqrt(power)
-    feats = jnp.matmul(spec, w[:-1], precision=jax.lax.Precision.HIGHEST)
-    x_nyq = jnp.matmul(
-        frames, cos[:, -1:], precision=jax.lax.Precision.HIGHEST
-    )
+    feats = jnp.matmul(spec, w[:-1], precision=prec)
+    x_nyq = jnp.matmul(frames, cos[:, -1:], precision=prec)
     nyq = x_nyq * x_nyq if use_power else jnp.abs(x_nyq)
     return feats + nyq * w[-1]
 
@@ -173,6 +180,7 @@ def stft_feats_from_frames(
     include_energy: bool,
     log_floor: float,
     fft_mode: Optional[str] = None,
+    precision: Optional[str] = None,
 ):
     """Features for a batch of raw frames: the full post-framing pipeline.
 
@@ -187,12 +195,14 @@ def stft_feats_from_frames(
     frame_length = frames.shape[-1]
     mode = _resolve_fft_mode(fft_mode, dft_size)
     if mode != "fft" and dft_size % 2 == 0:
-        feats = _matmul_feats_nyquist_split(frames, params, use_power)
+        feats = _matmul_feats_nyquist_split(
+            frames, params, use_power, precision
+        )
     else:
         power_spec = power_half_spectrum(frames, params, dft_size, fft_mode)
         spec = power_spec if use_power else jnp.sqrt(power_spec)
         feats = jnp.matmul(
-            spec, params["weights"], precision=jax.lax.Precision.HIGHEST
+            spec, params["weights"], precision=_resolve_precision(precision)
         )
     if use_log:
         feats = jnp.log(jnp.maximum(feats, log_floor))

@@ -265,3 +265,20 @@ def test_json_config_construction():
     assert isinstance(computer, compute.STFTFrameComputer)
     assert computer.num_coeffs == 40
     assert computer.frame_shift == 160
+
+
+def test_precision_option():
+    import numpy as np
+
+    from speech_tpu.compute import STFTFrameComputer
+
+    rng = np.random.RandomState(100)
+    sig = rng.randn(4000)
+    kw = dict(frame_length_ms=25, frame_shift_ms=10, dtype="float64")
+    bank = {"name": "fbank", "num_filts": 8, "sampling_rate": 8000}
+    hi = STFTFrameComputer(dict(bank), precision="highest", **kw)
+    lo = STFTFrameComputer(dict(bank), precision="default", **kw)
+    a = hi.compute_full(sig)
+    b = lo.compute_full(sig)
+    # on CPU float64 both precisions are exact
+    assert np.allclose(a, b, atol=1e-10)
