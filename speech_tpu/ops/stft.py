@@ -123,7 +123,7 @@ def _resolve_precision(precision):
     if precision is None or precision == "highest":
         return jax.lax.Precision.HIGHEST
     if isinstance(precision, str):
-        return jax.lax.Precision(precision.upper())
+        return jax.lax.Precision(precision.lower())
     return precision
 
 
