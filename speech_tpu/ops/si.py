@@ -32,7 +32,7 @@ the frequency domain), elementwise modulus, a strided gather of
 single jitted program.
 """
 
-from typing import Optional
+
 
 import numpy as np
 
