@@ -132,8 +132,9 @@ def si_feats_from_signal(
 
     ``signal``: fixed-size zero-padded buffer; ``sig_len`` (traced) true
     length — samples at or past ``sig_len`` must already be zero.
-    ``params``: device arrays ``firs`` (complex or real ``(F, T)``),
-    ``window`` ``(2*shift,)``.  Returns ``(num_frames, num_coeffs)``.
+    ``params``: device arrays ``firs_re`` (``(F, T)``; plus ``firs_im``
+    for complex banks) and ``window`` ``(2*shift,)``.  Returns
+    ``(num_frames, num_coeffs)``.
     """
     window = params["window"]
     firs_re = params["firs_re"]

@@ -28,6 +28,10 @@ def enable_persistent_compilation_cache(cache_dir=None):
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT cache entries are machine-feature specific and can
+            # SIGILL when loaded on a different host; only cache TPU code
+            return
         if jax.config.jax_compilation_cache_dir:
             return
         if cache_dir is None:
