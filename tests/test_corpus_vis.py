@@ -134,3 +134,45 @@ def test_compare_feature_frames(mpl):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_feature_corpus_with_workers(temp_dir):
+    import os
+    import wave
+
+    rng = np.random.RandomState(64)
+    utt2path = {}
+    for i in range(5):
+        path = os.path.join(temp_dir, f"w{i}.wav")
+        sig = (rng.randn(3000) * 1000).astype(np.int16)
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(sig.tobytes())
+        utt2path[f"w{i}"] = path
+    fc = stpu_corpus.FeatureCorpus(
+        {
+            "name": "stft",
+            "bank": {"name": "fbank", "num_filts": 8, "sampling_rate": 8000},
+            "frame_length_ms": 25,
+            "dtype": "float64",
+        },
+        utt2path,
+        batch_size=2,
+        num_workers=3,
+        preprocessors=[{"name": "preemphasize"}],
+        seed=1,
+    )
+    seen = {}
+    for utts, feats in fc:
+        for u, f in zip(utts, feats):
+            seen[u] = f
+    assert set(seen) == set(utt2path)
+    # determinism across iterations
+    again = {}
+    for utts, feats in fc:
+        for u, f in zip(utts, feats):
+            again[u] = f
+    for u in seen:
+        assert np.allclose(seen[u], again[u])

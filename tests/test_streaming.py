@@ -114,3 +114,30 @@ def test_streaming_kaldi_shift():
     got = stream.transform(signal)
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-8)
+
+
+def test_streaming_finalize_before_emitting():
+    """Finalize with buffered-but-unemitted samples (is_first still set)."""
+    computer = _computer()
+    host = _computer()
+    cs = max(computer._pad_left, computer.frame_shift) + 5
+    stream = StreamingSTFT(computer, cs)
+    rng = np.random.RandomState(84)
+    signal = rng.randn(cs)  # one tiny chunk; likely no frames emitted yet
+    state, feats, nf = stream.process(stream.init_state(), jnp.asarray(signal))
+    hf = [host.compute_chunk(signal)]
+    assert int(nf) == hf[0].shape[0]
+    out = [np.asarray(feats)[: int(nf)]] + hf[:0]
+    ffeats, fnf = stream.finalize(state)
+    hf.append(host.finalize())
+    want = np.concatenate(hf)
+    got = np.concatenate(out + [np.asarray(ffeats)[: int(fnf)]])
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_streaming_finalize_empty_stream():
+    computer = _computer()
+    stream = StreamingSTFT(computer, 800)
+    feats, nf = stream.finalize(stream.init_state())
+    assert int(nf) == 0
