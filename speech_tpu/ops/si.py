@@ -26,10 +26,10 @@ window plus block ``k+1`` under the second).  Total frame count over a
 finalized signal is ``(len + shift//2) // shift``, identical to the STFT
 computer (reference: compute.py:825-846).
 
-On TPU this runs as: one batched FFT convolution (all filters at once in
-the frequency domain), elementwise modulus, a strided gather of
-``(num_frames, 2*shift)`` windows, and a matvec with the window — all in a
-single jitted program.
+On TPU this runs as batched real-FFT convolutions — blocked overlap-save
+for long signals, all filters at once in the frequency domain — then
+elementwise modulus, a strided gather of ``(num_frames, 2*shift)`` windows,
+and a matvec with the window, in a single jitted program.
 """
 
 

@@ -19,6 +19,7 @@ from .mesh import make_mesh, named_sharding  # noqa: F401
 from .extract import ShardedExtractor  # noqa: F401
 from .halo import halo_frame_signal, sharded_stft_feats  # noqa: F401
 from .stats import accumulate_stats, accumulate_stats_sharded  # noqa: F401
+from . import multihost  # noqa: F401
 
 __all__ = [
     "make_mesh",

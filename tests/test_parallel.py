@@ -184,3 +184,17 @@ def test_frontend_param_checkpoint(computer, tmp_path):
     assert set(loaded) == set(params)
     for k in params:
         assert np.allclose(np.asarray(loaded[k]), np.asarray(params[k]))
+
+
+def test_multihost_single_process(computer):
+    from speech_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op single process
+    sl = multihost.process_slice(10)
+    assert sl == slice(0, 10)
+    mesh = par.make_mesh(("data",))
+    rng = np.random.RandomState(13)
+    local = rng.randn(8, 1600).astype(np.float32)
+    arr = multihost.global_batch_from_host_local(local, mesh)
+    assert arr.shape == (8, 1600)
+    assert np.allclose(np.asarray(arr), local)
