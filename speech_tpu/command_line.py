@@ -23,6 +23,7 @@ Commands:
 
 import argparse
 import json
+import threading
 import logging
 import os
 import sys
@@ -180,7 +181,7 @@ def _signals_to_torch_feat_dir_parse_args(args):
     return parser.parse_args(args)
 
 
-_PRE_LOCK = __import__("threading").Lock()
+_PRE_LOCK = threading.Lock()
 
 
 def _load_utt(item, preprocessors, channel, force_as, seed):

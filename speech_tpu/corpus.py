@@ -13,7 +13,7 @@ corpus analog of the CLI's batched extraction.
 """
 
 from itertools import cycle
-from typing import Mapping, Optional, Sequence, Tuple, Type, TypeVar
+from typing import Optional, Sequence, Tuple, Type, TypeVar
 
 import numpy as np
 

@@ -7,7 +7,7 @@ device twins, written to fuse into the feature pipeline under one ``jit``
 ``(..., time, feats)`` tensors unless noted.
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec
+from jax.sharding import Mesh
 
 from ..compute import STFTFrameComputer
 from ..ops import framing as _framing
@@ -95,7 +95,6 @@ class ShardedExtractor:
             fn = jax.jit(run)
         else:
             dp = named_sharding(self._mesh, self._data_axis)
-            rep = named_sharding(self._mesh)
             fn = jax.jit(
                 run,
                 in_shardings=(
@@ -107,7 +106,6 @@ class ShardedExtractor:
                     dp,
                 ),
             )
-            del rep
         self._fns[key] = fn
         return fn
 

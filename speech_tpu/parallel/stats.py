@@ -7,7 +7,6 @@ single ``psum`` over the data axis produces the global ``(2, F+1)`` table —
 the result is bitwise what the serial loop computes up to summation order.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
