@@ -121,3 +121,39 @@ def test_soundfile_formats(suffix):
     spec = np.abs(np.fft.rfft(data.astype(np.float64)))
     freq = np.fft.rfftfreq(len(data), 1 / 16000)
     assert abs(freq[np.argmax(spec)] - 1000) < 50
+
+
+@pytest.mark.parametrize(
+    "env_var,suffix", [("WSJ_DIR", ".wv1"), ("TIMIT_DIR", ".sph")], ids=["wsj", "timit"]
+)
+def test_real_corpus_sphere_sweep(env_var, suffix):
+    """Optional: decode every SPHERE file in a real corpus and compare
+    bit-exactly against sph2pipe output (reference pattern:
+    tests/test_util.py:139-170).  Gated on WSJ_DIR/TIMIT_DIR + SPH2PIPE."""
+    import subprocess
+    import tempfile
+
+    corpus_dir = os.environ.get(env_var)
+    sph2pipe = os.environ.get("SPH2PIPE")
+    if not corpus_dir:
+        pytest.skip(f"{env_var} not set")
+    if not sph2pipe:
+        pytest.skip("SPH2PIPE not set")
+    count = 0
+    for root, _, files in os.walk(corpus_dir):
+        for f in sorted(files):
+            if not f.endswith(suffix):
+                continue
+            path = os.path.join(root, f)
+            got = read_signal(path, force_as="sph")
+            with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+                subprocess.run(
+                    [sph2pipe, "-f", "wav", path, tmp.name], check=True
+                )
+                want = read_signal(tmp.name, force_as="wav")
+            assert np.array_equal(got, want), path
+            count += 1
+            if count >= 50:  # bounded sweep
+                return
+    if not count:
+        pytest.skip("no SPHERE files found")
