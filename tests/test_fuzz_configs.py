@@ -1,0 +1,89 @@
+"""Randomized config-space sweep: streaming == batch and reference parity
+must hold for arbitrary legal configurations (seeded, deterministic)."""
+
+import numpy as np
+import pytest
+
+from speech_tpu.compute import (
+    SIFrameComputer,
+    STFTFrameComputer,
+    frame_by_frame_calculation,
+)
+
+RNG = np.random.RandomState(12345)
+
+
+def _random_bank(rng):
+    name = rng.choice(["fbank", "tri", "gabor", "gammatone"])
+    cfg = {
+        "name": str(name),
+        "num_filts": int(rng.randint(2, 12)),
+        "sampling_rate": int(rng.choice([8000, 16000])),
+    }
+    if name != "fbank":
+        scaling = str(rng.choice(["mel", "bark", "linear"]))
+        if scaling == "linear":
+            # linear scaling requires an explicit reference point
+            cfg["scaling_function"] = {"name": "linear", "low_hz": 0.0}
+        else:
+            cfg["scaling_function"] = scaling
+    return cfg
+
+
+CASES = []
+for i in range(8):
+    rng = np.random.RandomState(1000 + i)
+    bank = _random_bank(rng)
+    kind = rng.choice(["stft", "si"])
+    kw = dict(
+        frame_style=str(rng.choice(["causal", "centered"])),
+        use_power=bool(rng.randint(2)),
+        use_log=bool(rng.randint(2)),
+        include_energy=bool(rng.randint(2)),
+        frame_shift_ms=float(rng.choice([8, 10, 16])),
+    )
+    if kind == "stft":
+        kw["frame_length_ms"] = float(rng.choice([20, 25, 32]))
+        kw["pad_to_nearest_power_of_two"] = bool(rng.randint(2))
+        kw["kaldi_shift"] = bool(rng.randint(2))
+    CASES.append((str(kind), bank, kw))
+
+
+@pytest.mark.parametrize("kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))])
+def test_random_config_streaming_matches_batch(kind, bank, kw):
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(dict(bank), dtype="float64", **kw)
+    rng = np.random.RandomState(77)
+    signal = rng.randn(int(rng.randint(2000, 6000)))
+    want = computer.compute_full(signal)
+    got = frame_by_frame_calculation(computer, signal, chunk_size=777)
+    assert got.shape == want.shape
+    # causal STFT finalize may diverge at the very last frames when the
+    # tail is shorter than the reflection depth (reference-faithful quirk)
+    if kind == "stft" and kw["frame_style"] == "causal":
+        want = want[: got.shape[0] - 2]
+        got = got[: want.shape[0]]
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))])
+def test_random_config_matches_reference(reference_speech, kind, bank, kw):
+    from pydrobert.speech import compute as ref_compute
+
+    ref_cls = (
+        ref_compute.ShortTimeFourierTransformFrameComputer
+        if kind == "stft"
+        else ref_compute.ShortIntegrationFrameComputer
+    )
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    ref_kw = dict(kw)
+    if kind == "si":
+        ref_kw.pop("frame_length_ms", None)
+    ours = cls(dict(bank), dtype="float64", **kw)
+    ref = ref_cls(dict(bank), **ref_kw)
+    rng = np.random.RandomState(78)
+    signal = rng.randn(3000)
+    want = ref.compute_full(signal)
+    got = ours.compute_full(signal)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
