@@ -380,6 +380,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             include_energy=self._include_energy,
             log_floor=config.LOG_FLOOR_VALUE,
             interpret=jax.default_backend() != "tpu",
+            precision=self._precision,
         )
 
     def _full_fn(self, bucket_len: int, max_frames: int):

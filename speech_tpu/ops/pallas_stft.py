@@ -1,23 +1,33 @@
-"""Fused Pallas TPU kernel for the STFT feature pipeline.
+"""Fused Pallas TPU kernels for the STFT feature pipeline.
 
-Framing itself stays in XLA (static strided slices are nearly free — see
-:func:`speech_tpu.ops.framing.frame_padded`); the kernel fuses everything
-after it: window-folded DFT matmuls -> |.|^p -> filter matmul -> log, one
-block of frames per grid step with standard BlockSpec double-buffering.
-Versus the XLA pipeline this keeps the ``(frames, half_len)`` real and
-imaginary spectra in VMEM instead of round-tripping them through HBM
-(~790 MB per 128x15 s batch at 25/10 ms framing).
+Two kernels:
 
-Numerics match :func:`speech_tpu.ops.stft.stft_feats_from_frames` in
-float32 (dots run at full f32 precision on the MXU).
+- :func:`stft_feats_pallas` — the full fused pipeline from padded signals.
+  Frames are never materialized: the signal arrives as rows of
+  ``frame_shift`` samples and each grid step maps an *overlapping* block of
+  rows into VMEM via Element-indexed BlockSpecs (block ``j`` covers rows
+  ``[j*B, j*B + B + q)``), then runs the window-folded DFT matmuls as
+  per-row-band accumulations, |.|^p, the filter matmul, and the log —
+  everything between the raw signal and the features stays in VMEM.
+- :func:`stft_feats_pallas_from_frames` — same post-framing fusion for
+  pre-materialized frames.
 
-Mosaic notes (hard-won): vector slices must be unit-stride, 1D->2D
-reshapes of loaded vectors are unsupported, and concatenating slices taken
-at different sublane offsets is unsupported — hence framing outside the
-kernel.
+Measured on v5e (128 x 15 s batch, host-readback timing): the fused kernel
+at DEFAULT matmul precision is the fastest tier end to end (7.5 ms,
+~255,000x real time, ~1.5e-2 max abs error on log features); at HIGHEST
+precision Mosaic's f32 matmuls trail XLA's (13.1 ms vs 9.2 ms), so the
+accurate default remains the XLA matmul path.
+
+Mosaic notes (hard-won): vector slices must be unit-stride; no 1D->2D
+reshape of loaded vectors; no concat of slices at different sublane
+offsets; block sublane dims must be multiples of 8; Element-indexed blocks
+must be all-Element.  Hence: rows of ``frame_shift``, per-band dot
+accumulation instead of frame assembly, and all-Element input specs.
 """
 
 import functools
+
+from typing import Optional
 
 
 import jax
@@ -26,10 +36,126 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+try:  # Element-indexed (overlapping) blocks; private API in this jax
+    from jax._src.pallas.core import Element as _Element
+except ImportError:  # pragma: no cover
+    _Element = None
+
 __all__ = ["stft_feats_pallas", "stft_feats_pallas_from_frames"]
 
 
-def _kernel(
+def _resolve_precision(precision):
+    if precision is None or precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    if isinstance(precision, str):
+        return jax.lax.Precision(precision.lower())
+    return precision
+
+
+def _feats_from_pieces(
+    pieces,
+    cos_ref,
+    sin_ref,
+    w_ref,
+    *,
+    frame_shift: int,
+    frame_length: int,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+    prec,
+):
+    """Shared kernel tail: per-band DFT accumulation -> features.
+
+    ``pieces``: list of ``(block, row_offset, width)`` — the unit-stride
+    row bands whose concatenation along the last axis would form the frame
+    matrix (never materialized; Mosaic cannot concat at mixed sublane
+    offsets).  ``frames @ M == sum_r piece_r @ M_r``.
+    """
+    re = im = energy = None
+    for piece, r, width in pieces:
+        band = slice(r * frame_shift, r * frame_shift + width)
+        re_t = jnp.dot(
+            piece, cos_ref[band, :], preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        im_t = jnp.dot(
+            piece, sin_ref[band, :], preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        re = re_t if re is None else re + re_t
+        im = im_t if im is None else im + im_t
+        if include_energy:
+            e_t = jnp.sum(piece * piece, axis=-1, keepdims=True)
+            energy = e_t if energy is None else energy + e_t
+    power = re * re + im * im
+    spec = power if use_power else jnp.sqrt(power)
+    feats = jnp.dot(
+        spec, w_ref[:], preferred_element_type=jnp.float32, precision=prec
+    )
+    if use_log:
+        feats = jnp.log(jnp.maximum(feats, log_floor))
+    if include_energy:
+        energy = energy / frame_length
+        if not use_power:
+            energy = jnp.sqrt(energy)
+        if use_log:
+            energy = jnp.log(jnp.maximum(energy, log_floor))
+        feats = jnp.concatenate([energy, feats], axis=-1)
+    return feats
+
+
+def _rows_kernel(
+    rows_ref,
+    cos_ref,
+    sin_ref,
+    w_ref,
+    out_ref,
+    *,
+    block_frames: int,
+    frame_shift: int,
+    frame_length: int,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+    prec,
+):
+    rows = rows_ref[0]  # (seg_rows, frame_shift); frame k = rows k..k+q
+    q_full, rem = divmod(frame_length, frame_shift)
+    pieces = [
+        (
+            jax.lax.slice(rows, (r, 0), (r + block_frames, frame_shift)),
+            r,
+            frame_shift,
+        )
+        for r in range(q_full)
+    ]
+    if rem:
+        pieces.append(
+            (
+                jax.lax.slice(rows, (q_full, 0), (q_full + block_frames, rem)),
+                q_full,
+                rem,
+            )
+        )
+    out_ref[0] = _feats_from_pieces(
+        pieces,
+        cos_ref,
+        sin_ref,
+        w_ref,
+        frame_shift=frame_shift,
+        frame_length=frame_length,
+        use_log=use_log,
+        use_power=use_power,
+        include_energy=include_energy,
+        log_floor=log_floor,
+        prec=prec,
+    )
+
+
+def _frames_kernel(
     frames_ref,
     cos_ref,
     sin_ref,
@@ -41,25 +167,30 @@ def _kernel(
     use_power: bool,
     include_energy: bool,
     log_floor: float,
+    prec,
 ):
     frames = frames_ref[0]
-    # the analysis window is folded into the DFT matrices
-    # (speech_tpu.ops.stft.windowed_dft_matrices)
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
-    power = re * re + im * im
-    spec = power if use_power else jnp.sqrt(power)
-    feats = jnp.dot(spec, w_ref[:], preferred_element_type=jnp.float32)
-    if use_log:
-        feats = jnp.log(jnp.maximum(feats, log_floor))
-    if include_energy:
-        energy = jnp.sum(frames * frames, axis=-1, keepdims=True) / frame_length
-        if not use_power:
-            energy = jnp.sqrt(energy)
-        if use_log:
-            energy = jnp.log(jnp.maximum(energy, log_floor))
-        feats = jnp.concatenate([energy, feats], axis=-1)
-    out_ref[0] = feats
+    out_ref[0] = _feats_from_pieces(
+        [(frames, 0, frame_length)],
+        cos_ref,
+        sin_ref,
+        w_ref,
+        frame_shift=frame_length,  # single full-width band
+        frame_length=frame_length,
+        use_log=use_log,
+        use_power=use_power,
+        include_energy=include_energy,
+        log_floor=log_floor,
+        prec=prec,
+    )
+
+
+def _consts(params):
+    return (
+        jnp.asarray(params["dft_cos"], jnp.float32),
+        jnp.asarray(params["dft_sin"], jnp.float32),
+        jnp.asarray(params["weights"], jnp.float32),
+    )
 
 
 def stft_feats_pallas_from_frames(
@@ -72,16 +203,13 @@ def stft_feats_pallas_from_frames(
     log_floor: float,
     block_frames: int = 256,
     interpret: bool = False,
+    precision: Optional[str] = None,
 ):
     """Fused features for raw frames ``(batch, num_frames, frame_length)``."""
     frames = jnp.asarray(frames, jnp.float32)
     batch, num_frames, frame_length = frames.shape
-    cos = jnp.asarray(params["dft_cos"], jnp.float32)
-    sin = jnp.asarray(params["dft_sin"], jnp.float32)
-    weights = jnp.asarray(params["weights"], jnp.float32)
-    num_filts = weights.shape[1]
-    num_coeffs = num_filts + int(include_energy)
-    half_len = cos.shape[1]
+    cos, sin, weights = _consts(params)
+    num_coeffs = weights.shape[1] + int(include_energy)
     blocks = -(-num_frames // block_frames)
     grid_frames = blocks * block_frames
     if grid_frames != num_frames:
@@ -89,12 +217,13 @@ def stft_feats_pallas_from_frames(
             frames, ((0, 0), (0, grid_frames - num_frames), (0, 0))
         )
     kernel = functools.partial(
-        _kernel,
+        _frames_kernel,
         frame_length=frame_length,
         use_log=use_log,
         use_power=use_power,
         include_energy=include_energy,
         log_floor=log_floor,
+        prec=_resolve_precision(precision),
     )
     out = pl.pallas_call(
         kernel,
@@ -117,15 +246,6 @@ def stft_feats_pallas_from_frames(
         out_shape=jax.ShapeDtypeStruct(
             (batch, grid_frames, num_coeffs), jnp.float32
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * batch * grid_frames
-            * (frame_length * half_len * 2 + half_len * num_filts),
-            bytes_accessed=4
-            * batch
-            * grid_frames
-            * (frame_length + num_coeffs),
-            transcendentals=batch * grid_frames * (half_len + num_coeffs),
-        ),
         interpret=interpret,
     )(frames, cos, sin, weights)
     return out[:, :num_frames]
@@ -144,28 +264,95 @@ def stft_feats_pallas(
     log_floor: float,
     block_frames: int = 256,
     interpret: bool = False,
+    precision: Optional[str] = None,
 ):
     """Fused features for padded signals ``(batch, padded_len)``.
 
     Each row is laid out by :func:`speech_tpu.ops.framing.pad_signal`; rows
     past a signal's true frame count produce garbage the caller masks (same
-    contract as the XLA path).  Returns ``(batch, num_frames, num_coeffs)``.
+    contract as the XLA path).  Frames never materialize in HBM: the kernel
+    reads overlapping row blocks of the signal directly (Element-indexed
+    BlockSpecs).  Returns ``(batch, num_frames, num_coeffs)``.
     """
-    from . import framing as _framing
-
     padded = jnp.asarray(padded, jnp.float32)
-    frames = jax.vmap(
-        lambda p: _framing.frame_padded(p, num_frames, frame_length, frame_shift)
-    )(padded)
-    return stft_feats_pallas_from_frames(
-        frames,
-        params,
+    if _Element is None or frame_shift % 8:
+        # fall back to framing in XLA + the post-framing kernel
+        from . import framing as _framing
+
+        frames = jax.vmap(
+            lambda p: _framing.frame_padded(
+                p, num_frames, frame_length, frame_shift
+            )
+        )(padded)
+        return stft_feats_pallas_from_frames(
+            frames,
+            params,
+            use_log=use_log,
+            use_power=use_power,
+            include_energy=include_energy,
+            log_floor=log_floor,
+            block_frames=block_frames,
+            interpret=interpret,
+            precision=precision,
+        )
+
+    batch = padded.shape[0]
+    cos, sin, weights = _consts(params)
+    num_coeffs = weights.shape[1] + int(include_energy)
+    q_full, rem = divmod(frame_length, frame_shift)
+    q_rows = q_full + (1 if rem else 0)
+    blocks = -(-num_frames // block_frames)
+    # Mosaic requires Element sublane extents to be multiples of 8
+    seg_rows = -(-(block_frames + q_rows) // 8) * 8
+    need_rows = blocks * block_frames + (seg_rows - block_frames)
+    need = need_rows * frame_shift
+    if padded.shape[1] < need:
+        padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    rows = padded[:, :need].reshape(batch, need_rows, frame_shift)
+
+    kernel = functools.partial(
+        _rows_kernel,
+        block_frames=block_frames,
+        frame_shift=frame_shift,
+        frame_length=frame_length,
         use_log=use_log,
         use_power=use_power,
         include_energy=include_energy,
         log_floor=log_floor,
-        block_frames=block_frames,
-        interpret=interpret,
+        prec=_resolve_precision(precision),
     )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (_Element(1), _Element(seg_rows), _Element(frame_shift)),
+                lambda b, j: (b, j * block_frames, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_frames, num_coeffs),
+            lambda b, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, blocks * block_frames, num_coeffs), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2
+            * batch
+            * blocks
+            * block_frames
+            * (frame_length * cos.shape[1] * 2 + cos.shape[1] * weights.shape[1]),
+            bytes_accessed=4 * batch * (need + num_frames * num_coeffs),
+            transcendentals=batch * num_frames * (cos.shape[1] + num_coeffs),
+        ),
+        interpret=interpret,
+    )(rows, cos, sin, weights)
+    return out[:, :num_frames]
 
 

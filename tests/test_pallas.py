@@ -76,3 +76,47 @@ def test_pallas_mode_computer_matches_matmul_mode():
         assert np.allclose(
             np.asarray(fp)[i, :n], np.asarray(fw)[i, :n], atol=1e-4
         )
+
+
+def test_pallas_rows_kernel_matches_xla():
+    """The Element-block (no frames materialization) path in interpret
+    mode vs the XLA pipeline."""
+    from speech_tpu.ops.pallas_stft import _Element, stft_feats_pallas
+
+    if _Element is None:
+        pytest.skip("Element block dims unavailable")
+    c = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+    )
+    params = c.params
+    spec = c._static_spec
+    FL, FS, PL = c._frame_length, c._frame_shift, c._pad_left
+    rng = np.random.RandomState(72)
+    B, L = 2, 8000
+    sigs = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    lens = jnp.asarray([L, L - 500], dtype=jnp.int32)
+    MF = F.frame_count_np(L, FL, FS)
+    padded = jax.vmap(lambda s, l: F.pad_signal(s, l, FL, FS, PL))(sigs, lens)
+    frames = jax.vmap(lambda p: F.frame_padded(p, MF, FL, FS))(padded)
+    want = np.asarray(S.stft_feats_from_frames(frames, params, **spec))
+    got = np.asarray(
+        stft_feats_pallas(
+            padded,
+            params,
+            num_frames=MF,
+            frame_length=FL,
+            frame_shift=FS,
+            use_log=True,
+            use_power=False,
+            include_energy=True,
+            log_floor=1e-5,
+            block_frames=16,
+            interpret=True,
+        )
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
