@@ -16,7 +16,12 @@ from ..compute import (  # noqa: F401
     frame_by_frame_calculation,
 )
 from ..nn import STFTFrontend  # noqa: F401
-from ..streaming import StreamingSTFT, StreamState  # noqa: F401
+from ..streaming import (  # noqa: F401
+    SIStreamState,
+    StreamingSI,
+    StreamingSTFT,
+    StreamState,
+)
 
 __all__ = [
     "FrameComputer",
@@ -26,6 +31,8 @@ __all__ = [
     "SIFrameComputer",
     "STFTFrameComputer",
     "STFTFrontend",
+    "StreamingSI",
+    "SIStreamState",
     "StreamingSTFT",
     "StreamState",
     "frame_by_frame_calculation",

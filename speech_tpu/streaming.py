@@ -25,11 +25,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .compute import STFTFrameComputer
+from . import config as _config
+from .compute import SIFrameComputer, STFTFrameComputer
 from .ops import stft as _stft
 from .ops.framing import reflect_index
 
-__all__ = ["StreamState", "StreamingSTFT"]
+__all__ = ["StreamState", "StreamingSTFT", "SIStreamState", "StreamingSI"]
 
 
 class StreamState(NamedTuple):
@@ -215,6 +216,190 @@ class StreamingSTFT:
             raise ValueError(
                 "transform requires len(signal) divisible by chunk_size"
             )
+        feats, nf = self.finalize(state)
+        outs.append(np.asarray(feats)[: int(nf)])
+        return np.concatenate(outs)
+
+
+class SIStreamState(NamedTuple):
+    """Carry between chunks for the SI stream."""
+
+    carry: jnp.ndarray  # (carry_len,) most recent raw samples (tail-valid)
+    unconsumed: jnp.ndarray  # int32, counted-but-unframed samples (can be <0
+    # early in causal/skip mode: counted = seen - shift_eff)
+    seen: jnp.ndarray  # int32, total raw samples seen
+
+
+class StreamingSI:
+    """Explicit-carry jittable streaming for the SI computer.
+
+    Same contract as :class:`StreamingSTFT`: static chunk size, pytree
+    state, ``process``/``finalize`` under jit, exact parity with the host
+    ``compute_chunk``/``finalize`` path.  The carry holds the last
+    ``max_support - 1 + 2*frame_shift`` raw samples — enough history for
+    every convolution tap of any not-yet-emitted frame.
+    """
+
+    def __init__(self, computer: SIFrameComputer, chunk_size: int):
+        if not isinstance(computer, SIFrameComputer):
+            raise ValueError("StreamingSI requires an SI computer")
+        self.computer = computer
+        self.chunk_size = int(chunk_size)
+        k = computer._kernel
+        self.T = k["max_support"]
+        self.shift = computer.frame_shift
+        self.shift_eff = k["shift_eff"]
+        self.translation = k["translation"]
+        self.is_real = k["is_real"]
+        self.carry_len = self.T - 1 + 2 * self.shift
+        # per-chunk frames bound: unconsumed < 2*shift before the chunk
+        self.max_frames = (2 * self.shift + self.chunk_size) // self.shift
+        # finalize pads at most ~2*shift + shift_eff zeros
+        self.fin_pad = 2 * self.shift + max(0, self.shift_eff) + self.shift
+        self.fin_max = (2 * self.shift + self.fin_pad) // self.shift + 1
+        self._dtype = computer._dtype
+        computer.params  # materialize outside any trace
+        self._process = jax.jit(self._process_impl)
+        self._finalize = jax.jit(self._finalize_impl)
+
+    def init_state(self) -> SIStreamState:
+        return SIStreamState(
+            carry=jnp.zeros((self.carry_len,), self._dtype),
+            unconsumed=jnp.asarray(-self.shift_eff, jnp.int32),
+            seen=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _emit(self, stream, u_end, nf, max_frames: int):
+        """Features for up to ``max_frames`` frames ending ``u_end`` counted
+        samples before the buffer end (only the first ``nf`` rows valid)."""
+        c = self.computer
+        params = c.params
+        s, T = self.shift, self.T
+        buf_len = stream.shape[0]
+        ny = (max_frames + 1) * s
+        # cover both the linear convolution and the extraction window
+        fft_size = 1 << max(0, int(max(buf_len + T - 1, ny))).bit_length()
+        X = jnp.fft.rfft(stream, n=fft_size)
+        # local y[0] sits at stream position buf_len - u_end... - ny offset:
+        # frame j reads y at counted positions [j*s, j*s + 2s); counted
+        # position q maps to the conv output at stream index
+        # (buf_len - u_end) + q  (u_end counts positions from y[0] to end)
+        y0 = buf_len - u_end  # traced
+
+        def conv_vals(f):
+            H = jnp.fft.rfft(f, n=fft_size, axis=-1)
+            conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
+            # extract ny values starting at y0 (clamped; OOB masked below)
+            start = jnp.clip(y0, 0, fft_size - ny).astype(jnp.int32)
+            vals = jax.lax.dynamic_slice(
+                conv, (jnp.zeros((), jnp.int32), start), (f.shape[0], ny)
+            )
+            # positions beyond the linear-conv validity are zero already
+            # (zero-padded fft buffer); positions before stream start only
+            # occur when y0 < 0, which cannot happen (carry covers T-1+2s)
+            return vals
+
+        if self.is_real:
+            y = conv_vals(params["firs_re"])
+            y_mod = y * y if c._power else jnp.abs(y)
+        else:
+            yr = conv_vals(params["firs_re"])
+            yi = conv_vals(params["firs_im"])
+            y_mod = yr * yr + yi * yi
+            if not c._power:
+                y_mod = jnp.sqrt(y_mod)
+        if c._include_energy:
+            # energy Dirac: x at stream position y0 - translation + q
+            # (can reach slightly before/after the buffer; pad covers it)
+            e0 = y0 - self.translation
+            xe = jax.lax.dynamic_slice(
+                jnp.pad(stream, (ny, ny)),
+                ((e0 + ny).astype(jnp.int32),),
+                (ny,),
+            )
+            e_mod = xe * xe if c._power else jnp.abs(xe)
+            y_mod = jnp.concatenate([e_mod[None, :], y_mod])
+        idx = (
+            jnp.arange(max_frames)[:, None] * s + jnp.arange(2 * s)[None, :]
+        )
+        framed = jnp.take(y_mod, idx, axis=-1)
+        feats = jnp.einsum(
+            "fkt,t->kf",
+            framed,
+            params["window"],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if c._log:
+            feats = jnp.log(jnp.maximum(feats, _config.LOG_FLOOR_VALUE))
+        return feats
+
+    def _process_impl(self, state: SIStreamState, chunk):
+        chunk = jnp.asarray(chunk, self._dtype)
+        C = chunk.shape[0]
+        s = self.shift
+        stream = jnp.concatenate([state.carry, chunk])
+        u = state.unconsumed + C
+        nf = jnp.maximum(0, u // s - 1)
+        nf = jnp.minimum(nf, self.max_frames)
+        feats = self._emit(stream, u, nf, self.max_frames)
+        return (
+            SIStreamState(
+                carry=stream[-self.carry_len :],
+                unconsumed=(u - nf * s).astype(jnp.int32),
+                seen=state.seen + C,
+            ),
+            feats,
+            nf,
+        )
+
+    def _finalize_impl(self, state: SIStreamState):
+        s, T = self.shift, self.T
+        seen = state.seen
+        target = (seen + s // 2) // s
+        after_pad = (target * s + T - 1 - self.shift_eff) // s - 1
+        # frames already emitted: (seen - shift_eff - unconsumed) / s
+        done = (seen - self.shift_eff - state.unconsumed) // s
+        total = jnp.maximum(done, jnp.minimum(target, after_pad))
+        remaining = jnp.minimum(total - done, self.fin_max)
+        stream = jnp.concatenate(
+            [state.carry, jnp.zeros((self.fin_pad,), self._dtype)]
+        )
+        u = state.unconsumed + self.fin_pad
+        feats = self._emit(stream, u, remaining, self.fin_max)
+        return feats, remaining
+
+    # public entry points --------------------------------------------------
+
+    def process(self, state: SIStreamState, chunk):
+        """Consume one ``(chunk_size,)`` chunk; returns
+        ``(state, feats, n_valid)``."""
+        if chunk.shape[-1] != self.chunk_size:
+            raise ValueError(
+                f"chunk must have static size {self.chunk_size}; "
+                f"got {chunk.shape[-1]}"
+            )
+        return self._process(state, chunk)
+
+    def finalize(self, state: SIStreamState):
+        """Flush; returns ``(feats, n_valid)``."""
+        return self._finalize(state)
+
+    def transform(self, signal: np.ndarray) -> np.ndarray:
+        """Stream a whole signal in fixed-size chunks (testing helper)."""
+        Csz = self.chunk_size
+        if len(signal) % Csz:
+            raise ValueError(
+                "transform requires len(signal) divisible by chunk_size"
+            )
+        state = self.init_state()
+        outs = []
+        for i in range(len(signal) // Csz):
+            state, feats, nf = self.process(
+                state, jnp.asarray(signal[i * Csz : (i + 1) * Csz])
+            )
+            outs.append(np.asarray(feats)[: int(nf)])
         feats, nf = self.finalize(state)
         outs.append(np.asarray(feats)[: int(nf)])
         return np.concatenate(outs)

@@ -141,3 +141,59 @@ def test_streaming_finalize_empty_stream():
     stream = StreamingSTFT(computer, 800)
     feats, nf = stream.finalize(stream.init_state())
     assert int(nf) == 0
+
+
+from speech_tpu.compute import SIFrameComputer  # noqa: E402
+from speech_tpu.streaming import StreamingSI  # noqa: E402
+
+
+def _si_computer(**kw):
+    kw.setdefault("dtype", "float64")
+    return SIFrameComputer(dict(BANK), **kw)
+
+
+@pytest.mark.parametrize("style", ["centered", "causal"])
+@pytest.mark.parametrize("energy", [False, True], ids=["", "energy"])
+def test_si_streaming_matches_host(style, energy):
+    computer = _si_computer(frame_style=style, include_energy=energy)
+    host = _si_computer(frame_style=style, include_energy=energy)
+    cs = 1024
+    stream = StreamingSI(computer, cs)
+    rng = np.random.RandomState(85)
+    signal = rng.randn(cs * 6)
+    outs = []
+    for i in range(6):
+        outs.append(host.compute_chunk(signal[i * cs : (i + 1) * cs]))
+    outs.append(host.finalize())
+    want = np.concatenate(outs)
+    got = stream.transform(signal)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_streaming_matches_compute_full():
+    computer = _si_computer()
+    stream = StreamingSI(computer, 800)
+    rng = np.random.RandomState(86)
+    signal = rng.randn(800 * 8)
+    want = computer.compute_full(signal)
+    got = stream.transform(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_streaming_complex_bank():
+    bank = {
+        "name": "gammatone",
+        "scaling_function": "mel",
+        "num_filts": 5,
+        "sampling_rate": 8000,
+    }
+    computer = SIFrameComputer(dict(bank), dtype="float64")
+    stream = StreamingSI(computer, 1600)
+    rng = np.random.RandomState(87)
+    signal = rng.randn(1600 * 4)
+    want = computer.compute_full(signal)
+    got = stream.transform(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
