@@ -197,3 +197,25 @@ def test_si_streaming_complex_bank():
     got = stream.transform(signal)
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_streaming_vmapped():
+    computer = _si_computer()
+    stream = StreamingSI(computer, 800)
+    rng = np.random.RandomState(88)
+    signals = rng.randn(3, 2400)
+    states = jax.vmap(lambda _: stream.init_state())(jnp.arange(3))
+    outs = [[] for _ in range(3)]
+    for j in range(3):
+        states, feats, nfs = jax.vmap(stream._process)(
+            states, jnp.asarray(signals[:, j * 800 : (j + 1) * 800])
+        )
+        for i in range(3):
+            outs[i].append(np.asarray(feats[i])[: int(nfs[i])])
+    feats, nfs = jax.vmap(stream._finalize)(states)
+    for i in range(3):
+        outs[i].append(np.asarray(feats[i])[: int(nfs[i])])
+        got = np.concatenate(outs[i])
+        want = computer.compute_full(signals[i])
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
