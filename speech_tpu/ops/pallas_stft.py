@@ -201,7 +201,7 @@ def stft_feats_pallas_from_frames(
     use_power: bool,
     include_energy: bool,
     log_floor: float,
-    block_frames: int = 256,
+    block_frames: int = 512,
     interpret: bool = False,
     precision: Optional[str] = None,
 ):
@@ -262,7 +262,7 @@ def stft_feats_pallas(
     use_power: bool,
     include_energy: bool,
     log_floor: float,
-    block_frames: int = 256,
+    block_frames: int = 512,
     interpret: bool = False,
     precision: Optional[str] = None,
 ):
