@@ -31,7 +31,7 @@ def _random_bank(rng):
 
 
 CASES = []
-for i in range(8):
+for i in range(16):
     rng = np.random.RandomState(1000 + i)
     bank = _random_bank(rng)
     kind = rng.choice(["stft", "si"])
