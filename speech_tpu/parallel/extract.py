@@ -56,9 +56,7 @@ class ShardedExtractor:
     @property
     def batch_multiple(self) -> int:
         """Batch sizes must be a multiple of this (the data-axis size)."""
-        if self._mesh is None or not isinstance(
-            self._computer, STFTFrameComputer
-        ):
+        if self._mesh is None:
             return 1
         return self._mesh.shape[self._data_axis]
 
@@ -68,28 +66,56 @@ class ShardedExtractor:
         if fn is not None:
             return fn
         c = self._computer
-        params = c.params
-        spec = c._static_spec
-        frame_length, frame_shift, pad_left = (
-            c._frame_length,
-            c._frame_shift,
-            c._pad_left,
-        )
-        max_frames = _framing.frame_count_np(max_len, frame_length, frame_shift)
-
-        def one(signal, length):
-            padded = _framing.pad_signal(
-                signal, length, frame_length, frame_shift, pad_left
+        if isinstance(c, STFTFrameComputer):
+            params = c.params
+            spec = c._static_spec
+            frame_length, frame_shift, pad_left = (
+                c._frame_length,
+                c._frame_shift,
+                c._pad_left,
             )
-            frames = _framing.frame_padded(
-                padded, max_frames, frame_length, frame_shift
+            max_frames = _framing.frame_count_np(
+                max_len, frame_length, frame_shift
             )
-            return _stft.stft_feats_from_frames(frames, params, **spec)
 
-        def run(signals, lengths):
-            feats = jax.vmap(one)(signals, lengths)
-            counts = _framing.frame_count(lengths, frame_length, frame_shift)
-            return feats, counts
+            def one(signal, length):
+                padded = _framing.pad_signal(
+                    signal, length, frame_length, frame_shift, pad_left
+                )
+                frames = _framing.frame_padded(
+                    padded, max_frames, frame_length, frame_shift
+                )
+                return _stft.stft_feats_from_frames(frames, params, **spec)
+
+            def run(signals, lengths):
+                feats = jax.vmap(one)(signals, lengths)
+                counts = _framing.frame_count(
+                    lengths, frame_length, frame_shift
+                )
+                return feats, counts
+
+        else:  # SI computer: its own fused conv pipeline, same sharding
+            from ..ops import si as _si
+
+            params = c.params
+            shift = c._frame_shift
+            T = c._kernel["max_support"]
+            shift_eff = c._shift_eff
+            max_frames = (max_len + shift // 2) // shift
+            fft_size = _next_pow2(max_len + T)
+            spec = c._spec(fft_size)
+
+            def run(signals, lengths):
+                feats = jax.vmap(
+                    lambda s, l: _si.si_feats_from_signal(
+                        s, l, max_frames, params, **spec
+                    )
+                )(signals, lengths)
+                # traced twin of SIFrameComputer.frame_counts_np
+                target = (lengths + shift // 2) // shift
+                after_pad = (target * shift + T - 1 - shift_eff) // shift - 1
+                counts = jnp.maximum(0, jnp.minimum(target, after_pad))
+                return feats, counts
 
         if self._mesh is None:
             fn = jax.jit(run)
@@ -117,12 +143,12 @@ class ShardedExtractor:
         ``(batch, max_frames, num_coeffs)``; rows past a signal's count are
         garbage to be masked.
         """
-        if not isinstance(self._computer, STFTFrameComputer) or (
-            self._mesh is None and self._computer._use_pallas()
+        if self._mesh is None and (
+            not isinstance(self._computer, STFTFrameComputer)
+            or self._computer._use_pallas()
         ):
-            # non-STFT computers provide their own batched path (e.g. the
-            # SI computer's FFT-convolution pipeline), as does the fused
-            # Pallas tier; mesh sharding for those is not yet wired up
+            # unsharded: defer to the computer's own batched path (the SI
+            # pipeline / the fused Pallas tier)
             return self._computer.compute_batch(signals, lengths)
         signals = jnp.asarray(signals, dtype=self._computer._dtype)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)

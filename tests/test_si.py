@@ -228,3 +228,18 @@ def test_si_blocked_overlap_save_matches_single_fft():
     want = frame_by_frame_calculation(ref, signal, chunk_size=4096)
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_si_sharded_extractor_on_mesh():
+    from speech_tpu.parallel import ShardedExtractor, make_mesh
+
+    mesh = make_mesh(("data",))
+    computer = SIFrameComputer(dict(BANKS[0]), include_energy=True, dtype="float64")
+    ex = ShardedExtractor(computer, mesh)
+    rng = np.random.RandomState(51)
+    signals = [rng.randn(rng.randint(1500, 3000)) for _ in range(9)]
+    outs = ex.extract(signals)
+    for s, got in zip(signals, outs):
+        want = computer.compute_full(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
