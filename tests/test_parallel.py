@@ -198,3 +198,37 @@ def test_multihost_single_process(computer):
     arr = multihost.global_batch_from_host_local(local, mesh)
     assert arr.shape == (8, 1600)
     assert np.allclose(np.asarray(arr), local)
+
+
+def test_frontend_training_converges(computer):
+    """A few SGD steps on the learnable frontend reduce a feature-matching
+    loss (the 'trainable frontend' story end to end)."""
+    import optax
+
+    frontend = stpu_nn.STFTFrontend(computer, dtype=jnp.float64)
+    params, consts = frontend.init()
+    rng = np.random.RandomState(14)
+    signals = jnp.asarray(rng.randn(4, 1600))
+    # target: features of a perturbed frontend (recoverable by training)
+    target_params = {
+        "window": params["window"] * 1.05,
+        "weights": params["weights"] * 0.9,
+    }
+    targets = frontend.apply(target_params, consts, signals)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            return jnp.mean((frontend.apply(p, consts, signals) - targets) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(50):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
