@@ -77,22 +77,48 @@ class ShardedExtractor:
             max_frames = _framing.frame_count_np(
                 max_len, frame_length, frame_shift
             )
-
-            def one(signal, length):
-                padded = _framing.pad_signal(
-                    signal, length, frame_length, frame_shift, pad_left
-                )
-                frames = _framing.frame_padded(
-                    padded, max_frames, frame_length, frame_shift
-                )
-                return _stft.stft_feats_from_frames(frames, params, **spec)
+            use_pallas = c._use_pallas()
 
             def run(signals, lengths):
-                feats = jax.vmap(one)(signals, lengths)
+                def pad_one(signal, length):
+                    return _framing.pad_signal(
+                        signal, length, frame_length, frame_shift, pad_left
+                    )
+
+                if use_pallas:
+                    padded = jax.vmap(pad_one)(signals, lengths)
+                    feats = c._pallas_feats(padded, max_frames)
+                else:
+                    def one(signal, length):
+                        frames = _framing.frame_padded(
+                            pad_one(signal, length),
+                            max_frames,
+                            frame_length,
+                            frame_shift,
+                        )
+                        return _stft.stft_feats_from_frames(
+                            frames, params, **spec
+                        )
+
+                    feats = jax.vmap(one)(signals, lengths)
                 counts = _framing.frame_count(
                     lengths, frame_length, frame_shift
                 )
                 return feats, counts
+
+            if use_pallas and self._mesh is not None:
+                # pallas_call doesn't partition under pjit; run it
+                # shard-locally — the pipeline is embarrassingly parallel
+                # over the batch axis
+                from jax.sharding import PartitionSpec as P
+
+                run = jax.shard_map(
+                    run,
+                    mesh=self._mesh,
+                    in_specs=(P(self._data_axis), P(self._data_axis)),
+                    out_specs=(P(self._data_axis), P(self._data_axis)),
+                    check_vma=False,  # pallas_call outputs carry no vma
+                )
 
         else:  # SI computer: its own fused conv pipeline, same sharding
             from ..ops import si as _si

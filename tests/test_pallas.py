@@ -120,3 +120,27 @@ def test_pallas_rows_kernel_matches_xla():
     )
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_pallas_sharded_extractor_on_mesh():
+    from speech_tpu.parallel import ShardedExtractor, make_mesh
+
+    mesh = make_mesh(("data",))
+    c = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        dtype="float32",
+        fft_mode="pallas",
+    )
+    ref = STFTFrameComputer(
+        dict(BANK), frame_length_ms=25, frame_shift_ms=10, dtype="float32"
+    )
+    ex = ShardedExtractor(c, mesh)
+    rng = np.random.RandomState(73)
+    signals = [rng.randn(rng.randint(4000, 9000)).astype(np.float32) for _ in range(9)]
+    outs = ex.extract(signals)
+    for s, got in zip(signals, outs):
+        want = ref.compute_full(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
