@@ -25,3 +25,19 @@ from . import corpus, nn, parallel, profiling  # noqa: F401
 #   speech_tpu.torch    (requires torch)
 #   speech_tpu.vis      (requires matplotlib)
 #   speech_tpu.command_line
+
+
+def __getattr__(name):
+    # deprecated top-level re-exports, mirroring the reference's shim
+    # (reference: __init__.py:39-48); canonical home is speech_tpu.alias
+    if name in ("AliasedFactory", "alias_factory_subclass_from_arg"):
+        import warnings
+
+        warnings.warn(
+            f"using {name} from speech_tpu is deprecated; import it from "
+            "speech_tpu.alias",
+            category=DeprecationWarning,
+            stacklevel=2,
+        )
+        return getattr(alias, name)
+    raise AttributeError(f"module 'speech_tpu' has no attribute '{name}'")

@@ -61,3 +61,19 @@ def test_arg_coercion_mapping_name_and_alias():
 def test_arg_coercion_requires_name():
     with pytest.raises(KeyError):
         alias_factory_subclass_from_arg(Base, {"x": 2})
+
+
+def test_deprecated_top_level_reexports():
+    import warnings
+
+    import speech_tpu
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn = speech_tpu.alias_factory_subclass_from_arg
+        cls = speech_tpu.AliasedFactory
+    assert fn is speech_tpu.alias.alias_factory_subclass_from_arg
+    assert cls is speech_tpu.alias.AliasedFactory
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    with __import__("pytest").raises(AttributeError):
+        speech_tpu.no_such_attr
