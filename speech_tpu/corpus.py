@@ -104,7 +104,12 @@ class FeatureCorpus:
     seed
         Per-utterance RNG seed base for preprocessor determinism.
     sort_by_length
-        Bucket utterances by length to minimize padding waste.
+        Bucket utterances by length (within each read window) to minimize
+        padding waste.
+    window_batches
+        Host read window, in batches: utterances are loaded, length-sorted,
+        and dispatched ``window_batches * batch_size`` at a time, so host
+        memory is bounded by the window rather than the corpus size.
     """
 
     def __init__(
@@ -118,6 +123,7 @@ class FeatureCorpus:
         num_workers: int = 0,
         seed: Optional[int] = None,
         sort_by_length: bool = True,
+        window_batches: int = 16,
     ):
         from .compute import FrameComputer
         from .parallel import ShardedExtractor
@@ -141,6 +147,7 @@ class FeatureCorpus:
         self.num_workers = int(num_workers)
         self.seed = seed
         self.sort_by_length = bool(sort_by_length)
+        self.window_batches = max(1, int(window_batches))
 
     def _load(self, item) -> Tuple[str, np.ndarray]:
         from .command_line import _load_utt
@@ -152,8 +159,18 @@ class FeatureCorpus:
 
     def __iter__(self):
         """Yield ``(utt_ids, [feats_i])`` per batch; each ``feats_i`` is a
-        ``(num_frames_i, num_coeffs)`` float array."""
+        ``(num_frames_i, num_coeffs)`` float array.
+
+        Host memory stays bounded: utterances are decoded one read window
+        (``window_batches * batch_size`` utterances) at a time, sorted by
+        length within the window, and streamed through the extractor's
+        double-buffered :meth:`ShardedExtractor.extract_iter` so device
+        compute overlaps the next window's host IO.
+        """
+        from collections import deque
+
         items = list(enumerate(self.utt2path))
+        window = self.batch_size * self.window_batches
         if self.num_workers:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -161,15 +178,23 @@ class FeatureCorpus:
             mapper = pool.map
         else:
             pool, mapper = None, map
+        utt_queue = deque()
         try:
-            loaded = list(mapper(self._load, items))
-            order = range(len(loaded))
-            if self.sort_by_length:
-                order = sorted(order, key=lambda i: len(loaded[i][1]))
-            for start in range(0, len(loaded), self.batch_size):
-                chunk = [loaded[i] for i in order[start : start + self.batch_size]]
-                utts = [u for u, _ in chunk]
-                feats = self.extractor.extract([s for _, s in chunk])
+
+            def signal_batches():
+                for wstart in range(0, len(items), window):
+                    loaded = list(
+                        mapper(self._load, items[wstart : wstart + window])
+                    )
+                    if self.sort_by_length:
+                        loaded.sort(key=lambda uf: len(uf[1]))
+                    for start in range(0, len(loaded), self.batch_size):
+                        chunk = loaded[start : start + self.batch_size]
+                        utt_queue.append([u for u, _ in chunk])
+                        yield [s for _, s in chunk]
+
+            for feats in self.extractor.extract_iter(signal_batches()):
+                utts = utt_queue.popleft()
                 if self.postprocessors:
                     feats = [
                         self._post(np.asarray(f, np.float64)) for f in feats

@@ -115,10 +115,14 @@ extern "C" long long stpu_decode_shorten(
   int64_t maxnlpc = bits.ulong_();
   int64_t nmean = bits.ulong_();
   int64_t nskip = bits.ulong_();
-  if (bits.overrun || nchan <= 0 || nchan > 16 || blocksize <= 0 ||
-      blocksize > (1 << 20) || maxnlpc < 0 || maxnlpc > 1024 || nmean < 0 ||
-      nmean > 65536 || nskip < 0)
+  if (bits.overrun || nchan <= 0 || blocksize <= 0 || maxnlpc < 0 ||
+      nmean < 0 || nskip < 0)
     return -1;
+  // Header values that look valid but exceed this decoder's working limits:
+  // signal "unsupported by native" (-6) so the caller can fall back to the
+  // pure-Python decoder instead of hard-failing on an unusual-but-valid file.
+  if (nchan > 16 || blocksize > (1 << 20) || maxnlpc > 1024 || nmean > 65536)
+    return -6;
   for (int64_t i = 0; i < nskip; ++i) bits.uvar(XBYTESIZE);
 
   const int64_t nwrap = maxnlpc > NWRAP ? maxnlpc : NWRAP;
@@ -166,6 +170,10 @@ extern "C" long long stpu_decode_shorten(
     if (cmd == FN_BITSHIFT) {
       int64_t bs = bits.uvar(BITSHIFTSIZE);
       if (bs < 0 || bs > 31 || bits.overrun) return -1;
+      // The u-law fixup indexes ulaw_outward[bitshift], a 13x256 table; a
+      // stream declaring bitshift > 12 for an AU type would read out of
+      // bounds (the Python decoder raises on the same input).
+      if ((ftype == TYPE_AU1 || ftype == TYPE_AU2) && bs > 12) return -4;
       bitshift = int(bs);
       continue;
     }

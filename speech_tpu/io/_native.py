@@ -106,6 +106,10 @@ def decode_shorten_native(payload: bytes, out_len: int, ulaw_outward):
         table.ctypes.data_as(ctypes.c_void_p),
         ctypes.byref(ftype),
     )
+    if ret == -6:
+        # header fields exceed the native decoder's working limits but may
+        # still be valid; let the caller use the pure-Python decoder
+        return None
     if ret < 0:
         messages = {
             -1: "unexpected end of shorten bitstream",

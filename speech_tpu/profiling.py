@@ -73,11 +73,23 @@ def trace(log_dir: Optional[str]):
     if not log_dir:
         yield
         return
+    # Only profiler setup/teardown is guarded; exceptions raised by the
+    # traced body itself must propagate untouched (a guarded second yield
+    # would turn them into a RuntimeError from contextlib).
+    ctx = None
     try:
         import jax
 
-        with jax.profiler.trace(log_dir):
-            yield
+        ctx = jax.profiler.trace(log_dir)
+        ctx.__enter__()
     except Exception as e:  # pragma: no cover - profiler quirks
         logger.warning("device trace unavailable: %s", e)
+        ctx = None
+    try:
         yield
+    finally:
+        if ctx is not None:
+            try:
+                ctx.__exit__(None, None, None)
+            except Exception as e:  # pragma: no cover - profiler quirks
+                logger.warning("device trace teardown failed: %s", e)

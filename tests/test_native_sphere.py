@@ -60,3 +60,57 @@ def test_native_rejects_garbage(native_lib):
         _native.decode_shorten_native(
             b"ajkg\x02" + b"\xff" * 40, 100, sphere.ULAW_OUTWARD
         )
+
+
+class _BitWriter:
+    """MSB-first bit packer matching the decoder's 32-bit word reads."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put_uvar(self, nbits, value):
+        self.bits += [0] * (value >> nbits) + [1]
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def put_ulong(self, value):
+        nbit = int(value).bit_length()
+        self.put_uvar(2, nbit)
+        self.put_uvar(nbit, value)
+
+    def payload(self, version=2):
+        bits = self.bits + [0] * (-len(self.bits) % 32)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return b"ajkg" + bytes([version]) + bytes(out)
+
+
+def _header(w, ftype, nchan=1, blocksize=4, maxnlpc=0, nmean=0, nskip=0):
+    for v in (ftype, nchan, blocksize, maxnlpc, nmean, nskip):
+        w.put_ulong(v)
+
+
+def test_native_rejects_au_bitshift_beyond_table(native_lib):
+    """bitshift > 12 for a u-law ftype must error, not index out of the
+    13x256 ULAW_OUTWARD table (heap OOB in earlier builds)."""
+    w = _BitWriter()
+    _header(w, ftype=0)  # TYPE_AU1
+    w.put_uvar(2, 6)  # FN_BITSHIFT
+    w.put_uvar(2, 13)  # bitshift beyond the table
+    with pytest.raises(IOError):
+        _native.decode_shorten_native(w.payload(), 16, sphere.ULAW_OUTWARD)
+
+
+def test_native_falls_back_on_unusual_headers(native_lib):
+    """Headers beyond the native decoder's working limits return None
+    (caller falls back to Python) instead of raising."""
+    w = _BitWriter()
+    _header(w, ftype=2, nchan=17)  # TYPE_U8, more channels than native cap
+    assert (
+        _native.decode_shorten_native(w.payload(), 16, sphere.ULAW_OUTWARD)
+        is None
+    )

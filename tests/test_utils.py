@@ -78,3 +78,16 @@ def test_stage_timer():
     assert t.totals["a"] >= 0.01
     s = t.summary()
     assert "a: " in s and "b: " in s and "/2x" in s
+
+
+def test_trace_propagates_body_exception(tmp_path):
+    """An exception raised inside the traced region must come out as-is,
+    not be swallowed into a contextlib RuntimeError."""
+    from speech_tpu.profiling import trace
+
+    with pytest.raises(ValueError, match="body boom"):
+        with trace(str(tmp_path)):
+            raise ValueError("body boom")
+    with pytest.raises(ValueError, match="body boom"):
+        with trace(None):
+            raise ValueError("body boom")
