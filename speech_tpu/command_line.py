@@ -220,6 +220,16 @@ def signals_to_torch_feat_dir(args: Optional[Sequence[str]] = None) -> int:
     except SystemExit as ex:
         return ex.code
     try:
+        return _signals_to_torch_feat_dir(options)
+    finally:
+        # argparse opened these; close them on every exit path
+        options.map.close()
+        if options.manifest is not None:
+            options.manifest.close()
+
+
+def _signals_to_torch_feat_dir(options) -> int:
+    try:
         import torch
     except ImportError:
         print(

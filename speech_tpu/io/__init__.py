@@ -44,25 +44,25 @@ def _kaldi_table_read(rfilename, dtype, key, **kwargs):
 def _wav_read(rfilename, dtype, key, **kwargs):
     try:
         from scipy.io import wavfile
-
-        _, data = wavfile.read(rfilename, **kwargs)
     except ImportError:
+        wavfile = None
+    if wavfile is not None:
+        data = wavfile.read(rfilename, **kwargs)[1]
+    else:
+        # stdlib fallback: raw little-endian PCM frames, deinterleaved
         import wave
 
-        wave_file = wave.open(rfilename, **kwargs)
-        try:
-            width = wave_file.getsampwidth()
-            data = np.frombuffer(
-                wave_file.readframes(wave_file.getnframes()),
-                dtype="<i{}".format(width),
+        with wave.open(rfilename, **kwargs) as wf:
+            raw = wf.readframes(wf.getnframes())
+            data = np.frombuffer(raw, dtype=f"<i{wf.getsampwidth()}")
+            nchan = wf.getnchannels()
+        if data.size % nchan:
+            raise IOError(
+                f"wave sample count ({data.size}) is not divisible by the "
+                f"channel count ({nchan})"
             )
-            n_channels = wave_file.getnchannels()
-            if len(data) % n_channels:
-                raise IOError("Number of channels do not evenly divide wave samples")
-            if n_channels > 1:
-                data = data.reshape((-1, n_channels), order="C")
-        finally:
-            wave_file.close()
+        if nchan > 1:
+            data = data.reshape(-1, nchan)
     if dtype:
         data = data.astype(dtype)
     return data
@@ -71,24 +71,19 @@ def _wav_read(rfilename, dtype, key, **kwargs):
 def _hdf5_read(rfilename, dtype, key, **kwargs):
     import h5py
 
-    with h5py.File(rfilename, "r", **kwargs) as h5py_file:
+    with h5py.File(rfilename, "r", **kwargs) as h5f:
         if key:
-            data = h5py_file[key]
+            node = h5f[key]
         else:
-            # depth-first search for the first dataset
-            stack = [h5py_file]
-            data = None
-            while stack:
-                cur = stack.pop()
-                if isinstance(cur, h5py.Dataset):
-                    data = cur
-                    break
-                names = sorted(cur.keys(), reverse=True)
-                stack.extend(cur[name] for name in names)
-            if data is None:
-                raise IOError("Could not find any dataset")
-        data = np.array(data, dtype=dtype) if dtype else np.array(data)
-    return data
+            # no key: take the alphanumerically-first dataset in the file
+            # (visititems recurses in that order and stops at the first
+            # non-None return)
+            node = h5f.visititems(
+                lambda _, obj: obj if isinstance(obj, h5py.Dataset) else None
+            )
+            if node is None:
+                raise IOError(f"no dataset found in {rfilename}")
+        return np.array(node, dtype=dtype) if dtype else np.array(node)
 
 
 def _npy_read(rfilename, dtype, key, **kwargs):
@@ -109,10 +104,9 @@ def _npz_read(rfilename, dtype, key, **kwargs):
 def _torch_read(rfilename, dtype, key, **kwargs):
     import torch
 
-    data = torch.load(rfilename, map_location="cpu", **kwargs).numpy()
-    if dtype:
-        data = data.astype(dtype)
-    return data
+    tensor = torch.load(rfilename, map_location="cpu", **kwargs)
+    data = tensor.detach().numpy()
+    return data.astype(dtype) if dtype else data
 
 
 def _kaldi_stream_read(rfilename, dtype, key, **kwargs):
@@ -130,28 +124,26 @@ def _fromfile_read(rfilename, dtype, key, **kwargs):
     return np.fromfile(rfilename, **kwargs)
 
 
+_SOUNDFILE_SUBTYPE_DTYPES = {
+    "FLOAT": np.float32,
+    "DOUBLE": np.float64,
+    "PCM_S8": np.int8,
+    "PCM_U8": np.uint8,
+    "PCM_32": np.int32,
+    "PCM_24": np.int32,
+}
+
+
 def _soundfile_read(rfilename, dtype, key, **kwargs):
     import soundfile
 
     with soundfile.SoundFile(rfilename, **kwargs) as sf:
-        if sf.subtype == "FLOAT":
-            dtype_ = np.float32
-        elif sf.subtype == "DOUBLE":
-            dtype_ = np.float64
-        elif sf.subtype == "PCM_S8":
-            dtype_ = np.int8
-        elif sf.subtype == "PCM_U8":
-            dtype_ = np.uint8
-        elif sf.subtype in {"PCM_32", "PCM_24"}:
-            dtype_ = np.int32
-        else:
-            dtype_ = np.int16
-        data = sf.read(dtype=dtype_)
-    if dtype is not None:
-        # two-stage cast: float dtypes straight from soundfile are rescaled
-        # to +/-1, which would not match the other decoders
-        data = data.astype(dtype)
-    return data
+        # decode at the file's native width, THEN cast: asking soundfile
+        # for a float dtype directly would rescale integer PCM to [-1, 1),
+        # losing the raw sample values every other backend returns
+        native = _SOUNDFILE_SUBTYPE_DTYPES.get(sf.subtype, np.int16)
+        data = sf.read(dtype=native)
+    return data if dtype is None else data.astype(dtype)
 
 
 def _infer_force_as(rfilename: str) -> str:

@@ -22,6 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops.xmath import xlog
+
 from . import config
 from .compute import STFTFrameComputer
 from .ops import framing as _framing
@@ -113,13 +115,13 @@ class STFTFrontend:
             spec, params["weights"], precision=jax.lax.Precision.HIGHEST
         )
         if self.use_log:
-            feats = jnp.log(jnp.maximum(feats, config.LOG_FLOOR_VALUE))
+            feats = xlog(jnp.maximum(feats, config.LOG_FLOOR_VALUE))
         if self.include_energy:
             energy = jnp.sum(frames * frames, axis=-1) / self.frame_length
             if not self.use_power:
                 energy = jnp.sqrt(energy)
             if self.use_log:
-                energy = jnp.log(jnp.maximum(energy, config.LOG_FLOOR_VALUE))
+                energy = xlog(jnp.maximum(energy, config.LOG_FLOOR_VALUE))
             feats = jnp.concatenate([energy[..., None], feats], axis=-1)
         return feats
 

@@ -33,6 +33,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .xmath import xlog
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -95,13 +97,13 @@ def _feats_from_pieces(
         spec, w_ref[:], preferred_element_type=jnp.float32, precision=prec
     )
     if use_log:
-        feats = jnp.log(jnp.maximum(feats, log_floor))
+        feats = xlog(jnp.maximum(feats, log_floor))
     if include_energy:
         energy = energy / frame_length
         if not use_power:
             energy = jnp.sqrt(energy)
         if use_log:
-            energy = jnp.log(jnp.maximum(energy, log_floor))
+            energy = xlog(jnp.maximum(energy, log_floor))
         feats = jnp.concatenate([energy, feats], axis=-1)
     return feats
 

@@ -39,6 +39,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .xmath import xlog
+
 __all__ = [
     "build_si_kernel",
     "si_feats_from_signal",
@@ -244,5 +246,5 @@ def si_feats_from_signal(
         "fkt,t->kf", framed, window, precision=jax.lax.Precision.HIGHEST
     )
     if use_log:
-        feats = jnp.log(jnp.maximum(feats, log_floor))
+        feats = xlog(jnp.maximum(feats, log_floor))
     return feats

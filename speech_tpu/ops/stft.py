@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .xmath import xlog
+
 from .. import config as _config
 
 __all__ = [
@@ -205,12 +207,12 @@ def stft_feats_from_frames(
             spec, params["weights"], precision=_resolve_precision(precision)
         )
     if use_log:
-        feats = jnp.log(jnp.maximum(feats, log_floor))
+        feats = xlog(jnp.maximum(feats, log_floor))
     if include_energy:
         energy = jnp.sum(frames * frames, axis=-1) / frame_length
         if not use_power:
             energy = jnp.sqrt(energy)
         if use_log:
-            energy = jnp.log(jnp.maximum(energy, log_floor))
+            energy = xlog(jnp.maximum(energy, log_floor))
         feats = jnp.concatenate([energy[..., None], feats], axis=-1)
     return feats

@@ -75,40 +75,51 @@ class Standardize(PostProcessor):
                     except (IOError, ValueError, ImportError, TypeError):
                         pass
                 if self._stats is None:
-                    raise IOError("Unable to load stats from {}".format(rfilename))
+                    raise IOError(
+                        f"statistics at {rfilename} were unreadable at "
+                        "either float width"
+                    )
                 if len(self._stats.shape) == 1:
                     self._sanitize_stats()
         elif kwargs:
-            raise TypeError("Invalid keyword arguments: {}".format(tuple(kwargs)))
+            raise TypeError(f"unexpected keyword arguments: {tuple(kwargs)}")
         super().__init__()
 
-    def _sanitize_stats(self, checked_other_float: bool = False):
-        # stats stored as raw binary may have been written with a different
-        # float width; detect and repair (reference: post.py:127-153)
-        try:
-            self._stats = self._stats.reshape((2, -1))
-            valid = np.isclose(np.round(self._stats[0, -1]), self._stats[0, -1])
-            valid &= np.all(self._stats >= 0)
-        except ValueError:
-            valid = False
-        if not valid and checked_other_float:
-            raise IOError(
-                "Could not properly load statistics. Try specifying "
-                "additional parameters in init (see docstring)"
-            )
-        elif not valid:
-            if self._stats.dtype not in (np.float32, np.float64):
-                raise ValueError(
-                    "Statistics were loaded with a weird data type ({}) and "
-                    "are invalid".format(self._stats.dtype)
-                )
-            elif self._stats.dtype == np.float32:
-                self._stats = np.frombuffer(self._stats.tobytes(), dtype=np.float64)
+    @staticmethod
+    def _plausible_stats(arr: np.ndarray):
+        """``arr`` reshaped to the ``[sums|count ; sumsqs|-]`` layout if its
+        values are consistent with it (nonnegative, integral count), else
+        None."""
+        if arr.size % 2:
+            return None
+        arr = arr.reshape(2, -1)
+        count = arr[0, -1]
+        if np.all(arr >= 0) and np.isclose(np.round(count), count):
+            return arr
+        return None
+
+    def _sanitize_stats(self):
+        # a flat stats array (raw binary load) may have been serialized at
+        # the other float width; accept whichever reinterpretation yields a
+        # plausible sufficient-statistics layout
+        raw = self._stats
+        ok = self._plausible_stats(raw)
+        if ok is None:
+            if raw.dtype == np.float32:
+                reread = np.frombuffer(raw.tobytes(), dtype=np.float64)
+            elif raw.dtype == np.float64:
+                reread = np.frombuffer(raw.tobytes(), dtype=np.float32)
             else:
-                self._stats = np.frombuffer(
-                    self._stats.tobytes(), dtype=np.float32
-                ).astype(np.float64)
-            self._sanitize_stats(True)
+                raise ValueError(
+                    f"loaded statistics have unusable dtype {raw.dtype}"
+                )
+            ok = self._plausible_stats(reread.astype(np.float64))
+        if ok is None:
+            raise IOError(
+                "loaded data does not look like sufficient statistics at "
+                "any float width; pass an explicit dtype to the constructor"
+            )
+        self._stats = ok
 
     @property
     def have_stats(self) -> bool:
@@ -153,76 +164,56 @@ class Standardize(PostProcessor):
     def apply(
         self, features: np.ndarray, axis: int = -1, in_place: bool = False
     ) -> np.ndarray:
-        if (features.shape and not np.prod(features.shape)) or not len(features):
-            raise ValueError("Cannot apply to empty array")
-        vector_input = not features.shape or features.ndim == 1
-        if vector_input:
-            num_coeffs = len(features)
-            self._check_coeffs(num_coeffs)
-            if not in_place or features.dtype != np.float64:
-                features = features.astype(np.float64)
-            if self.have_stats:
-                count_ = self._stats[0, -1]
-                means = self._stats[0, :-1] / count_
-                scales = self._scales(count_)
-                features *= scales
-                features -= means * scales
-            elif self._norm_var:
-                raise ValueError(
-                    "Unable to standardize the variance of a vector "
-                    "with no global statistics"
-                )
-            else:
-                warnings.warn("Standardizing a single vector to 0")
-                features[...] = 0
-            return features
-        num_coeffs = features.shape[axis]
-        self._check_coeffs(num_coeffs)
-        other_axes = tuple(
-            idx for idx in range(features.ndim) if idx != axis % features.ndim
-        )
-        if not in_place or features.dtype != np.float64:
-            features = features.astype(np.float64)
+        if features.size == 0:
+            raise ValueError("cannot standardize an empty array")
+        # a bare vector standardizes along itself; lift it to 2-D so one
+        # code path below covers every rank
+        squeeze_to = features.shape if features.ndim < 2 else None
+        work = features.reshape(1, -1) if squeeze_to is not None else features
+        ax = (axis if squeeze_to is None else -1) % work.ndim
+        reduce_axes = tuple(i for i in range(work.ndim) if i != ax)
+        self._check_coeffs(work.shape[ax])
+        if not in_place or work.dtype != np.float64:
+            work = work.astype(np.float64)
+
+        lone_vector = all(work.shape[i] == 1 for i in reduce_axes)
         if self.have_stats:
-            count_ = self._stats[0, -1]
-            means = self._stats[0, :-1] / count_
-            varss = self._stats[1, :-1] / count_ - means ** 2
-        elif sum(features.shape[idx] for idx in other_axes) == len(other_axes):
+            count = self._stats[0, -1]
+            mean = self._stats[0, :-1] / count
+            var = self._stats[1, :-1] / count - mean * mean
+        elif lone_vector:
+            # nothing to estimate moments from
             if self._norm_var:
                 raise ValueError(
-                    "Unable to standardize the variance of a vector "
-                    "with no global statistics"
+                    "a lone vector has no variance to normalize; accumulate "
+                    "or load global statistics first"
                 )
-            warnings.warn("Standardizing a single vector to 0")
-            features[...] = 0
-            return features
+            warnings.warn(
+                "standardizing a lone vector without statistics zeroes it"
+            )
+            work[...] = 0
+            return work.reshape(squeeze_to) if squeeze_to is not None else work
         else:
-            count_ = np.prod(tuple(features.shape[idx] for idx in other_axes))
-            means = features.mean(axis=other_axes)
-            varss = (features ** 2).sum(axis=other_axes) / count_ - means ** 2
-        if self._norm_var:
-            close_zero = np.isclose(varss, 0)
-            if np.any(close_zero):
-                warnings.warn("0 variance encountered. Replacing with 1")
-                varss = np.where(close_zero, 1, varss)
-            scales = 1 / (varss ** 0.5)
-        else:
-            scales = np.ones(1)
-        shape = [1] * features.ndim
-        shape[axis % features.ndim] = -1
-        features *= scales.reshape(shape)
-        features -= (means * scales).reshape(shape)
-        return features
+            count = np.prod([work.shape[i] for i in reduce_axes])
+            mean = work.mean(axis=reduce_axes)
+            var = np.square(work).sum(axis=reduce_axes) / count - mean * mean
 
-    def _scales(self, count_):
-        if not self._norm_var:
-            return 1
-        varss = self._stats[1, :-1] / count_ - (self._stats[0, :-1] / count_) ** 2
-        close_zero = np.isclose(varss, 0)
-        if np.any(close_zero):
-            warnings.warn("0 variance encountered. Replacing with 1")
-            varss = np.where(close_zero, 1, varss)
-        return 1 / (varss ** 0.5)
+        if self._norm_var:
+            degenerate = np.isclose(var, 0)
+            if degenerate.any():
+                warnings.warn(
+                    "some coefficients have ~zero variance; their scale is "
+                    "clamped to 1"
+                )
+                var = np.where(degenerate, 1.0, var)
+            scale = var ** -0.5
+        else:
+            scale = np.ones(1)
+        bcast = [1] * work.ndim
+        bcast[ax] = -1
+        work *= scale.reshape(bcast)
+        work -= (mean * scale).reshape(bcast)
+        return work.reshape(squeeze_to) if squeeze_to is not None else work
 
     def save(
         self,

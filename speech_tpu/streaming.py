@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ops.xmath import xlog
+
 from . import config as _config
 from .compute import SIFrameComputer, STFTFrameComputer
 from .ops import stft as _stft
@@ -332,7 +334,7 @@ class StreamingSI:
             precision=jax.lax.Precision.HIGHEST,
         )
         if c._log:
-            feats = jnp.log(jnp.maximum(feats, _config.LOG_FLOOR_VALUE))
+            feats = xlog(jnp.maximum(feats, _config.LOG_FLOOR_VALUE))
         return feats
 
     def _process_impl(self, state: SIStreamState, chunk):

@@ -1,6 +1,5 @@
 import os
 import sys
-import warnings
 
 from tempfile import NamedTemporaryFile, mkdtemp
 from shutil import rmtree
@@ -72,6 +71,3 @@ def temp_dir():
     dir_name = mkdtemp()
     yield dir_name
     rmtree(dir_name)
-
-
-warnings.filterwarnings("ignore", category=DeprecationWarning)

@@ -12,6 +12,10 @@ from speech_tpu.alias import alias_factory_subclass_from_arg
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
+# collection-time RNG: fixed seed so the tested config and buffers are
+# reproducible from a failure report
+_rng = np.random.RandomState(1234)
+
 
 @pytest.fixture(params=["causal", "centered"], scope="module")
 def frame_style(request):
@@ -26,8 +30,8 @@ def frame_style(request):
             frame_shift_ms=10,
             use_power=True,
             use_log=True,
-            pad_to_nearest_power_of_two=bool(np.random.randint(2)),
-            include_energy=bool(np.random.randint(2)),
+            pad_to_nearest_power_of_two=bool(_rng.randint(2)),
+            include_energy=bool(_rng.randint(2)),
             frame_style=frame_style,
             dtype="float64",
         ),
@@ -44,7 +48,7 @@ def computer(request, frame_style):
     scope="module",
 )
 def buff(request):
-    b = np.random.random(request.param)
+    b = _rng.random_sample(request.param)
     b.flags.writeable = False
     return b
 
@@ -173,22 +177,31 @@ def test_kaldi_comp_matches_fbank_comp():
     assert np.allclose(fbank_feats, kaldi_feats)
 
 
-def test_float32_device_path_accuracy():
-    # float32 (the TPU path) against float64, absolute error on log features
-    sig = np.random.random(2 ** 14) - 0.5
+@pytest.mark.parametrize(
+    "bank_cfg",
+    [
+        {"name": "fbank", "num_filts": 40},
+        {"name": "gabor", "scaling_function": "mel", "num_filts": 40},
+        {"name": "gammatone", "scaling_function": "mel", "num_filts": 40},
+    ],
+    ids=["fbank", "gabor", "gammatone"],
+)
+def test_float32_device_path_accuracy(bank_cfg):
+    # float32 (the TPU path) against float64, absolute error on log
+    # features: the north-star clause is <= 1e-5 max abs (BASELINE.md).
+    # The same bound holds on real TPU hardware (measured v5e: fbank
+    # 6.5e-7, gabor 7.4e-7, with the accurate-log path of ops/xmath.py —
+    # the hardware f32 log approximation alone would be ~1e-4).
+    sig = _rng.random_sample(2 ** 14) - 0.5
     kwargs = dict(
         frame_length_ms=25, frame_shift_ms=10, use_power=True, include_energy=True
     )
-    c64 = compute.STFTFrameComputer(
-        {"name": "fbank", "num_filts": 40}, dtype="float64", **kwargs
-    )
-    c32 = compute.STFTFrameComputer(
-        {"name": "fbank", "num_filts": 40}, dtype="float32", **kwargs
-    )
+    c64 = compute.STFTFrameComputer(dict(bank_cfg), dtype="float64", **kwargs)
+    c32 = compute.STFTFrameComputer(dict(bank_cfg), dtype="float32", **kwargs)
     f64 = c64.compute_full(sig)
     f32 = c32.compute_full(sig.astype(np.float32))
     assert f32.dtype == np.float32
-    assert np.max(np.abs(f64 - f32)) < 5e-4
+    assert np.max(np.abs(f64 - f32)) < 1e-5
 
 
 @pytest.mark.parametrize("use_power", [True, False])

@@ -91,3 +91,24 @@ def test_trace_propagates_body_exception(tmp_path):
     with pytest.raises(ValueError, match="body boom"):
         with trace(None):
             raise ValueError("body boom")
+
+
+def test_log32_accuracy():
+    """Accurate f32 log (TPU's hardware approximation is ~1e-4; this
+    software log must stay at the f32 ulp floor)."""
+    from speech_tpu.ops.xmath import log32, xlog
+
+    rng = np.random.RandomState(3)
+    v = np.exp(rng.uniform(np.log(1e-8), np.log(1e8), size=(1 << 16,)))
+    v32 = v.astype(np.float32)
+    got = np.asarray(log32(v32), np.float64)
+    want = np.log(v32.astype(np.float64))
+    assert np.max(np.abs(got - want)) < 2e-6
+    # the cancellation zone around 1 must stay accurate too
+    v32 = (1 + rng.uniform(-0.5, 0.5, size=(1 << 14,))).astype(np.float32)
+    got = np.asarray(log32(v32), np.float64)
+    want = np.log(v32.astype(np.float64))
+    assert np.max(np.abs(got - want)) < 1e-7
+    # xlog dispatches by dtype: float64 goes through jnp.log untouched
+    v64 = np.asarray([0.5, 1.0, 3e10])
+    assert np.allclose(np.asarray(xlog(v64)), np.log(v64), atol=1e-14)
