@@ -662,7 +662,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         dtype: str = "float32",
         conv_mode: str = "auto",
     ):
-        if conv_mode not in ("auto", "fft", "direct"):
+        if conv_mode not in ("auto", "fft", "direct", "matmul"):
             raise ValueError(f"Invalid conv_mode: {conv_mode}")
         self._conv_mode = conv_mode
         bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
@@ -701,6 +701,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         self._started = False
         self._chunk_dtype = np.float64
         self._device_params = None
+        self._conv_block_params = None
         self._fns = {}
         super().__init__(bank, include_energy=include_energy)
 
@@ -756,6 +757,28 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     def _shift_eff(self) -> int:
         return self._kernel["shift_eff"]
 
+    def _params_for(self, spec: dict) -> dict:
+        """Device params for a pipeline spec; conv_mode='matmul' adds the
+        banded-Toeplitz block matrices (built once, cached)."""
+        params = self.params
+        if spec["conv_mode"] != "matmul":
+            return params
+        if self._conv_block_params is None:
+            firs = self._kernel["firs"]
+            blocks = {
+                "conv_re_blocks": jnp.asarray(
+                    _si.toeplitz_conv_blocks(np.ascontiguousarray(firs.real)),
+                    dtype=self._dtype,
+                )
+            }
+            if not self._kernel["is_real"]:
+                blocks["conv_im_blocks"] = jnp.asarray(
+                    _si.toeplitz_conv_blocks(np.ascontiguousarray(firs.imag)),
+                    dtype=self._dtype,
+                )
+            self._conv_block_params = blocks
+        return {**params, **self._conv_block_params}
+
     def _spec(self, fft_size: int) -> dict:
         conv_mode = self._conv_mode
         if conv_mode == "auto":
@@ -780,9 +803,9 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         key = (buf_len, num_frames)
         fn = self._fns.get(key)
         if fn is None:
-            params = self.params
             fft_size = _next_pow2(buf_len + self._kernel["max_support"])
             spec = self._spec(fft_size)
+            params = self._params_for(spec)
 
             def run(buf, sig_len):
                 return _si.si_feats_from_signal(
@@ -843,9 +866,9 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         key = ("batch", max_len, max_frames)
         fn = self._fns.get(key)
         if fn is None:
-            params = self.params
             fft_size = _next_pow2(max_len + self._kernel["max_support"])
             spec = self._spec(fft_size)
+            params = self._params_for(spec)
 
             def run(signals, lengths):
                 def one(signal, length):
@@ -911,9 +934,9 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                 lo - self._hist_start : hi - self._hist_start
             ]
         num_frames = f1 - f0
-        params = self.params
         fft_size = _next_pow2(bucket + T)
         spec = self._spec(fft_size)
+        params = self._params_for(spec)
         # shift_eff in local window coordinates: y_loc[n] corresponds to
         # global y[f0*shift + n]; x_loc[j] = x[need_start + j]
         spec["shift_eff"] = f0 * shift + self._shift_eff - need_start

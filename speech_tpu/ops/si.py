@@ -44,7 +44,13 @@ from .xmath import xlog
 __all__ = [
     "build_si_kernel",
     "si_feats_from_signal",
+    "toeplitz_conv_blocks",
 ]
+
+# block width for conv_mode="matmul" (one MXU lane tile; see
+# toeplitz_conv_blocks).  FLOPs scale with (ceil(T/V) + 1) * V, so the
+# smallest MXU-efficient width wins.
+CONV_BLOCK = 128
 
 
 def _next_pow2(n: int) -> int:
@@ -112,6 +118,28 @@ def build_si_kernel(
     }
 
 
+def toeplitz_conv_blocks(firs: np.ndarray, V: int = CONV_BLOCK) -> np.ndarray:
+    """Banded-Toeplitz block matrices expressing linear convolution as MXU
+    matmuls.
+
+    For output block ``i`` of width ``V``,
+    ``y[i*V + t] = sum_k (x_block[i - k] @ A[k])[t]`` with
+    ``A[k][u, t] = fir[k*V + t - u]`` (zero outside ``[0, T)``).  Returns
+    ``(K + 1, F, V, V)`` with ``K = ceil((T - 1) / V)``.  This turns the
+    filter convolutions into dense block matmuls — on TPU, far faster than
+    XLA's FFT or 1-D conv lowerings at speech-sized supports.
+    """
+    F, T = firs.shape
+    K = -(-(T - 1) // V) if T > 1 else 0
+    diff = np.arange(V)[None, :] - np.arange(V)[:, None]  # t - u
+    blocks = np.zeros((K + 1, F, V, V), dtype=firs.dtype)
+    for k in range(K + 1):
+        j = diff + k * V
+        mask = (j >= 0) & (j < T)
+        blocks[k][:, mask] = firs[:, j[mask]]
+    return blocks
+
+
 def si_feats_from_signal(
     signal,
     sig_len,
@@ -141,7 +169,6 @@ def si_feats_from_signal(
     window = params["window"]
     firs_re = params["firs_re"]
     num_filts = firs_re.shape[0]
-    two_shift = 2 * frame_shift
     # last frame k = num_frames-1 reads y up to (k*shift + 2*shift - 1)
     ny = (num_frames + 1) * frame_shift
 
@@ -176,6 +203,35 @@ def si_feats_from_signal(
             )[0]  # (F, L - T + 1)
             part = jax.lax.slice_in_dim(out, q0, q0 + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
+    elif conv_mode == "matmul":
+        # linear convolution as banded-Toeplitz block matmuls (see
+        # toeplitz_conv_blocks): pure MXU work, no FFT.  Output block i of
+        # width V sums shifted input blocks against the (K+1, F, V, V)
+        # band matrices in params.
+        V = params["conv_re_blocks"].shape[-1]
+        Kk = params["conv_re_blocks"].shape[0] - 1
+        m_hi = shift_eff + ny
+        pl = max(0, -shift_eff)
+        nb = max(1, -(-max(m_hi, 1) // V))
+        sig_pad = jnp.pad(signal, (0, max(0, nb * V - signal.shape[0])))
+        Xb = sig_pad[: nb * V].reshape(nb, V)
+        # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
+        Xsh = jnp.stack(
+            [jnp.pad(Xb, ((k, 0), (0, 0)))[:nb] for k in range(Kk + 1)]
+        )
+
+        def _conv_part_blocks(A):
+            Y = jnp.einsum(
+                "kbv,kfvw->fbw", Xsh, A, precision=jax.lax.Precision.HIGHEST
+            )
+            y = Y.reshape(A.shape[1], nb * V)
+            if pl:
+                y = jnp.pad(y, ((0, 0), (pl, 0)))
+            part = jax.lax.slice_in_dim(
+                y, shift_eff + pl, shift_eff + pl + ny, axis=1
+            )
+            return jnp.where(valid[None, :], part, 0)
+
     elif conv_mode == "fft" and fft_size >= 4 * _next_pow2(2 * max_support):
         # blocked overlap-save: batched medium-size real FFTs run far more
         # efficiently on the TPU backend than a few huge ones.  Block i
@@ -202,20 +258,31 @@ def si_feats_from_signal(
             return jnp.where(valid[None, :], y, 0)
     else:
         X = jnp.fft.rfft(signal, n=fft_size)
-        idx = jnp.clip(n_idx, 0, fft_size - 1)
+        # the conv values needed are the contiguous run [shift_eff,
+        # shift_eff + ny); pad so it is a static slice, never a gather
+        pl = max(0, -shift_eff)
+        pr = max(0, shift_eff + ny - fft_size)
 
         def _conv_part(f):
             H = jnp.fft.rfft(f, n=fft_size, axis=-1)
             conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
-            part = jnp.take(conv, idx, axis=-1)
+            if pl or pr:
+                conv = jnp.pad(conv, ((0, 0), (pl, pr)))
+            part = jax.lax.slice_in_dim(conv, shift_eff + pl, shift_eff + pl + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
 
+    if conv_mode == "matmul":
+        conv_re = lambda: _conv_part_blocks(params["conv_re_blocks"])
+        conv_im = lambda: _conv_part_blocks(params["conv_im_blocks"])
+    else:
+        conv_re = lambda: _conv_part(firs_re)
+        conv_im = lambda: _conv_part(params["firs_im"])
     if is_real:
-        y = _conv_part(firs_re)
+        y = conv_re()
         y_mod = y * y if use_power else jnp.abs(y)
     else:
-        yr = _conv_part(firs_re)
-        yi = _conv_part(params["firs_im"])
+        yr = conv_re()
+        yi = conv_im()
         y_mod = yr * yr + yi * yi
         if not use_power:
             y_mod = jnp.sqrt(y_mod)
@@ -224,10 +291,16 @@ def si_feats_from_signal(
         # dirac filter: y_e[n] = x[n + shift_eff - translation]; with the
         # reference's translations this is x[n] (causal) or x[n - shift]
         # (centered) (reference: compute.py:722-732).  energy_offset =
-        # shift_eff - translation, passed statically.
+        # shift_eff - translation, passed statically — so this is a static
+        # slice of the padded signal, not a gather.
         e_idx = jnp.arange(ny) + energy_offset
         e_valid = (e_idx >= 0) & (e_idx < sig_len)
-        xe = jnp.take(signal, jnp.clip(e_idx, 0, signal.shape[0] - 1))
+        e_pl = max(0, -energy_offset)
+        e_pr = max(0, energy_offset + ny - signal.shape[0])
+        xe_buf = jnp.pad(signal, (e_pl, e_pr)) if (e_pl or e_pr) else signal
+        xe = jax.lax.slice_in_dim(
+            xe_buf, energy_offset + e_pl, energy_offset + e_pl + ny, axis=0
+        )
         xe = jnp.where(e_valid, xe, 0)
         if is_real:
             e_mod = xe * xe if use_power else jnp.abs(xe)
@@ -238,13 +311,17 @@ def si_feats_from_signal(
         y_mod = jnp.concatenate([e_mod[None, :].astype(y_mod.dtype), y_mod])
         num_filts += 1
 
-    # frame k <- dot(window, y_mod[:, k*s : k*s + 2s])
-    starts = jnp.arange(num_frames) * frame_shift
-    idx = starts[:, None] + jnp.arange(two_shift)[None, :]
-    framed = jnp.take(y_mod, idx, axis=-1)  # (F, num_frames, 2s)
-    feats = jnp.einsum(
-        "fkt,t->kf", framed, window, precision=jax.lax.Precision.HIGHEST
-    )
+    # frame k <- dot(window, y_mod[:, k*s : k*s + 2s]).  Because
+    # ny = (num_frames + 1) * shift, the overlapping windows factor into
+    # non-overlapping shift-sized blocks hit by the window's two halves —
+    # the reference's 2-block accumulator (reference: compute.py:982-996)
+    # as a reshape plus two matvecs.  No gather (TPU gathers are ~200x
+    # slower than slices at these sizes).
+    blocks = y_mod.reshape(num_filts, num_frames + 1, frame_shift)
+    prec = jax.lax.Precision.HIGHEST
+    lo = jnp.einsum("fkt,t->fk", blocks, window[:frame_shift], precision=prec)
+    hi = jnp.einsum("fkt,t->fk", blocks, window[frame_shift:], precision=prec)
+    feats = (lo[:, :-1] + hi[:, 1:]).T
     if use_log:
         feats = xlog(jnp.maximum(feats, log_floor))
     return feats

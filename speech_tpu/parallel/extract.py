@@ -123,13 +123,13 @@ class ShardedExtractor:
         else:  # SI computer: its own fused conv pipeline, same sharding
             from ..ops import si as _si
 
-            params = c.params
             shift = c._frame_shift
             T = c._kernel["max_support"]
             shift_eff = c._shift_eff
             max_frames = (max_len + shift // 2) // shift
             fft_size = _next_pow2(max_len + T)
             spec = c._spec(fft_size)
+            params = c._params_for(spec)
 
             def run(signals, lengths):
                 feats = jax.vmap(

@@ -13,8 +13,11 @@ compute.py:462-572): the first centered frame's left context is reflected
 ("symmetric") from the stream head, after which framing is a causal
 sliding window; ``finalize`` right-pads symmetrically and flushes.
 
-Constraints (checked at construction): ``chunk_size >= pad_left`` (the
-first chunk must cover the initial reflection) and
+Chunks have a static size, but any signal length streams: ``process``
+takes a ``valid_len`` marking how many leading samples of the chunk are
+real (the reference accepts arbitrary chunkings the same way; reference:
+compute.py:462-540), and ``scan`` drives a whole utterance through
+``lax.scan`` on device.  The only constraint (checked at construction) is
 ``frame_shift <= frame_length`` (no inter-frame skip).
 """
 
@@ -30,7 +33,7 @@ from .ops.xmath import xlog
 from . import config as _config
 from .compute import SIFrameComputer, STFTFrameComputer
 from .ops import stft as _stft
-from .ops.framing import reflect_index
+from .ops.framing import frame_count, reflect_index
 
 __all__ = ["StreamState", "StreamingSTFT", "SIStreamState", "StreamingSI"]
 
@@ -40,7 +43,9 @@ class StreamState(NamedTuple):
 
     carry: jnp.ndarray  # (carry_len,) most recent virtual-stream samples
     n_carry: jnp.ndarray  # int32, valid samples at the END of `carry`
-    is_first: jnp.ndarray  # bool, no frame emitted yet
+    is_first: jnp.ndarray  # bool, initial reflection not yet applied
+    head: jnp.ndarray  # (pad_left,) raw stream head (for the reflection)
+    n_raw: jnp.ndarray  # int32, raw samples seen so far
 
 
 class StreamingSTFT:
@@ -72,10 +77,8 @@ class StreamingSTFT:
             raise ValueError(
                 "jittable streaming requires frame_shift <= frame_length"
             )
-        if self.chunk_size < max(self.pad_left, 1):
-            raise ValueError(
-                f"chunk_size must be at least pad_left ({self.pad_left})"
-            )
+        if self.chunk_size < 1:
+            raise ValueError("chunk_size must be positive")
         # carry keeps up to frame_length - 1 unconsumed stream samples
         self.carry_len = self.frame_length - 1
         total = self.carry_len + self.pad_left + self.chunk_size
@@ -93,6 +96,8 @@ class StreamingSTFT:
             carry=jnp.zeros((self.carry_len,), self._dtype),
             n_carry=jnp.zeros((), jnp.int32),
             is_first=jnp.ones((), jnp.bool_),
+            head=jnp.zeros((self.pad_left,), self._dtype),
+            n_raw=jnp.zeros((), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -113,31 +118,57 @@ class StreamingSTFT:
         frames = jnp.take(stream, idx, axis=0)
         return self._feats(frames), nf
 
-    def _process_impl(self, state: StreamState, chunk):
+    def _process_impl(self, state: StreamState, chunk, valid_len):
         chunk = jnp.asarray(chunk, self._dtype)
-        FS, PL = self.frame_shift, self.pad_left
-        # first chunk: prepend the symmetric reflection of the stream head
-        # (reference: compute.py:497-517); later chunks carry dead space in
-        # the prefix slot instead
-        prefix_first = (
-            jnp.flip(chunk[:PL]) if PL else jnp.zeros((0,), self._dtype)
-        )
-        s_first = jnp.concatenate([state.carry, prefix_first, chunk])
-        s_steady = jnp.concatenate(
-            [jnp.zeros((PL,), self._dtype), state.carry, chunk]
-        )
-        stream = jnp.where(state.is_first, s_first, s_steady)
-        n_new = jnp.where(state.is_first, PL + chunk.shape[0], chunk.shape[0])
-        total = state.n_carry + n_new
+        C = chunk.shape[0]
+        FS, PL, CL = self.frame_shift, self.pad_left, self.carry_len
+        v = jnp.clip(jnp.asarray(valid_len, jnp.int32), 0, C)
+
+        # grow the raw stream head while the initial reflection is pending
+        if PL:
+            pos = jnp.arange(PL)
+            src = jnp.clip(pos - state.n_raw, 0, C - 1)
+            head = jnp.where(
+                (pos >= state.n_raw) & (pos < state.n_raw + v),
+                jnp.take(chunk, src, axis=0),
+                state.head,
+            )
+        else:
+            head = state.head
+        n_raw = state.n_raw + v
+
+        # tail-valid extension: rolling right by the masked tail keeps the
+        # newest valid sample at the buffer end (the wrapped garbage lands
+        # in front of the valid region, where the frame index math never
+        # reads)
+        ext = jnp.roll(jnp.concatenate([state.carry, chunk]), C - v)
+        total = state.n_carry + v
+        stream = jnp.concatenate([jnp.zeros((PL,), self._dtype), ext])
+        # apply the symmetric reflection of the stream head once it is
+        # complete (reference: compute.py:497-517): insert flip(head)
+        # immediately before the valid region
+        apply_now = state.is_first & (n_raw >= PL) if PL else jnp.asarray(False)
+        if PL:
+            inserted = jax.lax.dynamic_update_slice(
+                stream, jnp.flip(head), ((PL + CL + C) - total - PL,)
+            )
+            stream = jnp.where(apply_now, inserted, stream)
+            total = total + jnp.where(apply_now, PL, 0)
+        is_first = state.is_first & ~apply_now if PL else jnp.asarray(False)
+
+        # no frame may be emitted before the reflection is applied (frames
+        # would claim virtual positions the prefix still owns)
         feats, nf = self._emit(stream, total)
-        rem = jnp.minimum(total - nf * FS, self.carry_len)
-        # new carry: last carry_len samples of the stream
-        carry = stream[-self.carry_len :] if self.carry_len else stream[:0]
+        nf = jnp.where(is_first, 0, nf)
+        rem = jnp.minimum(total - nf * FS, CL)
+        carry = stream[-CL:] if CL else stream[:0]
         return (
             StreamState(
                 carry=carry,
                 n_carry=rem.astype(jnp.int32),
-                is_first=jnp.zeros((), jnp.bool_),
+                is_first=is_first,
+                head=head,
+                n_raw=n_raw.astype(jnp.int32),
             ),
             feats,
             nf,
@@ -147,79 +178,113 @@ class StreamingSTFT:
         FL, FS, PL = self.frame_length, self.frame_shift, self.pad_left
         buf_len = state.carry.shape[0]
         total = state.n_carry
-        # if the stream never emitted, the initial reflection still needs
-        # prepending; otherwise discount its already-consumed pad_left from
-        # the global frame-count bookkeeping (host twin logic, which is
-        # parity-tested against the reference finalize)
-        left_add = jnp.where(state.is_first, PL, 0)
-        nf = jnp.maximum(0, (total + FS // 2 - PL + left_add) // FS)
         start = buf_len - total  # first valid sample in carry
-        # virtual valid region v[0:T): prefix (left_add) then valid carry
-        T = total + left_add
-        head = jnp.take(
-            state.carry,
-            jnp.clip(start + jnp.arange(PL), 0, jnp.maximum(buf_len - 1, 0)),
-            axis=0,
-        ) if PL else state.carry[:0]
-        vbuf = jnp.concatenate([jnp.flip(head), state.carry])
-        # v index r -> vbuf index
-        def v2b(r):
-            return jnp.where(
-                r < left_add, PL - left_add + r, PL + start + (r - left_add)
-            )
-
         pos = (
             jnp.arange(self.finalize_max_frames)[:, None] * FS
             + jnp.arange(FL)[None, :]
         )
-        rel = reflect_index(pos, jnp.maximum(T, 1))
-        idx = jnp.clip(v2b(rel), 0, vbuf.shape[0] - 1)
-        frames = jnp.take(vbuf, idx, axis=0)
+        if PL:
+            # never-reflected stream (every chunk so far was too short to
+            # complete the head): the carry holds the raw signal whole, so
+            # frames follow full compute_full semantics — symmetric
+            # reflection on BOTH sides, any depth (covers signals shorter
+            # than the padding)
+            n = state.n_raw
+            sidx = reflect_index(pos - PL, jnp.maximum(n, 1))
+            first_idx = jnp.clip(start + sidx, 0, jnp.maximum(buf_len - 1, 0))
+            nf_first = frame_count(n, FL, FS)
+        # steady stream: the reflection is already part of the carried
+        # virtual samples; only the right edge still reflects.  The global
+        # frame target (with the reference's short-signal zero clause)
+        # minus frames already emitted gives the flush count.
+        done = (state.n_raw + PL - total) // FS
+        nf_steady = jnp.maximum(0, frame_count(state.n_raw, FL, FS) - done)
+        rel = reflect_index(pos, jnp.maximum(total, 1))
+        steady_idx = jnp.clip(start + rel, 0, jnp.maximum(buf_len - 1, 0))
+        if PL:
+            idx = jnp.where(state.is_first, first_idx, steady_idx)
+            nf = jnp.where(state.is_first, nf_first, nf_steady)
+        else:
+            idx, nf = steady_idx, nf_steady
+        frames = jnp.take(state.carry, idx, axis=0)
         feats = self._feats(frames)
         return feats, nf
 
     # public jitted entry points -----------------------------------------
 
-    def process(self, state: StreamState, chunk) -> Tuple[StreamState, jnp.ndarray, jnp.ndarray]:
+    def process(
+        self, state: StreamState, chunk, valid_len=None
+    ) -> Tuple[StreamState, jnp.ndarray, jnp.ndarray]:
         """Consume one ``(chunk_size,)`` chunk; returns
         ``(state, feats, n_valid)`` with feats ``(max_frames, num_coeffs)``.
+
+        ``valid_len`` (host int or traced) marks how many leading samples
+        of the chunk are real; the rest are ignored.  Defaults to the full
+        chunk, so any-length signals stream by zero-padding the final
+        chunk and passing its true length.
         """
         if chunk.shape[-1] != self.chunk_size:
             raise ValueError(
                 f"chunk must have static size {self.chunk_size}; "
-                f"got {chunk.shape[-1]} (zero-pad and finalize early instead)"
+                f"got {chunk.shape[-1]} (zero-pad and pass valid_len instead)"
             )
-        return self._process(state, chunk)
+        if valid_len is None:
+            valid_len = self.chunk_size
+        return self._process(state, chunk, valid_len)
 
     def finalize(self, state: StreamState):
         """Flush remaining samples; returns ``(feats, n_valid)``."""
         return self._finalize(state)
 
+    def scan(self, signal, sig_len=None):
+        """Whole-utterance streaming under one jitted ``lax.scan``.
+
+        ``signal`` is a fixed-size buffer whose first ``sig_len`` (traced
+        or host int; default: all) samples are valid.  Runs
+        ``ceil(buf_len / chunk_size)`` process steps then finalize, all on
+        device.  Returns ``(feats, counts, fin_feats, fin_count)`` with
+        ``feats (n_steps, max_frames, num_coeffs)`` and per-step valid
+        counts — rows past a step's count are garbage to mask (see
+        :meth:`transform` for host-side compaction).
+        """
+        C = self.chunk_size
+        buf_len = signal.shape[0]
+        n_steps = max(1, -(-buf_len // C))
+        if sig_len is None:
+            sig_len = buf_len
+
+        signal = jnp.asarray(signal, self._dtype)
+        padded = jnp.pad(signal, (0, n_steps * C - buf_len))
+        chunks = padded.reshape(n_steps, C)
+        valids = jnp.clip(
+            jnp.asarray(sig_len, jnp.int32) - jnp.arange(n_steps) * C, 0, C
+        )
+
+        def step(state, inp):
+            chunk, v = inp
+            state, feats, nf = self._process_impl(state, chunk, v)
+            return state, (feats, nf)
+
+        state, (feats, counts) = jax.lax.scan(
+            step, self.init_state(), (chunks, valids)
+        )
+        fin_feats, fin_count = self._finalize_impl(state)
+        return feats, counts, fin_feats, fin_count
+
     # convenience ---------------------------------------------------------
 
     def transform(self, signal: np.ndarray) -> np.ndarray:
-        """Host helper: stream a whole signal through fixed-size chunks and
-        return the concatenated valid frames (for testing/parity)."""
-        C = self.chunk_size
-        state = self.init_state()
-        outs = []
-        n = len(signal)
-        nchunks = n // C
-        for i in range(nchunks):
-            state, feats, nf = self.process(state, jnp.asarray(signal[i * C : (i + 1) * C]))
-            outs.append(np.asarray(feats)[: int(nf)])
-        tail = signal[nchunks * C :]
-        if len(tail):
-            # pad the last partial chunk as if the signal ended here: feed
-            # it through the host API contract by reflecting... simplest:
-            # use a final process on a zero-padded chunk is NOT equivalent;
-            # instead fall back to finalize semantics on the carry plus
-            # tail by processing tail with the host path
-            raise ValueError(
-                "transform requires len(signal) divisible by chunk_size"
-            )
-        feats, nf = self.finalize(state)
-        outs.append(np.asarray(feats)[: int(nf)])
+        """Host helper: stream a whole signal (any length) through the
+        jitted ``lax.scan`` driver and return the concatenated valid
+        frames (for testing/parity)."""
+        sig = np.asarray(signal)
+        fn = jax.jit(self.scan, static_argnums=())
+        feats, counts, fin_feats, fin_count = fn(
+            jnp.asarray(sig, self._dtype), len(sig)
+        )
+        feats, counts = np.asarray(feats), np.asarray(counts)
+        outs = [feats[i, : counts[i]] for i in range(feats.shape[0])]
+        outs.append(np.asarray(fin_feats)[: int(fin_count)])
         return np.concatenate(outs)
 
 
@@ -337,12 +402,18 @@ class StreamingSI:
             feats = xlog(jnp.maximum(feats, _config.LOG_FLOOR_VALUE))
         return feats
 
-    def _process_impl(self, state: SIStreamState, chunk):
+    def _process_impl(self, state: SIStreamState, chunk, valid_len):
         chunk = jnp.asarray(chunk, self._dtype)
         C = chunk.shape[0]
         s = self.shift
-        stream = jnp.concatenate([state.carry, chunk])
-        u = state.unconsumed + C
+        v = jnp.clip(jnp.asarray(valid_len, jnp.int32), 0, C)
+        # zero the masked tail (the convolution reads raw samples — unlike
+        # the STFT stream, garbage cannot be masked by index math alone),
+        # then roll it to the front so the newest valid sample stays at the
+        # buffer end (zeros ahead of the signal are harmless to the conv)
+        chunk = jnp.where(jnp.arange(C) < v, chunk, 0)
+        stream = jnp.roll(jnp.concatenate([state.carry, chunk]), C - v)
+        u = state.unconsumed + v
         nf = jnp.maximum(0, u // s - 1)
         nf = jnp.minimum(nf, self.max_frames)
         feats = self._emit(stream, u, nf, self.max_frames)
@@ -350,7 +421,7 @@ class StreamingSI:
             SIStreamState(
                 carry=stream[-self.carry_len :],
                 unconsumed=(u - nf * s).astype(jnp.int32),
-                seen=state.seen + C,
+                seen=state.seen + v,
             ),
             feats,
             nf,
@@ -374,34 +445,58 @@ class StreamingSI:
 
     # public entry points --------------------------------------------------
 
-    def process(self, state: SIStreamState, chunk):
+    def process(self, state: SIStreamState, chunk, valid_len=None):
         """Consume one ``(chunk_size,)`` chunk; returns
-        ``(state, feats, n_valid)``."""
+        ``(state, feats, n_valid)``.  ``valid_len`` marks how many leading
+        samples are real (default: all), so any-length signals stream by
+        zero-padding the final chunk."""
         if chunk.shape[-1] != self.chunk_size:
             raise ValueError(
                 f"chunk must have static size {self.chunk_size}; "
                 f"got {chunk.shape[-1]}"
             )
-        return self._process(state, chunk)
+        if valid_len is None:
+            valid_len = self.chunk_size
+        return self._process(state, chunk, valid_len)
 
     def finalize(self, state: SIStreamState):
         """Flush; returns ``(feats, n_valid)``."""
         return self._finalize(state)
 
+    def scan(self, signal, sig_len=None):
+        """Whole-utterance streaming under one jitted ``lax.scan`` (same
+        contract as :meth:`StreamingSTFT.scan`)."""
+        C = self.chunk_size
+        buf_len = signal.shape[0]
+        n_steps = max(1, -(-buf_len // C))
+        if sig_len is None:
+            sig_len = buf_len
+        signal = jnp.asarray(signal, self._dtype)
+        padded = jnp.pad(signal, (0, n_steps * C - buf_len))
+        chunks = padded.reshape(n_steps, C)
+        valids = jnp.clip(
+            jnp.asarray(sig_len, jnp.int32) - jnp.arange(n_steps) * C, 0, C
+        )
+
+        def step(state, inp):
+            chunk, v = inp
+            state, feats, nf = self._process_impl(state, chunk, v)
+            return state, (feats, nf)
+
+        state, (feats, counts) = jax.lax.scan(
+            step, self.init_state(), (chunks, valids)
+        )
+        fin_feats, fin_count = self._finalize_impl(state)
+        return feats, counts, fin_feats, fin_count
+
     def transform(self, signal: np.ndarray) -> np.ndarray:
-        """Stream a whole signal in fixed-size chunks (testing helper)."""
-        Csz = self.chunk_size
-        if len(signal) % Csz:
-            raise ValueError(
-                "transform requires len(signal) divisible by chunk_size"
-            )
-        state = self.init_state()
-        outs = []
-        for i in range(len(signal) // Csz):
-            state, feats, nf = self.process(
-                state, jnp.asarray(signal[i * Csz : (i + 1) * Csz])
-            )
-            outs.append(np.asarray(feats)[: int(nf)])
-        feats, nf = self.finalize(state)
-        outs.append(np.asarray(feats)[: int(nf)])
+        """Stream a whole signal (any length) via :meth:`scan` and return
+        the concatenated valid frames (testing helper)."""
+        sig = np.asarray(signal)
+        feats, counts, fin_feats, fin_count = jax.jit(self.scan)(
+            jnp.asarray(sig, self._dtype), len(sig)
+        )
+        feats, counts = np.asarray(feats), np.asarray(counts)
+        outs = [feats[i, : counts[i]] for i in range(feats.shape[0])]
+        outs.append(np.asarray(fin_feats)[: int(fin_count)])
         return np.concatenate(outs)

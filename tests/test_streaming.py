@@ -65,7 +65,7 @@ def test_streaming_state_is_a_pytree():
     stream = StreamingSTFT(computer, 800)
     state = stream.init_state()
     leaves = jax.tree_util.tree_leaves(state)
-    assert len(leaves) == 3
+    assert len(leaves) == 5
 
 
 def test_streaming_vmapped_streams():
@@ -77,9 +77,9 @@ def test_streaming_vmapped_streams():
     states = jax.vmap(lambda _: stream.init_state())(jnp.arange(3))
     outs = [[] for _ in range(3)]
     for j in range(4):
-        states, feats, nfs = jax.vmap(stream._process)(
-            states, jnp.asarray(signals[:, j * 800 : (j + 1) * 800])
-        )
+        states, feats, nfs = jax.vmap(
+            stream._process, in_axes=(0, 0, None)
+        )(states, jnp.asarray(signals[:, j * 800 : (j + 1) * 800]), 800)
         for i in range(3):
             outs[i].append(np.asarray(feats[i])[: int(nfs[i])])
     feats, nfs = jax.vmap(stream._finalize)(states)
@@ -97,7 +97,7 @@ def test_streaming_validates_chunk_size():
     with pytest.raises(ValueError):
         stream.process(stream.init_state(), jnp.zeros(799))
     with pytest.raises(ValueError):
-        StreamingSTFT(computer, 1)
+        StreamingSTFT(computer, 0)
 
 
 def test_streaming_kaldi_shift():
@@ -207,9 +207,9 @@ def test_si_streaming_vmapped():
     states = jax.vmap(lambda _: stream.init_state())(jnp.arange(3))
     outs = [[] for _ in range(3)]
     for j in range(3):
-        states, feats, nfs = jax.vmap(stream._process)(
-            states, jnp.asarray(signals[:, j * 800 : (j + 1) * 800])
-        )
+        states, feats, nfs = jax.vmap(
+            stream._process, in_axes=(0, 0, None)
+        )(states, jnp.asarray(signals[:, j * 800 : (j + 1) * 800]), 800)
         for i in range(3):
             outs[i].append(np.asarray(feats[i])[: int(nfs[i])])
     feats, nfs = jax.vmap(stream._finalize)(states)
@@ -218,4 +218,89 @@ def test_si_streaming_vmapped():
         got = np.concatenate(outs[i])
         want = computer.compute_full(signals[i])
         assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
+
+
+@pytest.mark.parametrize("length", [0, 1, 150, 799, 801, 4000, 4567])
+def test_streaming_any_length_matches_full(length):
+    """Masked final chunk: any signal length streams under jit with exact
+    compute_full parity (no divisibility requirement)."""
+    computer = _computer()
+    stream = StreamingSTFT(computer, 800)
+    rng = np.random.RandomState(90 + length)
+    signal = rng.randn(length)
+    got = stream.transform(signal)
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    if length:
+        assert np.allclose(got, want, atol=1e-8)
+
+
+def test_streaming_tiny_chunks_smaller_than_pad_left():
+    """chunk_size below the initial reflection length now works: the head
+    accumulates across chunks before the reflection is applied."""
+    computer = _computer()
+    stream = StreamingSTFT(computer, 37)
+    assert stream.pad_left > 37
+    rng = np.random.RandomState(91)
+    signal = rng.randn(1000)
+    got = stream.transform(signal)
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_streaming_scan_driver():
+    """Whole-utterance lax.scan driver (single jitted program)."""
+    computer = _computer()
+    stream = StreamingSTFT(computer, 512)
+    rng = np.random.RandomState(92)
+    signal = rng.randn(3210)
+    feats, counts, fin_feats, fin_n = jax.jit(stream.scan)(
+        jnp.asarray(signal), 3210
+    )
+    outs = [np.asarray(feats[i])[: int(counts[i])] for i in range(feats.shape[0])]
+    outs.append(np.asarray(fin_feats)[: int(fin_n)])
+    got = np.concatenate(outs)
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_streaming_masked_chunks_arbitrary_split():
+    """Feeding valid_len-masked chunks mid-stream equals compute_full (the
+    reference accepts arbitrary chunkings; reference: compute.py:462-540)."""
+    computer = _computer()
+    stream = StreamingSTFT(computer, 400)
+    rng = np.random.RandomState(93)
+    signal = rng.randn(2000)
+    splits = [250, 400, 17, 0, 333, 400, 400, 200]
+    assert sum(splits) == 2000
+    state = stream.init_state()
+    outs = []
+    off = 0
+    for v in splits:
+        chunk = np.zeros(400)
+        chunk[:v] = signal[off : off + v]
+        off += v
+        state, feats, nf = stream.process(state, jnp.asarray(chunk), v)
+        outs.append(np.asarray(feats)[: int(nf)])
+    feats, nf = stream.finalize(state)
+    outs.append(np.asarray(feats)[: int(nf)])
+    got = np.concatenate(outs)
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
+
+
+@pytest.mark.parametrize("length", [0, 799, 2401, 3000])
+def test_si_streaming_any_length(length):
+    computer = _si_computer()
+    stream = StreamingSI(computer, 800)
+    rng = np.random.RandomState(94 + length)
+    signal = rng.randn(length)
+    got = stream.transform(signal)
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape
+    if length:
         assert np.allclose(got, want, atol=1e-8)
