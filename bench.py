@@ -2,7 +2,9 @@
 
 Prints ONE JSON line: real-time factor (seconds of audio processed per
 wall-clock second per chip) for the flagship fused STFT pipeline, against
-the driver's north-star target of 5000x real time (BASELINE.json).
+the driver's north-star target of 5000x real time (BASELINE.json), plus
+the SI gammatone pipeline's rt-factor as a secondary key
+(BASELINE.json's configs list names both).
 """
 
 import json
@@ -18,34 +20,17 @@ from speech_tpu.utils import enable_persistent_compilation_cache
 enable_persistent_compilation_cache()
 
 
-def main():
-    from speech_tpu.compute import STFTFrameComputer
-
-    computer = STFTFrameComputer(
-        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
-        frame_length_ms=25,
-        frame_shift_ms=10,
-        include_energy=True,
-        dtype="float32",
-    )
-
-    batch, seconds, rate = 128, 15, 16000
+def _throughput(computer, batch: int, seconds: int, rate: int = 16000):
+    """Steady-state audio-sec/sec: back-to-back batches amortize dispatch
+    latency, as in production extraction.  A host readback of one row
+    forces execution of the whole in-order queue (block_until_ready does
+    not reliably wait on tunneled runtimes); best of 3 timed runs."""
     max_len = seconds * rate
     rng = np.random.RandomState(0)
-    signals = jnp.asarray(
-        rng.randn(batch, max_len).astype(np.float32)
-    )
+    signals = jnp.asarray(rng.randn(batch, max_len).astype(np.float32))
     lengths = jnp.full((batch,), max_len, dtype=jnp.int32)
-    audio_sec = batch * seconds
-
-    # warm up / compile
-    feats, counts = computer.compute_batch(signals, lengths)
+    feats, counts = computer.compute_batch(signals, lengths)  # compile
     np.asarray(feats[0, 0])
-
-    # steady-state throughput: back-to-back batches amortize dispatch
-    # latency, as in production extraction.  A host readback of one row
-    # forces execution of the whole in-order queue (block_until_ready does
-    # not reliably wait on tunneled runtimes); best of 3 timed runs.
     inner, best = 20, float("inf")
     for _ in range(3):
         start = time.perf_counter()
@@ -53,15 +38,45 @@ def main():
             feats, counts = computer.compute_batch(signals, lengths)
         np.asarray(feats[0, 0])
         best = min(best, (time.perf_counter() - start) / inner)
+    return batch * seconds / best
 
-    rt_factor = audio_sec / best
+
+def main():
+    from speech_tpu.compute import (
+        ShortIntegrationFrameComputer,
+        STFTFrameComputer,
+    )
+
+    stft = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+    )
+    fbank_rt = _throughput(stft, batch=128, seconds=15)
+
+    si = ShortIntegrationFrameComputer(
+        {
+            "name": "gammatone",
+            "scaling_function": "mel",
+            "num_filts": 40,
+            "sampling_rate": 16000,
+        },
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+    )
+    si_rt = _throughput(si, batch=32, seconds=10)
+
     print(
         json.dumps(
             {
                 "metric": "fbank_rt_factor",
-                "value": round(rt_factor, 1),
+                "value": round(fbank_rt, 1),
                 "unit": "audio_sec/sec/chip",
-                "vs_baseline": round(rt_factor / 5000.0, 3),
+                "vs_baseline": round(fbank_rt / 5000.0, 3),
+                "si_gammatone_rt_factor": round(si_rt, 1),
             }
         )
     )

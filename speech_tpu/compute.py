@@ -641,10 +641,13 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     dtype
         Device compute dtype ('float32' default; 'float64' needs jax x64).
     conv_mode
-        How the filter convolutions run: 'fft' (real-FFT products,
-        overlap-save blocked for long signals), 'direct' (``lax.conv``;
-        measured slower on TPU — XLA lowers long 1D convolutions poorly),
-        or 'auto' (currently 'fft').
+        How the filter convolutions run: 'matmul' (banded-Toeplitz block
+        matmuls on the MXU; see
+        :func:`speech_tpu.ops.si.toeplitz_conv_blocks`), 'fft' (real-FFT
+        products, overlap-save blocked for long signals), 'direct'
+        (``lax.conv``; measured slower on TPU — XLA lowers long 1D
+        convolutions poorly), or 'auto' ('matmul' up to supports of
+        ``16 * CONV_BLOCK`` samples, then 'fft').
     """
 
     aliases = {"si"}
@@ -782,9 +785,12 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     def _spec(self, fft_size: int) -> dict:
         conv_mode = self._conv_mode
         if conv_mode == "auto":
-            # measured on v5e: blocked FFT convolution beats both the
-            # single big FFT and lax.conv (XLA lowers 1D convs poorly)
-            conv_mode = "fft"
+            # measured on v5e (32x10 s gammatone-40 batch): Toeplitz block
+            # matmuls run the convolution ~11x faster than blocked-FFT
+            # overlap-save (35 ms vs 380 ms) — MXU FLOPs beat XLA's TPU
+            # FFT until the support dwarfs the block width
+            T = self._kernel["max_support"]
+            conv_mode = "matmul" if T <= 16 * _si.CONV_BLOCK else "fft"
         return dict(
             frame_shift=self._frame_shift,
             shift_eff=self._shift_eff,
@@ -858,8 +864,8 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         are garbage to be masked.  Padding values in ``signals`` must be
         zero (they are traversed by the convolution).
         """
-        signals = np.asarray(signals)
-        lengths = np.asarray(lengths, dtype=np.int64)
+        signals = jnp.asarray(signals, dtype=self._dtype)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
         batch, max_len = signals.shape
         shift = self._frame_shift
         max_frames = (max_len + shift // 2) // shift
@@ -869,6 +875,8 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             fft_size = _next_pow2(max_len + self._kernel["max_support"])
             spec = self._spec(fft_size)
             params = self._params_for(spec)
+            T = self._kernel["max_support"]
+            shift_eff = self._shift_eff
 
             def run(signals, lengths):
                 def one(signal, length):
@@ -876,13 +884,18 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                         signal, length, max_frames, params, **spec
                     )
 
-                return jax.vmap(one)(signals, lengths)
+                feats = jax.vmap(one)(signals, lengths)
+                # traced twin of frame_counts_np — keeping the whole call
+                # on device means no per-call host sync (a single tunnel
+                # readback costs ~26 ms, dwarfing the compute)
+                target = (lengths + shift // 2) // shift
+                after_pad = (target * shift + T - 1 - shift_eff) // shift - 1
+                counts = jnp.maximum(0, jnp.minimum(target, after_pad))
+                return feats, counts
 
             fn = jax.jit(run)
             self._fns[key] = fn
-        buf = jnp.asarray(signals, dtype=self._dtype)
-        feats = fn(buf, jnp.asarray(lengths))
-        return feats, jnp.asarray(self.frame_counts_np(lengths))
+        return fn(signals, lengths)
 
     # ------------------------------------------------------------------
     # streaming API

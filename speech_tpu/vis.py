@@ -9,12 +9,58 @@ from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from .compute import FrameComputer
+from .compute import FrameComputer, LinearFilterBankFrameComputer
 from .filters import LinearFilterBank
 from .post import PostProcessor
 from .utils import angular_to_hertz
 
 __all__ = ["plot_frequency_response", "compare_feature_frames"]
+
+
+def _hz_feature_bounds(computer) -> np.ndarray:
+    """Per-coefficient frequency boundaries for a filter-bank computer.
+
+    Adjacent filters may overlap or leave gaps, so the boundary between
+    filters ``j-1`` and ``j`` is a point between their center frequencies,
+    weighted by the lower filter's support endpoints; the outermost
+    filters extend to their own supports, clipped to ``[0, Nyquist]``
+    (reference: vis.py:477-501, including its choice of the lower filter's
+    ``(left, right)`` as the weights).
+    """
+    sup = computer.bank.supports_hz
+    centers = [(left + right) / 2 for left, right in sup]
+    bounds = np.empty(len(sup) + 1)
+    bounds[0] = max(0.0, sup[0][0])
+    bounds[-1] = min(computer.sampling_rate / 2, sup[-1][1])
+    for j in range(1, len(sup)):
+        w_low, w_high = sup[j - 1]
+        bounds[j] = (centers[j - 1] * w_high + centers[j] * w_low) / (
+            w_low + w_high
+        )
+    return bounds
+
+
+def _time_bounds(computer, num_samples: int) -> np.ndarray:
+    """Per-frame time boundaries in seconds, full frames only.
+
+    Frame edges sit a shift apart; centered computers offset interior
+    edges back by half a shift and close the final frame at its padding,
+    causal ones close it at the frame length (reference: vis.py:443-474).
+    """
+    length, shift = computer.frame_length, computer.frame_shift
+    pad_left = 0 if computer.frame_style == "causal" else (length + 1) // 2 - 1
+    num_frames = max(0, (num_samples + pad_left - length) // shift + 1)
+    if not num_frames:
+        raise ValueError(
+            f"signal too short for a full frame of computer {computer}"
+        )
+    bounds = np.arange(num_frames + 1, dtype=float) * shift
+    if pad_left:
+        bounds[1:-1] -= (shift + 1) // 2 - 1
+        bounds[-1] = bounds[-2] + pad_left
+    else:
+        bounds[-1] = bounds[-2] + length
+    return bounds / computer.sampling_rate
 
 
 def _require_plt():
@@ -208,19 +254,27 @@ def compare_feature_frames(
             sharex=True,
         )
         axes = [grid[r][c] for r, c in index]
+    shared_right = np.inf
     for i, (computer, f, ax) in enumerate(zip(computers, feats, axes)):
-        dt = computer.frame_shift / computer.sampling_rate
-        extent = (0.0, f.shape[0] * dt, 0.0, float(f.shape[1]))
-        ax.imshow(
-            f.T,
-            origin="lower",
-            aspect="auto",
-            extent=extent,
-            **kwargs,
-        )
-        ax.set_ylabel("Coefficient")
+        t_bounds = _time_bounds(computer, len(signal))
+        shared_right = min(shared_right, t_bounds[-1])
+        f = f[: len(t_bounds) - 1]
+        if isinstance(computer, LinearFilterBankFrameComputer):
+            # y axis in Hz, boundaries from the filter supports; the
+            # energy coefficient (if any) has no frequency and is dropped
+            if computer.includes_energy:
+                f = f[:, 1:]
+            y_bounds = _hz_feature_bounds(computer)
+            y_label = "Frequency (Hz)"
+        else:
+            y_bounds = np.arange(f.shape[1] + 1, dtype=float)
+            y_label = "Coefficient"
+        ax.pcolormesh(t_bounds, y_bounds, f.T, **kwargs)
+        ax.set_ylabel(y_label)
         if plot_titles is not None:
             ax.set_title(plot_titles[i])
+    for ax in axes:
+        ax.set_xlim((0.0, shared_right))
     axes[-1].set_xlabel("Time (s)")
     if title:
         fig.suptitle(title)

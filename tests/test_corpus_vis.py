@@ -176,3 +176,56 @@ def test_feature_corpus_with_workers(temp_dir):
             again[u] = f
     for u in seen:
         assert np.allclose(seen[u], again[u])
+
+
+def test_hz_feature_bounds_match_reference_math(mpl):
+    """Boundary derivation: support-weighted splits between filter centers,
+    outer filters clipped to [0, Nyquist] (reference: vis.py:477-501)."""
+    from speech_tpu.compute import STFTFrameComputer
+    from speech_tpu.vis import _hz_feature_bounds
+
+    c = STFTFrameComputer(dict(BANK), frame_length_ms=25, dtype="float64")
+    bounds = _hz_feature_bounds(c)
+    sup = c.bank.supports_hz
+    assert bounds.shape == (c.bank.num_filts + 1,)
+    assert bounds[0] == max(0.0, sup[0][0])
+    assert bounds[-1] == min(c.sampling_rate / 2, sup[-1][1])
+    centers = [(l + r) / 2 for l, r in sup]
+    for j in range(1, c.bank.num_filts):
+        lo_s, hi_s = sup[j - 1]
+        want = centers[j - 1] * (hi_s / (lo_s + hi_s)) + centers[j] * (
+            lo_s / (lo_s + hi_s)
+        )
+        assert np.isclose(bounds[j], want)
+        # splits sit between the adjacent centers
+        assert centers[j - 1] <= bounds[j] <= centers[j]
+
+
+def test_compare_feature_frames_hz_axis_and_energy_slice(mpl):
+    from speech_tpu.compute import STFTFrameComputer
+    from speech_tpu.vis import compare_feature_frames
+
+    rng = np.random.RandomState(64)
+    signal = rng.randn(4000)
+    c = STFTFrameComputer(
+        dict(BANK), frame_length_ms=25, include_energy=True, dtype="float64"
+    )
+    fig = compare_feature_frames(c, signal)
+    ax = fig.axes[0]
+    assert ax.get_ylabel() == "Frequency (Hz)"
+    # the heatmap has num_filts rows (energy coefficient sliced off)
+    mesh = ax.collections[0]
+    n_frames_cells = mesh.get_array().reshape(-1).shape[0]
+    assert n_frames_cells % c.bank.num_filts == 0
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_compare_feature_frames_too_short_signal_raises(mpl):
+    from speech_tpu.compute import STFTFrameComputer
+    from speech_tpu.vis import compare_feature_frames
+
+    c = STFTFrameComputer(dict(BANK), frame_length_ms=25, dtype="float64")
+    with pytest.raises(ValueError):
+        compare_feature_frames(c, np.zeros(10))
