@@ -17,7 +17,11 @@ Here scaling is SPMD over a :class:`jax.sharding.Mesh`:
 
 from .mesh import make_mesh, named_sharding  # noqa: F401
 from .extract import ShardedExtractor  # noqa: F401
-from .halo import halo_frame_signal, sharded_stft_feats  # noqa: F401
+from .halo import (  # noqa: F401
+    halo_frame_signal,
+    sharded_si_feats,
+    sharded_stft_feats,
+)
 from .stats import accumulate_stats, accumulate_stats_sharded  # noqa: F401
 from . import multihost  # noqa: F401
 
@@ -26,6 +30,7 @@ __all__ = [
     "named_sharding",
     "ShardedExtractor",
     "halo_frame_signal",
+    "sharded_si_feats",
     "sharded_stft_feats",
     "accumulate_stats",
     "accumulate_stats_sharded",

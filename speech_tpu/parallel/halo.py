@@ -25,9 +25,14 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.framing import reflect_index
+from ..ops import si as _si
 from ..ops import stft as _stft
 
-__all__ = ["halo_frame_signal", "sharded_stft_feats"]
+__all__ = ["halo_frame_signal", "sharded_stft_feats", "sharded_si_feats"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
 
 
 def _halo_exchange(chunk, halo: int, axis: str, n: int):
@@ -144,3 +149,64 @@ def sharded_stft_feats(computer, signal, mesh: Mesh, axis: str):
         computer._pad_left,
     )
     return _stft.stft_feats_from_frames(frames, params, **spec)
+
+
+def sharded_si_feats(computer, signal, mesh: Mesh, axis: str):
+    """Sequence-parallel SI features for one long, time-sharded signal.
+
+    Each chip owns ``span = sig_len / n`` samples and the corresponding
+    ``span / shift`` frames.  A frame's convolution taps plus its
+    integration window reach at most ``max_support - 1 + 2 * frame_shift``
+    samples beyond the span — one static halo exchange (a ``ppermute``
+    pair over ICI), after which the fused SI pipeline runs chip-local with
+    its alignment constants rebased into halo-extended coordinates.  At
+    the mesh edges ``ppermute`` yields zeros, which *is* the global
+    semantics: the SI computer zero-extends the signal (unlike the STFT
+    computer's symmetric reflection; reference: compute.py:774-847).
+
+    Returns ``(sig_len // shift, num_coeffs)``; the first
+    ``computer.frame_counts_np(sig_len)`` rows match
+    ``computer.compute_full(signal)`` exactly (the remainder, when any,
+    are the final-frame undershoot the reference also drops).
+    """
+    n = mesh.shape[axis]
+    sig_len = signal.shape[0]
+    s = computer._frame_shift
+    T = computer._kernel["max_support"]
+    halo = T - 1 + 2 * s
+    span = sig_len // n
+    if sig_len % n or span % s or span < halo:
+        raise ValueError(
+            f"sig_len ({sig_len}) must split into per-chip spans that are "
+            f"multiples of frame_shift ({s}) and at least the halo "
+            f"({halo} = max_support - 1 + 2*frame_shift)"
+        )
+    frames_per_shard = span // s
+    buf_len = span + 2 * halo
+    spec = computer._spec(_next_pow2(buf_len + T))
+    # rebase the y[0] anchor: local buffer position 0 is global sample
+    # d*span - halo, so the chip's first frame reads the local convolution
+    # starting halo samples later than the global shift_eff
+    spec["shift_eff"] = computer._shift_eff + halo
+    spec["energy_offset"] = spec["shift_eff"] - computer._kernel["translation"]
+    params = computer._params_for(spec)
+
+    def local(chunk):
+        left = lax.ppermute(
+            chunk[-halo:], axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        right = lax.ppermute(
+            chunk[:halo], axis, [(i + 1, i) for i in range(n - 1)]
+        )
+        buf = jnp.concatenate([left, chunk, right])
+        return _si.si_feats_from_signal(
+            buf, buf_len, frames_per_shard, params, **spec
+        )
+
+    fn = jax.shard_map(
+        functools.partial(local),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis, None),
+    )
+    return fn(signal)

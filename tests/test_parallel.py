@@ -232,3 +232,47 @@ def test_frontend_training_converges(computer):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+@pytest.mark.parametrize("style", ["causal", "centered"])
+@pytest.mark.parametrize("energy", [False, True], ids=["", "energy"])
+def test_sharded_si_feats_match_compute_full(style, energy):
+    """8-device time-sharded SI equals single-device compute_full
+    (halo = max_support - 1 + 2*shift; zero semantics at global edges)."""
+    from speech_tpu.compute import SIFrameComputer
+
+    c = SIFrameComputer(
+        {"name": "gammatone", "scaling_function": "mel", "num_filts": 6,
+         "sampling_rate": 8000},
+        frame_style=style,
+        include_energy=energy,
+        dtype="float64",
+    )
+    mesh = par.make_mesh(("t",))
+    n = mesh.shape["t"]
+    shift = c.frame_shift
+    # span must cover the halo
+    halo = c.max_support - 1 + 2 * shift
+    per = (-(-halo // shift) + 2) * shift
+    sig_len = n * per
+    rng = np.random.RandomState(8)
+    signal = rng.randn(sig_len)
+    got = np.asarray(par.sharded_si_feats(c, jnp.asarray(signal), mesh, "t"))
+    want = c.compute_full(signal)
+    assert got.shape[0] >= want.shape[0]  # undershoot quirk tail
+    assert got.shape[0] == sig_len // shift
+    assert np.allclose(got[: want.shape[0]], want, atol=1e-9), np.abs(
+        got[: want.shape[0]] - want
+    ).max()
+
+
+def test_sharded_si_feats_validates_span():
+    from speech_tpu.compute import SIFrameComputer
+
+    c = SIFrameComputer(
+        {"name": "fbank", "num_filts": 4, "sampling_rate": 8000},
+        dtype="float64",
+    )
+    mesh = par.make_mesh(("t",))
+    with pytest.raises(ValueError):
+        par.sharded_si_feats(c, jnp.zeros(mesh.shape["t"] * 8), mesh, "t")
