@@ -208,3 +208,41 @@ def test_profile_flag(wav_dir, temp_dir, capsys):
     )
     err = capsys.readouterr().err
     assert "stages" in err and "compute" in err
+
+
+def test_config_type_yaml(temp_dir):
+    """YAML configs load when a parser is available (pyyaml in this env),
+    matching the JSON fixture (reference: command_line.py:47-64)."""
+    pytest.importorskip("yaml")
+    import json as _json
+    import os
+
+    from speech_tpu.command_line import _config_type
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    got = _config_type(os.path.join(data_dir, "fbank.yaml"))
+    with open(os.path.join(data_dir, "fbank.json")) as f:
+        want = _json.load(f)
+    assert got == want
+
+
+def test_cli_accepts_yaml_computer_config(wav_dir, temp_dir):
+    pytest.importorskip("yaml")
+    pytest.importorskip("torch")
+    import os
+
+    from speech_tpu.command_line import signals_to_torch_feat_dir
+
+    cfg = os.path.join(temp_dir, "c.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "name: stft\n"
+            "bank: {name: fbank, num_filts: 6, sampling_rate: 8000}\n"
+            "frame_length_ms: 25\nframe_shift_ms: 10\n"
+        )
+    out = os.path.join(temp_dir, "out")
+    assert signals_to_torch_feat_dir([wav_dir, cfg, out]) == 0
+    import torch
+
+    t = torch.load(os.path.join(out, "utt00.pt"))
+    assert t.shape[-1] == 6
