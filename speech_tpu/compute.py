@@ -205,10 +205,18 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         'fft', 'matmul', 'pallas', or None to follow
         ``speech_tpu.config.FFT_MODE``.
     precision
-        Matmul precision: 'highest' (default; full f32, matches the
-        float64 reference to ~8e-7 max abs on log features, measured v5e)
-        or 'default' (single-pass bf16 MXU — ~25% faster on v5e but a
-        clearly reduced-precision tier at ~1.5e-2 max abs error).
+        Matmul precision tier:
+
+        - 'highest' (default): full f32.  Max abs log-feature error vs
+          float64, measured v5e: ~8e-7 on noise-like signals, up to
+          ~3e-5 at high-cancellation DFT bins of real speech (the f32
+          MXU accumulator's rounding floor).
+        - 'double': exact digit-decomposition matmuls
+          (:func:`speech_tpu.ops.stft.digitize_matrix`) — ~8e-7 max on
+          any signal, ~4.5x the matmul-stage cost (still >70,000x real
+          time); float32 dtype only.
+        - 'default': single-pass bf16 MXU — ~25% faster than 'highest'
+          but a clearly reduced-precision tier at ~1.5e-2 max abs error.
     """
 
     aliases = {"stft"}
@@ -238,6 +246,11 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         self._real = bank.is_real
         self._kaldi_shift = kaldi_shift
         self._dtype = jnp.dtype(dtype)
+        if precision == "double" and self._dtype != jnp.float32:
+            raise ValueError(
+                "precision='double' is the float32 exact-matmul tier; "
+                "use dtype='float64' with the default precision instead"
+            )
         self._fft_mode = fft_mode
         if frame_style is None:
             frame_style = "centered" if bank.is_zero_phase else "causal"
@@ -349,6 +362,21 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 "dft_cos": jnp.asarray(self._dft_cos, dtype=self._dtype),
                 "dft_sin": jnp.asarray(self._dft_sin, dtype=self._dtype),
             }
+            if self._precision == "double":
+                # digit planes for the exact-matmul tier (ops/stft.py)
+                for name, mat in (
+                    ("dft_cos", self._dft_cos),
+                    ("dft_sin", self._dft_sin),
+                ):
+                    planes, scale = _stft.digitize_matrix(mat)
+                    self._device_params[name + "_digits"] = jnp.asarray(planes)
+                    self._device_params[name + "_scale"] = jnp.float32(scale)
+                self._device_params["weights_lo"] = jnp.asarray(
+                    (
+                        self._weights
+                        - self._weights.astype(np.float32).astype(np.float64)
+                    ).astype(np.float32)
+                )
         return self._device_params
 
     @property
@@ -364,6 +392,9 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         )
 
     def _use_pallas(self) -> bool:
+        if self._precision == "double":
+            # the exact digit tier is an XLA path; it supersedes pallas
+            return False
         mode = self._fft_mode or config.FFT_MODE
         return mode == "pallas"
 

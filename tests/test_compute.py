@@ -204,6 +204,57 @@ def test_float32_device_path_accuracy(bank_cfg):
     assert np.max(np.abs(f64 - f32)) < 1e-5
 
 
+@pytest.mark.parametrize(
+    "bank, use_power",
+    [
+        ({"name": "fbank", "num_filts": 40, "sampling_rate": 16000}, True),
+        ({"name": "fbank", "num_filts": 40, "sampling_rate": 16000}, False),
+        ({"name": "gabor", "scaling_function": "mel", "num_filts": 40,
+          "sampling_rate": 16000}, True),
+        ({"name": "gammatone", "scaling_function": "mel", "num_filts": 40,
+          "sampling_rate": 16000}, True),
+    ],
+    ids=["fbank-power", "fbank-mag", "gabor", "gammatone"],
+)
+def test_double_precision_tier_on_real_speech(bank, use_power):
+    """precision='double' (exact digit matmuls) holds the <=1e-5 bound on
+    real speech, where the plain f32 path's MXU accumulator rounding
+    reaches ~3e-5 at high-cancellation DFT bins."""
+    from speech_tpu.io import read_signal
+
+    sig = read_signal(
+        os.path.join(os.path.dirname(DATA_DIR), "audio", "test.wav"),
+        dtype=np.float64,
+    )
+    kwargs = dict(
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        use_power=use_power,
+        kaldi_shift=True,
+        pad_to_nearest_power_of_two=True,
+    )
+    c64 = compute.STFTFrameComputer(dict(bank), dtype="float64", **kwargs)
+    cdd = compute.STFTFrameComputer(
+        dict(bank), dtype="float32", precision="double", **kwargs
+    )
+    want = c64.compute_full(sig)
+    got = cdd.compute_full(sig.astype(np.float32)).astype(np.float64)
+    err = np.abs(got - want)
+    assert err.max() < 1e-5, err.max()
+    assert err.mean() < 5e-7
+
+
+def test_double_precision_requires_float32():
+    with pytest.raises(ValueError):
+        compute.STFTFrameComputer(
+            {"name": "fbank", "num_filts": 8},
+            frame_length_ms=25,
+            frame_shift_ms=10,
+            dtype="float64",
+            precision="double",
+        )
+
+
 @pytest.mark.parametrize("use_power", [True, False])
 @pytest.mark.parametrize("kaldi_shift", [True, False])
 @pytest.mark.parametrize(
