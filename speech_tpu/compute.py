@@ -680,6 +680,13 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         (``lax.conv``; measured slower on TPU — XLA lowers long 1D
         convolutions poorly), or 'auto' ('matmul' up to supports of
         ``16 * CONV_BLOCK`` samples, then 'fft').
+    precision
+        'highest' (default) or 'double' — exact digit-decomposition
+        convolution matmuls (float32 only, implies conv_mode='matmul';
+        see :class:`ShortTimeFourierTransformFrameComputer`): <=1e-5 max
+        abs log-feature error vs float64 on any signal, where the plain
+        f32 conv's MXU rounding floor reaches ~2e-5 (gammatone) to ~2e-4
+        (fbank) on real speech.
     """
 
     aliases = {"si"}
@@ -696,9 +703,22 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         use_log: bool = True,
         dtype: str = "float32",
         conv_mode: str = "auto",
+        precision: str = "highest",
     ):
         if conv_mode not in ("auto", "fft", "direct", "matmul"):
             raise ValueError(f"Invalid conv_mode: {conv_mode}")
+        if precision == "double":
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError(
+                    "precision='double' is the float32 exact-matmul tier; "
+                    "use dtype='float64' with the default precision instead"
+                )
+            if conv_mode == "fft" or conv_mode == "direct":
+                raise ValueError(
+                    "precision='double' requires the matmul convolution"
+                )
+            conv_mode = "matmul"
+        self._precision = precision
         self._conv_mode = conv_mode
         bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
         self._rate = bank.sampling_rate
@@ -794,23 +814,27 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
 
     def _params_for(self, spec: dict) -> dict:
         """Device params for a pipeline spec; conv_mode='matmul' adds the
-        banded-Toeplitz block matrices (built once, cached)."""
+        banded-Toeplitz band matrices (precision='double': their exact
+        digit planes instead).  Built once, cached."""
         params = self.params
         if spec["conv_mode"] != "matmul":
             return params
         if self._conv_block_params is None:
             firs = self._kernel["firs"]
-            blocks = {
-                "conv_re_blocks": jnp.asarray(
-                    _si.toeplitz_conv_blocks(np.ascontiguousarray(firs.real)),
-                    dtype=self._dtype,
-                )
-            }
+            parts = [("conv_re", np.ascontiguousarray(firs.real))]
             if not self._kernel["is_real"]:
-                blocks["conv_im_blocks"] = jnp.asarray(
-                    _si.toeplitz_conv_blocks(np.ascontiguousarray(firs.imag)),
-                    dtype=self._dtype,
-                )
+                parts.append(("conv_im", np.ascontiguousarray(firs.imag)))
+            blocks = {}
+            for name, part in parts:
+                band = _si.toeplitz_conv_blocks(part)
+                if self._precision == "double":
+                    planes, scale = _stft.digitize_matrix(band)
+                    blocks[name + "_digits"] = jnp.asarray(planes)
+                    blocks[name + "_scale"] = jnp.float32(scale)
+                else:
+                    blocks[name + "_blocks"] = jnp.asarray(
+                        band, dtype=self._dtype
+                    )
             self._conv_block_params = blocks
         return {**params, **self._conv_block_params}
 
@@ -835,6 +859,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             fft_size=fft_size,
             energy_offset=self._shift_eff - self._kernel["translation"],
             conv_mode=conv_mode,
+            precision=self._precision,
         )
 
     def _fn(self, buf_len: int, num_frames: int):

@@ -157,6 +157,7 @@ def si_feats_from_signal(
     fft_size: int,
     energy_offset: int = 0,
     conv_mode: str = "fft",
+    precision: str = "highest",
 ):
     """Jittable SI pipeline for one signal buffer.
 
@@ -208,29 +209,97 @@ def si_feats_from_signal(
         # toeplitz_conv_blocks): pure MXU work, no FFT.  Output block i of
         # width V sums shifted input blocks against the (K+1, F, V, V)
         # band matrices in params.
-        V = params["conv_re_blocks"].shape[-1]
-        Kk = params["conv_re_blocks"].shape[0] - 1
+        if precision == "double":
+            V = params["conv_re_digits"].shape[-1]
+            Kk = params["conv_re_digits"].shape[1] - 1
+        else:
+            V = params["conv_re_blocks"].shape[-1]
+            Kk = params["conv_re_blocks"].shape[0] - 1
         m_hi = shift_eff + ny
         pl = max(0, -shift_eff)
         nb = max(1, -(-max(m_hi, 1) // V))
         sig_pad = jnp.pad(signal, (0, max(0, nb * V - signal.shape[0])))
-        Xb = sig_pad[: nb * V].reshape(nb, V)
-        # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
-        Xsh = jnp.stack(
-            [jnp.pad(Xb, ((k, 0), (0, 0)))[:nb] for k in range(Kk + 1)]
-        )
 
-        def _conv_part_blocks(A):
-            Y = jnp.einsum(
-                "kbv,kfvw->fbw", Xsh, A, precision=jax.lax.Precision.HIGHEST
+        def _shifted_blocks(flat):
+            Xb = flat[: nb * V].reshape(nb, V)
+            # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
+            return jnp.stack(
+                [jnp.pad(Xb, ((k, 0), (0, 0)))[:nb] for k in range(Kk + 1)]
             )
-            y = Y.reshape(A.shape[1], nb * V)
+
+        def _finish_conv(Y):
+            y = Y.reshape(Y.shape[0], nb * V)
             if pl:
                 y = jnp.pad(y, ((0, 0), (pl, 0)))
             part = jax.lax.slice_in_dim(
                 y, shift_eff + pl, shift_eff + pl + ny, axis=1
             )
             return jnp.where(valid[None, :], part, 0)
+
+        if precision == "double":
+            # exact digit tier (see ops/stft.py): the signal splits under
+            # one per-signal power-of-two scale into base-64 digit planes
+            # (5 planes: full f32 content down to ~-66 dB of the signal
+            # peak), the band matrices into 6; every einsum pass then
+            # multiplies and accumulates integers below 2^24 — exact in
+            # f32 — leaving only the 2^-36 pair cutoff.
+            from .stft import _SI_X_DIGITS, _PAIR_CUTOFF, _DIGIT_BASE
+
+            m = jnp.max(jnp.abs(sig_pad))
+            _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
+            x_scale = jnp.ldexp(jnp.ones_like(m), e)
+            v = sig_pad / x_scale
+            base = np.float32(_DIGIT_BASE)
+            planes = []
+            for _ in range(_SI_X_DIGITS):
+                d = jnp.round(v * base)
+                v = v * base - d
+                planes.append(d)
+            Xsh_stack = jnp.stack(planes)  # (XD, L)
+
+            def _conv_part_digits(A_digits, A_scale):
+                # lax.scan forces one pair in flight: the 20 einsums are
+                # independent, and letting XLA schedule them freely keeps
+                # too many (batch, F, nb, V) buffers live at once (OOM on
+                # a 16 GB chip at production batch sizes)
+                from .stft import digit_pair_schedule
+
+                pairs = digit_pair_schedule(_SI_X_DIGITS, A_digits.shape[0])
+                ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
+                jj = jnp.asarray([j for _, j in pairs], jnp.int32)
+                ww = jnp.asarray(
+                    [_DIGIT_BASE ** -(i + j + 2) for i, j in pairs],
+                    jnp.float32,
+                )
+                nF = A_digits.shape[2]
+
+                def step(acc, t):
+                    xd = _shifted_blocks(
+                        jax.lax.dynamic_index_in_dim(
+                            Xsh_stack, ii[t], 0, keepdims=False
+                        )
+                    )
+                    ad = jax.lax.dynamic_index_in_dim(
+                        A_digits, jj[t], 0, keepdims=False
+                    )
+                    p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
+                    return acc + p * ww[t], None
+
+                acc = jnp.zeros((nF, nb, V), jnp.float32)
+                acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
+                return _finish_conv(acc * (x_scale * A_scale))
+
+        else:
+            Xsh = _shifted_blocks(sig_pad)
+
+            def _conv_part_blocks(A):
+                Y = jnp.einsum(
+                    "kbv,kfvw->fbw",
+                    Xsh,
+                    A,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return _finish_conv(Y)
 
     elif conv_mode == "fft" and fft_size >= 4 * _next_pow2(2 * max_support):
         # blocked overlap-save: batched medium-size real FFTs run far more
@@ -271,7 +340,14 @@ def si_feats_from_signal(
             part = jax.lax.slice_in_dim(conv, shift_eff + pl, shift_eff + pl + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
 
-    if conv_mode == "matmul":
+    if conv_mode == "matmul" and precision == "double":
+        conv_re = lambda: _conv_part_digits(
+            params["conv_re_digits"], params["conv_re_scale"]
+        )
+        conv_im = lambda: _conv_part_digits(
+            params["conv_im_digits"], params["conv_im_scale"]
+        )
+    elif conv_mode == "matmul":
         conv_re = lambda: _conv_part_blocks(params["conv_re_blocks"])
         conv_im = lambda: _conv_part_blocks(params["conv_im_blocks"])
     else:

@@ -54,7 +54,9 @@ __all__ = [
 # on real speech is ~8e-7 max at ~4.5x the matmul-stage cost.
 
 _DIGIT_BASE = 64.0  # 7-bit signed digits: products <= 64^2, K-sums < 2^24
-_X_DIGITS = 4  # 24 bits — an f32 signal splits exactly
+_X_DIGITS = 4  # 24 bits — a per-frame-scaled f32 signal splits exactly
+_SI_X_DIGITS = 5  # the SI conv scales per signal, not per frame: one more
+# plane keeps full f32 content down to ~-66 dB of the signal peak
 _M_DIGITS = 6  # 36 bits of the float64 DFT matrices
 _PAIR_CUTOFF = 5  # keep i + j <= 5 (weight >= 64^-7 ~ 2^-42 of the scale)
 
@@ -92,21 +94,26 @@ def _digitize_frames(x):
     return jnp.stack(planes), scale
 
 
+def digit_pair_schedule(n_x: int, n_m: int):
+    """Kept ``(i, j)`` digit pairs, smallest weight first — so the single
+    running accumulator in the dots below sums ascending in magnitude
+    (each add rounds against a partial no larger than the result) and
+    only one pair buffer is ever live (memory, not just accuracy)."""
+    pairs = [
+        (i, j)
+        for i in range(n_x)
+        for j in range(n_m)
+        if i + j <= _PAIR_CUTOFF
+    ]
+    return sorted(pairs, key=lambda ij: -(ij[0] + ij[1]))
+
+
 def _exact_digit_dot(planes, M_planes):
     """``x @ M`` with every MXU pass exact; scales applied by the caller."""
-    groups = {}
-    for i in range(planes.shape[0]):
-        for j in range(M_planes.shape[0]):
-            k = i + j
-            if k > _PAIR_CUTOFF:
-                continue
-            p = jnp.matmul(planes[i], M_planes[j])  # 1 bf16 pass, exact
-            groups[k] = p if k not in groups else groups[k] + p
-    # combine ascending in magnitude (largest k first) so each add rounds
-    # against a partial no larger than the result
     out = None
-    for k in sorted(groups, reverse=True):
-        term = groups[k] * np.float32(_DIGIT_BASE ** -(k + 2))
+    for i, j in digit_pair_schedule(planes.shape[0], M_planes.shape[0]):
+        p = jnp.matmul(planes[i], M_planes[j])  # 1 bf16 pass, exact
+        term = p * np.float32(_DIGIT_BASE ** -(i + j + 2))
         out = term if out is None else out + term
     return out
 

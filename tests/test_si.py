@@ -243,3 +243,44 @@ def test_si_sharded_extractor_on_mesh():
         want = computer.compute_full(s)
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize(
+    "bank",
+    [
+        {"name": "gammatone", "scaling_function": "mel", "num_filts": 40,
+         "sampling_rate": 16000},
+        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
+    ],
+    ids=["gammatone", "fbank"],
+)
+def test_si_double_precision_tier_on_real_speech(bank):
+    """precision='double' (exact digit conv matmuls) holds <=1e-5 on real
+    speech; the plain f32 conv's MXU floor reaches ~2e-5 (gammatone) to
+    ~2e-4 (fbank) at out-of-band/high-cancellation outputs."""
+    import os
+
+    from speech_tpu.io import read_signal
+
+    sig = read_signal(
+        os.path.join(os.path.dirname(__file__), "audio", "test.wav"),
+        dtype=np.float64,
+    )
+    c64 = SIFrameComputer(
+        dict(bank), dtype="float64", conv_mode="matmul", include_energy=True
+    )
+    cdd = SIFrameComputer(
+        dict(bank), dtype="float32", precision="double", include_energy=True
+    )
+    want = c64.compute_full(sig)
+    got = cdd.compute_full(sig.astype(np.float32)).astype(np.float64)
+    err = np.abs(got - want)
+    assert err.max() < 1e-5, err.max()
+
+
+def test_si_double_precision_guards():
+    bank = {"name": "fbank", "num_filts": 4, "sampling_rate": 8000}
+    with pytest.raises(ValueError):
+        SIFrameComputer(dict(bank), dtype="float64", precision="double")
+    with pytest.raises(ValueError):
+        SIFrameComputer(dict(bank), conv_mode="fft", precision="double")
