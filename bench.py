@@ -28,7 +28,8 @@ def _throughput(computer, batch: int, seconds: int, rate: int = 16000):
     max_len = seconds * rate
     rng = np.random.RandomState(0)
     signals = jnp.asarray(rng.randn(batch, max_len).astype(np.float32))
-    lengths = jnp.full((batch,), max_len, dtype=jnp.int32)
+    # host lengths: lets compute_batch use its static full-length padding
+    lengths = np.full((batch,), max_len, dtype=np.int32)
     feats, counts = computer.compute_batch(signals, lengths)  # compile
     np.asarray(feats[0, 0])
     inner, best = 20, float("inf")

@@ -513,13 +513,55 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             garbage and must be masked by the caller.
         """
         signals = jnp.asarray(signals, dtype=self._dtype)
-        lengths = jnp.asarray(lengths)
         max_len = signals.shape[-1]
         max_frames = _framing.frame_count_np(
             max_len, self._frame_length, self._frame_shift
         )
+        # host-known all-full lengths (the bucketed production case): the
+        # symmetric padding is fully static, skipping pad_signal's
+        # traced-offset ops (~2.5 ms on the v5e headline batch)
+        if (
+            not isinstance(lengths, jax.Array)
+            and max_len >= self._frame_length
+            and (np.asarray(lengths) == max_len).all()
+        ):
+            feats = self._batch_full_fn(max_len, max_frames)(signals)
+            counts = jnp.full((signals.shape[0],), max_frames, jnp.int32)
+            return feats, counts
         fn = self._batch_fn(max_len, max_frames)
-        return fn(signals, lengths)
+        return fn(signals, jnp.asarray(lengths))
+
+    def _batch_full_fn(self, max_len: int, max_frames: int):
+        key = ("batchfull", max_len, max_frames)
+        fn = self._full_fns.get(key)
+        if fn is None:
+            params = self.params
+            spec = self._static_spec
+            frame_length = self._frame_length
+            frame_shift = self._frame_shift
+            pad_left = self._pad_left
+            use_pallas = self._use_pallas()
+
+            def one(signal):
+                padded = _framing.pad_signal_full(
+                    signal, frame_length, pad_left
+                )
+                if use_pallas:
+                    return padded
+                frames = _framing.frame_padded(
+                    padded, max_frames, frame_length, frame_shift
+                )
+                return _stft.stft_feats_from_frames(frames, params, **spec)
+
+            def run(signals):
+                feats = jax.vmap(one)(signals)
+                if use_pallas:
+                    feats = self._pallas_feats(feats, max_frames)
+                return feats
+
+            fn = jax.jit(run)
+            self._full_fns[key] = fn
+        return fn
 
     def _batch_fn(self, max_len: int, max_frames: int):
         key = ("batch", max_len, max_frames)

@@ -6,6 +6,8 @@ from pickle import load as pickle_load
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 import speech_tpu.compute as compute
 
 from speech_tpu.alias import alias_factory_subclass_from_arg
@@ -346,3 +348,26 @@ def test_precision_option():
     b = lo.compute_full(sig)
     # on CPU float64 both precisions are exact
     assert np.allclose(a, b, atol=1e-10)
+
+
+def test_compute_batch_full_length_fast_path(frame_style):
+    """Host-known all-full lengths use the static-padding program; output
+    must match the general traced-lengths path exactly."""
+    comp = compute.STFTFrameComputer(
+        {"name": "fbank", "num_filts": 10},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        frame_style=frame_style,
+        dtype="float64",
+    )
+    rng = np.random.RandomState(77)
+    batch = rng.randn(3, 2048)
+    f_fast, c_fast = comp.compute_batch(batch, np.full(3, 2048))
+    f_gen, c_gen = comp.compute_batch(batch, jnp.asarray(np.full(3, 2048)))
+    assert np.array_equal(np.asarray(c_fast), np.asarray(c_gen))
+    assert np.allclose(np.asarray(f_fast), np.asarray(f_gen), atol=0, rtol=0)
+    # and the fast path matches compute_full per signal
+    for i in range(3):
+        full = comp.compute_full(batch[i])
+        assert np.allclose(np.asarray(f_fast)[i, : len(full)], full)
