@@ -70,6 +70,8 @@ def main():
     )
     si_rt = _throughput(si, batch=32, seconds=10)
 
+    chain_rt = _full_chain_throughput(stft, batch=128, seconds=15)
+
     print(
         json.dumps(
             {
@@ -78,9 +80,50 @@ def main():
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(fbank_rt / 5000.0, 3),
                 "si_gammatone_rt_factor": round(si_rt, 1),
+                "full_chain_rt_factor": round(chain_rt, 1),
             }
         )
     )
+
+
+def _full_chain_throughput(computer, batch: int, seconds: int, rate=16000):
+    """BASELINE.json configs #2/#4: dither + preemphasis pre-ops, fbank,
+    then deltas(order 2) + local CMVN + frame stacking, all in ONE jitted
+    device program."""
+    from speech_tpu.ops import postops as _postops
+    from speech_tpu.pre import dither, preemphasize
+
+    max_len = seconds * rate
+    rng = np.random.RandomState(1)
+    signals = jnp.asarray(rng.randn(batch, max_len).astype(np.float32))
+    filts = _postops.delta_filters(2)
+    fn = computer._batch_full_fn(
+        max_len,
+        (max_len + computer.frame_shift // 2) // computer.frame_shift,
+    )
+
+    @jax.jit
+    def chain(key, signals):
+        keys = jax.random.split(key, signals.shape[0])
+        sigs = jax.vmap(lambda k, s: preemphasize(dither(k, s, 0.1)))(
+            keys, signals
+        )
+        feats = fn(sigs)
+        feats = _postops.deltas(feats, filts)
+        feats = _postops.standardize(feats)
+        return _postops.stack(feats, 3, pad=True)
+
+    key = jax.random.PRNGKey(0)
+    out = chain(key, signals)
+    np.asarray(out[0, 0, 0])
+    inner, best = 20, float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(inner):
+            out = chain(key, signals)
+        np.asarray(out[0, 0, 0])
+        best = min(best, (time.perf_counter() - start) / inner)
+    return batch * seconds / best
 
 
 if __name__ == "__main__":
