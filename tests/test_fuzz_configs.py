@@ -46,6 +46,9 @@ for i in range(16):
         kw["frame_length_ms"] = float(rng.choice([20, 25, 32]))
         kw["pad_to_nearest_power_of_two"] = bool(rng.randint(2))
         kw["kaldi_shift"] = bool(rng.randint(2))
+        kw["fft_mode"] = str(rng.choice(["matmul", "fft"]))
+    else:
+        kw["conv_mode"] = str(rng.choice(["matmul", "fft"]))
     CASES.append((str(kind), bank, kw))
 
 
@@ -77,6 +80,8 @@ def test_random_config_matches_reference(reference_speech, kind, bank, kw):
     )
     cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
     ref_kw = dict(kw)
+    ref_kw.pop("fft_mode", None)
+    ref_kw.pop("conv_mode", None)
     if kind == "si":
         ref_kw.pop("frame_length_ms", None)
     ours = cls(dict(bank), dtype="float64", **kw)
