@@ -49,10 +49,16 @@ logger = logging.getLogger("speech_tpu.command_line")
 
 
 def _config_type(string):
-    """JSON (or YAML, if available) string or path -> config object
-    (reference: command_line.py:147-164)."""
+    """JSON (or YAML, if available) string, file path, or preset name ->
+    config object (reference: command_line.py:147-164; presets are this
+    package's addition — see :mod:`speech_tpu.models.presets`)."""
     if string.lstrip().startswith(("{", "[", '"')):
         return json.loads(string)
+    if not os.path.exists(string):
+        from .models.presets import PRESETS, preset_config
+
+        if string in PRESETS:
+            return preset_config(string)
     with open(string) as f:
         text = f.read()
     try:

@@ -1,9 +1,10 @@
 """Model families: the feature computers and trainable frontends.
 
-Structural alias for the framework's "models" — the configurable feature
-extractors (`speech_tpu.compute`) and their learnable counterparts
-(`speech_tpu.nn`, `speech_tpu.torch`).  Everything here re-exports from
-those canonical homes.
+The configurable feature extractors (`speech_tpu.compute`), their
+learnable counterparts (`speech_tpu.nn`, `speech_tpu.torch`), and the
+named preset recipes (`speech_tpu.models.presets`: ``create("fbank-80-16k")``,
+``preset_config(name)`` — also accepted by the CLI wherever a computer
+config is expected).
 """
 
 from ..compute import (  # noqa: F401
@@ -16,6 +17,7 @@ from ..compute import (  # noqa: F401
     frame_by_frame_calculation,
 )
 from ..nn import STFTFrontend  # noqa: F401
+from .presets import PRESETS, create, preset_config  # noqa: F401
 from ..streaming import (  # noqa: F401
     SIStreamState,
     StreamingSI,
@@ -24,6 +26,9 @@ from ..streaming import (  # noqa: F401
 )
 
 __all__ = [
+    "PRESETS",
+    "create",
+    "preset_config",
     "FrameComputer",
     "LinearFilterBankFrameComputer",
     "ShortIntegrationFrameComputer",
