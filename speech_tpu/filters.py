@@ -542,44 +542,44 @@ class GaborFilterBank(LinearFilterBank):
         )
         log_2 = np.log(2)
         log_pi = np.log(np.pi)
-        t_support_const = -2 * np.log(config.EFFECTIVE_SUPPORT_THRESHOLD)
-        f_support_const = t_support_const
+        time_thresh_log = -2 * np.log(config.EFFECTIVE_SUPPORT_THRESHOLD)
+        freq_thresh_log = time_thresh_log
         if scale_l2_norm:
-            f_support_const += log_2 + 0.5 * log_pi
-            t_support_const -= 0.5 * log_pi
+            freq_thresh_log += log_2 + 0.5 * log_pi
+            time_thresh_log -= 0.5 * log_pi
         else:
-            t_support_const -= log_2 + log_pi
+            time_thresh_log -= log_2 + log_pi
         if erb:
-            bandwidth_const = np.sqrt(np.pi) / 2
+            crossing_factor = np.sqrt(np.pi) / 2
         else:
-            bandwidth_const = np.sqrt(3 / 10 * np.log(10))
+            crossing_factor = np.sqrt(3 / 10 * np.log(10))
         left_edges, right_edges = edges[:-1], edges[1:]
         centers_hz = (left_edges + right_edges) / 2
         centers_ang = hertz_to_angular(centers_hz, self._rate)
-        stds = bandwidth_const / hertz_to_angular(
+        stds = crossing_factor / hertz_to_angular(
             centers_hz - left_edges, self._rate
         )
         log_stds = np.log(stds)
         if scale_l2_norm:
-            diff_ang = np.sqrt(log_stds + f_support_const) / stds
-            wrap_diff_ang = np.sqrt(log_stds + f_support_const + log_2) / stds
-            diff_samps = np.ceil(
-                stds * np.sqrt(t_support_const - log_stds)
+            halfwidth_ang = np.sqrt(log_stds + freq_thresh_log) / stds
+            wrap_halfwidth_ang = np.sqrt(log_stds + freq_thresh_log + log_2) / stds
+            halfwidth_samps = np.ceil(
+                stds * np.sqrt(time_thresh_log - log_stds)
             ).astype(np.int64)
         else:
-            diff_ang = np.sqrt(f_support_const) / stds
-            wrap_diff_ang = np.sqrt(f_support_const + log_2) / stds
-            diff_samps = np.ceil(
-                stds * np.sqrt(t_support_const - 2 * log_stds)
+            halfwidth_ang = np.sqrt(freq_thresh_log) / stds
+            wrap_halfwidth_ang = np.sqrt(freq_thresh_log + log_2) / stds
+            halfwidth_samps = np.ceil(
+                stds * np.sqrt(time_thresh_log - 2 * log_stds)
             ).astype(np.int64)
-        self._wrap_below = bool(np.any(centers_ang - diff_ang < 0))
+        self._wrap_below = bool(np.any(centers_ang - halfwidth_ang < 0))
         self._centers_ang = tuple(centers_ang)
         self._centers_hz = tuple(centers_hz)
         self._stds = tuple(stds)
         self._supports_ang = tuple(
-            zip(centers_ang - diff_ang, centers_ang + diff_ang)
+            zip(centers_ang - halfwidth_ang, centers_ang + halfwidth_ang)
         )
-        self._wrap_supports_ang = tuple(2 * wrap_diff_ang)
+        self._wrap_supports_ang = tuple(2 * wrap_halfwidth_ang)
         self._supports_hz = tuple(
             (
                 angular_to_hertz(ang_l, self._rate),
@@ -588,7 +588,7 @@ class GaborFilterBank(LinearFilterBank):
             for ang_l, ang_h in self._supports_ang
         )
         self._supports = tuple(
-            (-int(d), int(d)) for d in diff_samps
+            (-int(d), int(d)) for d in halfwidth_samps
         )
 
     @property
@@ -800,16 +800,16 @@ class ComplexGammatoneFilterBank(LinearFilterBank):
         supp_a = (2 / order) * (log_cs + log_factorial - log_eps)
         wrap_supp_a = supp_a + (2 / order) * log_2
         supp_b = np.exp(2 * log_alphas)
-        diff_ang = (np.exp(supp_a) - supp_b) ** 0.5
-        wrap_diff_ang = (np.exp(wrap_supp_a) - supp_b) ** 0.5
+        halfwidth_ang = (np.exp(supp_a) - supp_b) ** 0.5
+        wrap_halfwidth_ang = (np.exp(wrap_supp_a) - supp_b) ** 0.5
         self._centers_hz = tuple(centers_hz)
         self._xis = tuple(xis)
         self._alphas = tuple(alphas)
         self._cs = tuple(cs)
         self._offsets = tuple(offsets)
-        self._supports_ang = tuple(zip(xis - diff_ang, xis + diff_ang))
-        self._wrap_below = bool(np.any(xis - diff_ang < 0))
-        self._wrap_supports_ang = tuple(2 * wrap_diff_ang)
+        self._supports_ang = tuple(zip(xis - halfwidth_ang, xis + halfwidth_ang))
+        self._wrap_below = bool(np.any(xis - halfwidth_ang < 0))
+        self._wrap_supports_ang = tuple(2 * wrap_halfwidth_ang)
         self._supports_hz = tuple(
             (
                 angular_to_hertz(ang_l, self._rate),
