@@ -10,9 +10,10 @@ Streaming (`compute_chunk`/`finalize`) keeps the reference's exact frame
 boundary and symmetric-padding semantics: a signal chunked arbitrarily
 assembles the identical virtual sample stream as `compute_full`.  In
 ``float64`` the two paths agree to machine noise; in ``float32`` (the TPU
-production dtype) they agree to ~1e-3 absolute on log features, because the
-gather-framing program and the frame-batch program are separately compiled
-and XLA's f32 reduction orders differ between them.
+production dtype) they agree to ~2e-5 absolute on log features (the
+gather-framing and frame-batch programs are separately compiled, so f32
+reduction orders differ), and to ~1e-6 under ``precision='double'`` —
+exact matmuls are reduction-order invariant.
 """
 
 import abc
