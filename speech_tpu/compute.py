@@ -364,14 +364,17 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 "dft_sin": jnp.asarray(self._dft_sin, dtype=self._dtype),
             }
             if self._precision == "double":
-                # digit planes for the exact-matmul tier (ops/stft.py)
-                for name, mat in (
-                    ("dft_cos", self._dft_cos),
-                    ("dft_sin", self._dft_sin),
-                ):
-                    planes, scale = _stft.digitize_matrix(mat)
-                    self._device_params[name + "_digits"] = jnp.asarray(planes)
-                    self._device_params[name + "_scale"] = jnp.float32(scale)
+                # grouped digit-pair matrices for the exact-matmul tier
+                # (ops/stft.py digit_group_matrices)
+                mats, gw, cs, ss, _ = _stft.digit_group_matrices(
+                    self._dft_cos, self._dft_sin
+                )
+                self._device_params["dft_group_mats"] = jnp.asarray(
+                    mats, dtype=jnp.bfloat16  # integer digits: exact
+                )
+                self._device_params["dft_group_weights"] = jnp.asarray(gw)
+                self._device_params["dft_cos_scale"] = jnp.float32(cs)
+                self._device_params["dft_sin_scale"] = jnp.float32(ss)
                 self._device_params["weights_lo"] = jnp.asarray(
                     (
                         self._weights

@@ -243,7 +243,7 @@ def si_feats_from_signal(
             # peak), the band matrices into 6; every einsum pass then
             # multiplies and accumulates integers below 2^24 — exact in
             # f32 — leaving only the 2^-36 pair cutoff.
-            from .stft import _SI_X_DIGITS, _PAIR_CUTOFF, _DIGIT_BASE
+            from .stft import _SI_X_DIGITS, _SI_PAIR_CUTOFF, _DIGIT_BASE
 
             m = jnp.max(jnp.abs(sig_pad))
             _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
@@ -264,7 +264,9 @@ def si_feats_from_signal(
                 # a 16 GB chip at production batch sizes)
                 from .stft import digit_pair_schedule
 
-                pairs = digit_pair_schedule(_SI_X_DIGITS, A_digits.shape[0])
+                pairs = digit_pair_schedule(
+                    _SI_X_DIGITS, A_digits.shape[0], _SI_PAIR_CUTOFF
+                )
                 ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
                 jj = jnp.asarray([j for _, j in pairs], jnp.int32)
                 ww = jnp.asarray(

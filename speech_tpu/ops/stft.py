@@ -35,6 +35,7 @@ from .. import config as _config
 
 __all__ = [
     "digitize_matrix",
+    "digit_group_matrices",
     "fold_bank_to_weights",
     "windowed_dft_matrices",
     "stft_feats_from_frames",
@@ -51,14 +52,22 @@ __all__ = [
 # exactly representable in bf16), so every single-pass MXU matmul
 # multiplies exact products and accumulates integers below 2^24 — exact
 # in f32.  Kept digit pairs reach 2^-36 relative; measured feature error
-# on real speech is ~8e-7 max at ~4.5x the matmul-stage cost.
+# on real speech is ~7e-7 max.  Equal-weight pairs run as one grouped
+# matmul (digit_group_matrices), so the whole tier is ~6 MXU passes.
 
 _DIGIT_BASE = 64.0  # 7-bit signed digits: products <= 64^2, K-sums < 2^24
-_X_DIGITS = 4  # 24 bits — a per-frame-scaled f32 signal splits exactly
-_SI_X_DIGITS = 5  # the SI conv scales per signal, not per frame: one more
-# plane keeps full f32 content down to ~-66 dB of the signal peak
+_X_DIGITS = 5  # 30 bits below the frame peak.  4 planes (24 bits) are NOT
+# enough: samples quieter than the frame peak truncate at 2^-25*peak, and
+# on real speech those residues add coherently across a frame into DFT
+# errors up to ~3e-6*peak — measured 5.3e-5 max log-feature error on a
+# 15 s utterance.  The 5th plane puts the worst case back to ~7e-7.
+_SI_X_DIGITS = 6  # the SI conv scales per signal, not per frame, so a loud
+# transient followed by quiet speech stresses capture depth the way quiet
+# in-frame samples do above: 5 planes measured 6.8e-6 max on a 60 dB
+# click-to-speech gap; the 6th (one extra pair, +5%) holds it at ~6e-7
 _M_DIGITS = 6  # 36 bits of the float64 DFT matrices
 _PAIR_CUTOFF = 5  # keep i + j <= 5 (weight >= 64^-7 ~ 2^-42 of the scale)
+_SI_PAIR_CUTOFF = 5  # the SI conv's own budget (see ops/si.py)
 
 
 def digitize_matrix(M: np.ndarray, ndig: int = _M_DIGITS):
@@ -76,10 +85,13 @@ def digitize_matrix(M: np.ndarray, ndig: int = _M_DIGITS):
 
 
 def _digitize_frames(x):
-    """(..., K) float32 -> (_X_DIGITS, ..., K) digit planes + po2 scale.
+    """(..., K) float32 -> (..., _X_DIGITS * K) stacked digit planes + po2
+    scale.
 
     Every step is exact in f32: the scale is a power of two, v*64 shifts
     the exponent, and subtracting the rounded integer leaves |v| <= 1/2.
+    Planes are concatenated along the last axis (plane 0 first) so one
+    matmul against a block matrix contracts all of them at once.
     """
     m = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
@@ -91,31 +103,79 @@ def _digitize_frames(x):
         d = jnp.round(v * base)
         v = v * base - d
         planes.append(d)
-    return jnp.stack(planes), scale
+    return jnp.concatenate(planes, axis=-1), scale
 
 
-def digit_pair_schedule(n_x: int, n_m: int):
-    """Kept ``(i, j)`` digit pairs, smallest weight first — so the single
-    running accumulator in the dots below sums ascending in magnitude
-    (each add rounds against a partial no larger than the result) and
-    only one pair buffer is ever live (memory, not just accuracy)."""
+def digit_pair_schedule(n_x: int, n_m: int, cutoff: int = _PAIR_CUTOFF):
+    """Kept ``(i, j)`` digit pairs, smallest weight first — so a single
+    running accumulator sums ascending in magnitude (each add rounds
+    against a partial no larger than the result) and only one pair buffer
+    is ever live at a time (memory, not just accuracy)."""
     pairs = [
-        (i, j)
-        for i in range(n_x)
-        for j in range(n_m)
-        if i + j <= _PAIR_CUTOFF
+        (i, j) for i in range(n_x) for j in range(n_m) if i + j <= cutoff
     ]
     return sorted(pairs, key=lambda ij: -(ij[0] + ij[1]))
 
 
-def _exact_digit_dot(planes, M_planes):
-    """``x @ M`` with every MXU pass exact; scales applied by the caller."""
-    out = None
-    for i, j in digit_pair_schedule(planes.shape[0], M_planes.shape[0]):
-        p = jnp.matmul(planes[i], M_planes[j])  # 1 bf16 pass, exact
-        term = p * np.float32(_DIGIT_BASE ** -(i + j + 2))
-        out = term if out is None else out + term
-    return out
+def digit_group_schedule(n_x: int, n_m: int, K: int, cutoff=_PAIR_CUTOFF):
+    """Digit pairs grouped by shared weight, split to preserve exactness.
+
+    Pairs with equal ``s = i + j`` share the single power-of-two weight
+    ``base^-(s+2)``, so each group can run as ONE matmul of the stacked
+    signal planes against a block matrix (zero blocks for absent pairs)
+    and stay exact: zero rows add nothing, and a group of ``m`` members
+    accumulates at most ``m * K * base^2 < 2^24``.  Groups exceeding that
+    bound are split; ordering is smallest weight first, as in
+    :func:`digit_pair_schedule`.  Returns a list of (pair-list, weight).
+    """
+    cap = max(1, int(2**24 // (K * _DIGIT_BASE * _DIGIT_BASE)))
+    by_s = {}
+    for i, j in digit_pair_schedule(n_x, n_m, cutoff):
+        by_s.setdefault(i + j, []).append((i, j))
+    groups = []
+    for s in sorted(by_s, reverse=True):
+        members = by_s[s]
+        for lo in range(0, len(members), cap):
+            groups.append(
+                (members[lo : lo + cap], _DIGIT_BASE ** -(s + 2))
+            )
+    return groups
+
+
+def digit_group_matrices(C: np.ndarray, S: np.ndarray):
+    """Host: per-weight-group block matrices for the exact double tier.
+
+    The digit decomposition turns ``x @ C`` / ``x @ S`` into a sum of
+    pair matmuls ``planes[i] @ C_digits[j]`` weighted ``base^-(i+j+2)``
+    (see module header).  Equal-weight pairs fold into one matmul against
+    a block matrix, and the cos/sin targets share it column-wise —
+    ``[cos | sin]`` — with sin's identically-zero columns (DC always;
+    Nyquist for even DFT sizes) dropped so the lane dimension stays
+    tight.  38 MXU passes collapse to ``len(groups)`` (typically 6) with
+    bit-identical group terms.
+
+    Returns ``(mats (G, n_x*K, half + n_im), weights (G,), cos_scale,
+    sin_scale, n_im)`` where the imaginary part reconstructs as
+    ``im[, 1 : 1 + n_im]`` of the matmul's sin columns (zeros elsewhere).
+    """
+    K, half = C.shape
+    cos_planes, cos_scale = digitize_matrix(C)
+    sin_planes, sin_scale = digitize_matrix(S)
+    n_m = cos_planes.shape[0]
+    # sin's DC column is analytically zero; its Nyquist column (even DFT
+    # sizes) only holds sin(pi*t) rounding dust — drop either only if its
+    # digit planes vanish, so the kept columns reproduce the exact tier.
+    im_hi = half - 1 if not np.any(sin_planes[:, :, -1]) else half
+    assert not np.any(sin_planes[:, :, 0]), "sin DC column must be zero"
+    n_im = im_hi - 1
+    groups = digit_group_schedule(_X_DIGITS, n_m, K)
+    mats = np.zeros((len(groups), _X_DIGITS * K, half + n_im), np.float32)
+    for g, (members, _) in enumerate(groups):
+        for i, j in members:
+            mats[g, i * K : (i + 1) * K, :half] = cos_planes[j]
+            mats[g, i * K : (i + 1) * K, half:] = sin_planes[j][:, 1:im_hi]
+    weights = np.asarray([w for _, w in groups], np.float32)
+    return mats, weights, cos_scale, sin_scale, n_im
 
 
 def fold_bank_to_weights(bank, dft_size: int, use_power: bool) -> np.ndarray:
@@ -227,22 +287,34 @@ def power_half_spectrum(frames, params, dft_size: int, fft_mode: Optional[str]):
     return re * re + im * im
 
 
-def _digit_feats(frames, params, use_power: bool):
-    """The ``precision="double"`` pipeline: exact digit matmuls for the two
-    DFT stages plus an operand-split (hi+lo) filter-weight matmul.
+def _digit_feats(frames, params, use_power: bool, dft_size: int):
+    """The ``precision="double"`` pipeline: exact grouped digit matmuls
+    for the two DFT stages plus an operand-split (hi+lo) filter-weight
+    matmul.
 
     Measured on v5e against float64 on real speech: ~8e-7 max abs log
-    error (the residual is the W/log stage, not the DFT), ~4.5x the
-    matmul-stage cost of the HIGHEST path.
+    error (the residual is the W/log stage, not the DFT).  The grouped
+    formulation (:func:`digit_group_matrices`) runs all equal-weight
+    digit pairs for cos AND sin as one MXU pass — typically 6 passes
+    plus 2 for the weights, down from 38 ungrouped.
     """
-    planes, scale = _digitize_frames(frames)
-    re = _exact_digit_dot(planes, params["dft_cos_digits"]) * (
-        scale * params["dft_cos_scale"]
-    )
-    im = _exact_digit_dot(planes, params["dft_sin_digits"]) * (
-        scale * params["dft_sin_scale"]
-    )
-    power = re * re + im * im
+    half = dft_size // 2 + 1
+    X, scale = _digitize_frames(frames)
+    # digits are integers below 2^7 — exact in bf16, so the operands are
+    # stored and read at half the HBM traffic with no rounding anywhere
+    X = X.astype(jnp.bfloat16)
+    mats = params["dft_group_mats"]  # (G, n_x*K, half + n_im), bf16
+    gw = params["dft_group_weights"]
+    n_im = mats.shape[-1] - half
+    acc = None
+    for g in range(mats.shape[0]):
+        p = jnp.matmul(X, mats[g], preferred_element_type=jnp.float32)
+        term = p * gw[g]  # exact pass, po2 weight
+        acc = term if acc is None else acc + term
+    re = acc[..., :half] * (scale * params["dft_cos_scale"])
+    im_mid = acc[..., half:] * (scale * params["dft_sin_scale"])
+    power = re * re
+    power = power.at[..., 1 : 1 + n_im].add(im_mid * im_mid)
     spec = power if use_power else jnp.sqrt(power)
     hi = jax.lax.Precision.HIGHEST
     return jnp.matmul(spec, params["weights"], precision=hi) + jnp.matmul(
@@ -297,7 +369,7 @@ def stft_feats_from_frames(
     frame_length = frames.shape[-1]
     mode = _resolve_fft_mode(fft_mode, dft_size)
     if precision == "double":
-        feats = _digit_feats(frames, params, use_power)
+        feats = _digit_feats(frames, params, use_power, dft_size)
     elif mode != "fft" and dft_size % 2 == 0:
         feats = _matmul_feats_nyquist_split(
             frames, params, use_power, precision

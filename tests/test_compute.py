@@ -246,6 +246,34 @@ def test_double_precision_tier_on_real_speech(bank, use_power):
     assert err.mean() < 5e-7
 
 
+def test_double_precision_tier_quiet_sample_capture():
+    """The x-digitization must capture >=30 bits below each frame's peak.
+
+    With only 24 bits (4 planes), samples quieter than the frame peak
+    truncate at ~2^-25*peak and those residues add coherently across the
+    frame into DFT errors up to ~3e-6*peak — on this normalized-speech
+    signal the log-feature error reached 5e-5, violating the tier's
+    <=1e-5 contract.  Five planes hold it at ~6e-7."""
+    from speech_tpu.io import read_signal
+
+    sig = read_signal(
+        os.path.join(os.path.dirname(DATA_DIR), "audio", "test.wav"),
+        dtype=np.float32,
+    )
+    sig = sig / np.abs(sig).max()
+    max_len = 6 * 16000
+    sig = np.tile(sig, -(-max_len // len(sig)))[:max_len].astype(np.float32)
+    bank = {"name": "fbank", "num_filts": 40, "sampling_rate": 16000}
+    kwargs = dict(frame_length_ms=25, frame_shift_ms=10, include_energy=True)
+    c64 = compute.STFTFrameComputer(dict(bank), dtype="float64", **kwargs)
+    cdd = compute.STFTFrameComputer(
+        dict(bank), dtype="float32", precision="double", **kwargs
+    )
+    want = c64.compute_full(sig.astype(np.float64))
+    got = cdd.compute_full(sig).astype(np.float64)
+    assert np.abs(got - want).max() < 2e-6
+
+
 def test_double_precision_requires_float32():
     with pytest.raises(ValueError):
         compute.STFTFrameComputer(
