@@ -72,6 +72,17 @@ def main():
 
     chain_rt = _full_chain_throughput(stft, batch=128, seconds=15)
 
+    # the exact tier (<=1e-5 vs float64 on any signal; ~7e-7 measured)
+    exact = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+        precision="double",
+    )
+    exact_rt = _throughput(exact, batch=128, seconds=15)
+
     print(
         json.dumps(
             {
@@ -81,6 +92,7 @@ def main():
                 "vs_baseline": round(fbank_rt / 5000.0, 3),
                 "si_gammatone_rt_factor": round(si_rt, 1),
                 "full_chain_rt_factor": round(chain_rt, 1),
+                "exact_tier_rt_factor": round(exact_rt, 1),
             }
         )
     )

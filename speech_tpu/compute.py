@@ -375,6 +375,16 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 self._device_params["dft_group_weights"] = jnp.asarray(gw)
                 self._device_params["dft_cos_scale"] = jnp.float32(cs)
                 self._device_params["dft_sin_scale"] = jnp.float32(ss)
+                if self._dft_size % 2 == 0:
+                    # layout for the fused Pallas double kernel
+                    pdk = _stft.digit_kernel_matrices(
+                        self._dft_cos, self._dft_sin, self._weights
+                    )
+                    self._device_params["pdk_cos_scale"] = pdk.pop(
+                        "cos_scale"
+                    )  # host scalar: baked statically into the kernel
+                    for name, arr in pdk.items():
+                        self._device_params["pdk_" + name] = jnp.asarray(arr)
                 self._device_params["weights_lo"] = jnp.asarray(
                     (
                         self._weights
@@ -396,15 +406,37 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         )
 
     def _use_pallas(self) -> bool:
-        if self._precision == "double":
-            # the exact digit tier is an XLA path; it supersedes pallas
-            return False
         mode = self._fft_mode or config.FFT_MODE
+        if self._precision == "double":
+            # the fused exact digit kernel needs an even DFT size; odd
+            # sizes stay on the XLA digit path.  Unlike the reduced-
+            # precision pallas tier it is numerically equivalent to the
+            # XLA digit path, so "auto" selects it on real TPUs (1.8x:
+            # 34 -> 19 ms on the v5e headline batch).
+            if self._dft_size % 2:
+                return False
+            if mode == "pallas":
+                return True
+            return mode == "auto" and jax.default_backend() == "tpu"
         return mode == "pallas"
 
     def _pallas_feats(self, padded, max_frames: int):
         from .ops import pallas_stft as _pallas
 
+        if self._precision == "double":
+            return _pallas.stft_feats_pallas_double(
+                padded,
+                self.params,
+                num_frames=max_frames,
+                frame_length=self._frame_length,
+                frame_shift=self._frame_shift,
+                dft_size=self._dft_size,
+                use_log=self._log,
+                use_power=self._power,
+                include_energy=self._include_energy,
+                log_floor=config.LOG_FLOOR_VALUE,
+                interpret=jax.default_backend() != "tpu",
+            )
         return _pallas.stft_feats_pallas(
             padded,
             self.params,

@@ -43,7 +43,11 @@ try:  # Element-indexed (overlapping) blocks; private API in this jax
 except ImportError:  # pragma: no cover
     _Element = None
 
-__all__ = ["stft_feats_pallas", "stft_feats_pallas_from_frames"]
+__all__ = [
+    "stft_feats_pallas",
+    "stft_feats_pallas_from_frames",
+    "stft_feats_pallas_double",
+]
 
 
 def _resolve_precision(precision):
@@ -250,6 +254,246 @@ def stft_feats_pallas_from_frames(
         ),
         interpret=interpret,
     )(frames, cos, sin, weights)
+    return out[:, :num_frames]
+
+
+def _double_rows_kernel(
+    rows_ref,
+    mats_ref,
+    mscale_ref,
+    mask_ref,
+    whi_ref,
+    wlo_ref,
+    wnyq_ref,
+    out_ref,
+    *,
+    block_frames: int,
+    frame_shift: int,
+    frame_length: int,
+    n_x: int,
+    groups,
+    cos_scale: float,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+):
+    """Fused exact digit tier: the whole ``precision="double"`` pipeline
+    in VMEM — per-frame power-of-two scaling, base-64 digitization, the
+    grouped exact pair matmuls, and the spectrum->features tail.  Frames
+    and digit planes never touch HBM.
+
+    Numerics are identical to the XLA digit path (ops/stft.py
+    ``_digit_feats``): every dot multiplies integer digits (exact in
+    bf16) and accumulates integers below 2^24 (exact in f32); group
+    terms are added ascending in magnitude under the same power-of-two
+    weights.
+    """
+    rows = rows_ref[0]  # (seg_rows, frame_shift); frame k = rows k..k+q
+    q_full, rem = divmod(frame_length, frame_shift)
+    pieces = [
+        (
+            jax.lax.slice(rows, (r, 0), (r + block_frames, frame_shift)),
+            r,
+            frame_shift,
+        )
+        for r in range(q_full)
+    ]
+    if rem:
+        pieces.append(
+            (
+                jax.lax.slice(rows, (q_full, 0), (q_full + block_frames, rem)),
+                q_full,
+                rem,
+            )
+        )
+
+    m = energy = None
+    for piece, _, _ in pieces:
+        pm = jnp.max(jnp.abs(piece), axis=-1, keepdims=True)
+        m = pm if m is None else jnp.maximum(m, pm)
+        if include_energy:
+            e_t = jnp.sum(piece * piece, axis=-1, keepdims=True)
+            energy = e_t if energy is None else energy + e_t
+    # scale = 2^ceil-ish exponent as in jnp.frexp: for normal m, frexp
+    # puts the significand in [0.5, 1), i.e. scale = 2^(E+1) where E is
+    # the biased exponent field — one integer add on the bit pattern
+    # (Mosaic has no frexp/ldexp)
+    m = jnp.maximum(m, jnp.float32(1e-30))
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((bits >> 23) + 1) << 23, jnp.float32
+    )
+    inv = jnp.float32(1.0) / scale  # power of two: exact
+
+    base = jnp.float32(64.0)
+    planes = []  # per piece: list of n_x digit planes (exact)
+    for piece, _, _ in pieces:
+        v = piece * inv
+        ps = []
+        for _ in range(n_x):
+            d = jnp.round(v * base)
+            v = v * base - d
+            ps.append(d)
+        planes.append(ps)
+
+    acc = None
+    for members, w in groups:  # ascending magnitude, weights po2
+        g = None
+        for i, j in members:
+            for (piece, r, width), ps in zip(pieces, planes):
+                lo = r * frame_shift
+                t = jnp.dot(
+                    ps[i],
+                    mats_ref[j, lo : lo + width, :],
+                    preferred_element_type=jnp.float32,
+                )  # integer digits: the bf16 pass is exact
+                g = t if g is None else g + t
+        term = g * jnp.float32(w)
+        acc = term if acc is None else acc + term
+
+    nb = mask_ref.shape[0]
+    re = acc[:, :nb] * (scale * jnp.float32(cos_scale))
+    mixed = acc[:, nb:] * (scale * mscale_ref[:])
+    mask = mask_ref[:]
+    im = mixed * mask  # bins 1..nb-1; DC slot (Nyquist cos) zeroed
+    power = re * re + im * im
+    spec = power if use_power else jnp.sqrt(power)
+    nyq = mixed - im  # Nyquist X in the DC slot, zeros elsewhere
+    nyq_spec = nyq * nyq if use_power else jnp.abs(nyq)
+    hi = jax.lax.Precision.HIGHEST
+    feats = (
+        jnp.dot(spec, whi_ref[:], preferred_element_type=jnp.float32,
+                precision=hi)
+        + jnp.dot(spec, wlo_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+        + jnp.dot(nyq_spec, wnyq_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+    )
+    if use_log:
+        feats = xlog(jnp.maximum(feats, log_floor))
+    if include_energy:
+        energy = energy / frame_length
+        if not use_power:
+            energy = jnp.sqrt(energy)
+        if use_log:
+            energy = xlog(jnp.maximum(energy, log_floor))
+        feats = jnp.concatenate([energy, feats], axis=-1)
+    out_ref[0] = feats
+
+
+def stft_feats_pallas_double(
+    padded,
+    params,
+    *,
+    num_frames: int,
+    frame_length: int,
+    frame_shift: int,
+    dft_size: int,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+    block_frames: int = 512,
+    interpret: bool = False,
+):
+    """Fused Pallas ``precision="double"`` tier for padded signals.
+
+    Same contract as :func:`stft_feats_pallas`; falls back to XLA
+    framing + the XLA digit path when overlapping blocks are unavailable
+    or the shift is not sublane-aligned.
+    """
+    from . import stft as _stft
+
+    padded = jnp.asarray(padded, jnp.float32)
+    if _Element is None or frame_shift % 8 or "pdk_mats" not in params:
+        from . import framing as _framing
+
+        frames = jax.vmap(
+            lambda p: _framing.frame_padded(
+                p, num_frames, frame_length, frame_shift
+            )
+        )(padded)
+        return _stft.stft_feats_from_frames(
+            frames,
+            params,
+            dft_size=dft_size,
+            use_log=use_log,
+            use_power=use_power,
+            include_energy=include_energy,
+            log_floor=log_floor,
+            fft_mode="matmul",
+            precision="double",
+        )
+
+    batch = padded.shape[0]
+    mats = params["pdk_mats"]
+    n_m = mats.shape[0]
+    groups = _stft.digit_group_schedule(_stft._X_DIGITS, n_m, frame_length)
+    num_coeffs = params["pdk_w_hi"].shape[1] + int(include_energy)
+    q_full, rem = divmod(frame_length, frame_shift)
+    q_rows = q_full + (1 if rem else 0)
+    blocks = -(-num_frames // block_frames)
+    seg_rows = -(-(block_frames + q_rows) // 8) * 8
+    need_rows = blocks * block_frames + (seg_rows - block_frames)
+    need = need_rows * frame_shift
+    if padded.shape[1] < need:
+        padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    rows = padded[:, :need].reshape(batch, need_rows, frame_shift)
+
+    kernel = functools.partial(
+        _double_rows_kernel,
+        block_frames=block_frames,
+        frame_shift=frame_shift,
+        frame_length=frame_length,
+        n_x=_stft._X_DIGITS,
+        groups=groups,
+        cos_scale=float(params["pdk_cos_scale"]),
+        use_log=use_log,
+        use_power=use_power,
+        include_energy=include_energy,
+        log_floor=log_floor,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (_Element(1), _Element(seg_rows), _Element(frame_shift)),
+                lambda b, j: (b, j * block_frames, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, block_frames, num_coeffs),
+            lambda b, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, blocks * block_frames, num_coeffs), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2
+            * batch
+            * blocks
+            * block_frames
+            * frame_length
+            * mats.shape[2]
+            * sum(len(g) for g, _ in groups),
+            bytes_accessed=4 * batch * (need + num_frames * num_coeffs),
+            transcendentals=batch * num_frames * num_coeffs,
+        ),
+        interpret=interpret,
+    )(
+        rows,
+        mats,
+        params["pdk_mixed_scale"],
+        params["pdk_mask"],
+        params["pdk_w_hi"],
+        params["pdk_w_lo"],
+        params["pdk_w_nyq"],
+    )
     return out[:, :num_frames]
 
 

@@ -178,6 +178,53 @@ def digit_group_matrices(C: np.ndarray, S: np.ndarray):
     return mats, weights, cos_scale, sin_scale, n_im
 
 
+def digit_kernel_matrices(C: np.ndarray, S: np.ndarray, W: np.ndarray):
+    """Host: digit planes laid out for the fused Pallas double-tier kernel.
+
+    The kernel cannot lane-slice at the odd half-spectrum width
+    (``2^k + 1``), so the combined per-digit matrix packs the Nyquist
+    cosine column into the sin block's identically-zero DC slot:
+    ``[cos 0..nb-1 | nyq-cos, sin 1..nb-1]`` with ``nb = dft//2`` — both
+    blocks exactly ``nb`` lanes.  Requires an even DFT size.
+
+    Returns a dict of host arrays: ``mats (n_m, K, 2*nb)`` digit planes,
+    ``mixed_scale (nb,)`` (cos scale at DC, sin scale elsewhere — the
+    per-matrix power-of-two scales baked per column), ``mask (nb,)``
+    (zero at DC, one elsewhere: isolates the imaginary part), ``w_hi`` /
+    ``w_lo`` ``(nb, F)`` (filter weights for bins 0..nb-1, split
+    f32-hi + residual), ``w_nyq (nb, F)`` (Nyquist weight row at DC,
+    zeros elsewhere), and ``cos_scale``.
+    """
+    K, half = C.shape
+    assert half % 2 == 1, "even DFT sizes only (half = dft//2 + 1)"
+    nb = half - 1
+    cos_planes, cos_scale = digitize_matrix(C)
+    sin_planes, sin_scale = digitize_matrix(S)
+    n_m = cos_planes.shape[0]
+    mats = np.zeros((n_m, K, 2 * nb), np.float32)
+    for j in range(n_m):
+        mats[j, :, :nb] = cos_planes[j][:, :nb]
+        mats[j, :, nb] = cos_planes[j][:, nb]  # Nyquist cos in the DC slot
+        mats[j, :, nb + 1 :] = sin_planes[j][:, 1:nb]
+    mixed_scale = np.full((nb,), sin_scale, np.float32)
+    mixed_scale[0] = cos_scale
+    mask = np.ones((nb,), np.float32)
+    mask[0] = 0.0
+    w_hi = W[:nb].astype(np.float32)
+    w_lo = (W[:nb] - w_hi.astype(np.float64)).astype(np.float32)
+    w_nyq = np.zeros((nb, W.shape[1]), np.float32)
+    w_nyq[0] = W[nb].astype(np.float32)
+    return {
+        "mats": mats,
+        "mixed_scale": mixed_scale,
+        "mask": mask,
+        "w_hi": w_hi,
+        "w_lo": w_lo,
+        "w_nyq": w_nyq,
+        "cos_scale": np.float32(cos_scale),
+    }
+
+
 def fold_bank_to_weights(bank, dft_size: int, use_power: bool) -> np.ndarray:
     """Fold a bank's truncated responses into half-spectrum weights.
 

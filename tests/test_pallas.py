@@ -144,3 +144,52 @@ def test_pallas_sharded_extractor_on_mesh():
         want = ref.compute_full(s)
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_pallas_double_tier_matches_xla_double():
+    """The fused exact-digit kernel reproduces the XLA digit path: the
+    digit matmuls are exact on both, so outputs agree to f32 add-order
+    noise in the spectrum->features tail."""
+    import os
+
+    from speech_tpu.io import read_signal
+
+    sig = read_signal(
+        os.path.join(os.path.dirname(__file__), "audio", "test.wav"),
+        dtype=np.float32,
+    )
+    sig = (sig / np.abs(sig).max())[: 2 * 16000].astype(np.float32)
+    sigs = np.stack([sig, np.roll(sig, 777)])
+    lens = np.full((2,), len(sig), np.int32)
+    kw = dict(frame_length_ms=25, frame_shift_ms=10, include_energy=True)
+    xla = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", **kw
+    )
+    pal = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", fft_mode="pallas",
+        **kw
+    )
+    fx, cx = xla.compute_batch(sigs, lens)
+    fp, cp = pal.compute_batch(sigs, lens)
+    assert np.array_equal(np.asarray(cx), np.asarray(cp))
+    assert np.allclose(np.asarray(fp), np.asarray(fx), atol=2e-6), np.abs(
+        np.asarray(fp) - np.asarray(fx)
+    ).max()
+
+
+def test_pallas_double_tier_fallback_unaligned_shift():
+    """A frame shift that is not sublane-aligned falls back to the XLA
+    digit path inside the pallas entry (same results, no kernel)."""
+    rng = np.random.RandomState(3)
+    sig = rng.randn(12000).astype(np.float32)
+    kw = dict(frame_length_ms=25, frame_shift_ms=10.25)  # shift 164 % 8 != 0
+    xla = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", **kw
+    )
+    pal = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", fft_mode="pallas",
+        **kw
+    )
+    want = xla.compute_full(sig)
+    got = pal.compute_full(sig)
+    assert np.allclose(got, want, atol=2e-6)
