@@ -293,13 +293,16 @@ def si_feats_from_signal(
 
         else:
             Xsh = _shifted_blocks(sig_pad)
+            conv_prec = jax.lax.Precision(
+                "highest" if precision == "double" else precision
+            )
 
             def _conv_part_blocks(A):
                 Y = jnp.einsum(
                     "kbv,kfvw->fbw",
                     Xsh,
                     A,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=conv_prec,
                 )
                 return _finish_conv(Y)
 

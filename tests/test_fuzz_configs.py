@@ -69,6 +69,29 @@ def test_random_config_streaming_matches_batch(kind, bank, kw):
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
 
 
+@pytest.mark.parametrize(
+    "kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))]
+)
+def test_random_config_double_tier_tracks_float64(kind, bank, kw):
+    """The f32 precision='double' tier holds ~1e-5 of the float64 result
+    across the random config space (both computers, all frame styles,
+    power/mag, log on/off, odd DFT sizes)."""
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    kw = dict(kw)
+    if kind == "si":
+        kw["conv_mode"] = "matmul"  # the double tier's only conv backend
+    c64 = cls(dict(bank), dtype="float64", **kw)
+    cdd = cls(dict(bank), dtype="float32", precision="double", **kw)
+    rng = np.random.RandomState(79)
+    signal = rng.randn(4000).astype(np.float32)
+    want = c64.compute_full(signal.astype(np.float64))
+    got = cdd.compute_full(signal).astype(np.float64)
+    assert got.shape == want.shape
+    # non-log features scale with the signal; bound relative to the peak
+    tol = 1e-5 * max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() < tol, np.abs(got - want).max()
+
+
 @pytest.mark.parametrize("kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))])
 def test_random_config_matches_reference(reference_speech, kind, bank, kw):
     from pydrobert.speech import compute as ref_compute
