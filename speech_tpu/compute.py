@@ -1000,10 +1000,22 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         zero (they are traversed by the convolution).
         """
         signals = jnp.asarray(signals, dtype=self._dtype)
-        lengths = jnp.asarray(lengths, dtype=jnp.int32)
         batch, max_len = signals.shape
         shift = self._frame_shift
         max_frames = (max_len + shift // 2) // shift
+        if (
+            not isinstance(lengths, jax.Array)
+            and (np.asarray(lengths) == max_len).all()
+        ):
+            # host-known all-full lengths (the bucketed production case):
+            # a static sig_len folds the conv-validity and energy masks
+            # into compile-time constants
+            feats = self._batch_full_fn(max_len, max_frames)(signals)
+            counts = jnp.full(
+                (batch,), int(self.frame_counts_np([max_len])[0]), jnp.int32
+            )
+            return feats, counts
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
         key = ("batch", max_len, max_frames)
         fn = self._fns.get(key)
         if fn is None:
@@ -1031,6 +1043,25 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             fn = jax.jit(run)
             self._fns[key] = fn
         return fn(signals, lengths)
+
+    def _batch_full_fn(self, max_len: int, max_frames: int):
+        key = ("batchfull", max_len, max_frames)
+        fn = self._fns.get(key)
+        if fn is None:
+            fft_size = _next_pow2(max_len + self._kernel["max_support"])
+            spec = self._spec(fft_size)
+            params = self._params_for(spec)
+
+            def run(signals):
+                return jax.vmap(
+                    lambda s: _si.si_feats_from_signal(
+                        s, max_len, max_frames, params, **spec
+                    )
+                )(signals)
+
+            fn = jax.jit(run)
+            self._fns[key] = fn
+        return fn
 
     # ------------------------------------------------------------------
     # streaming API
