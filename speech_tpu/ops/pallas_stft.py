@@ -271,7 +271,8 @@ def _double_rows_kernel(
     frame_shift: int,
     frame_length: int,
     n_x: int,
-    groups,
+    base: float,
+    pairs,
     cos_scale: float,
     use_log: bool,
     use_power: bool,
@@ -279,15 +280,17 @@ def _double_rows_kernel(
     log_floor: float,
 ):
     """Fused exact digit tier: the whole ``precision="double"`` pipeline
-    in VMEM — per-frame power-of-two scaling, base-64 digitization, the
-    grouped exact pair matmuls, and the spectrum->features tail.  Frames
-    and digit planes never touch HBM.
+    in VMEM — per-frame power-of-two scaling, digitization, the exact
+    pair matmuls, and the spectrum->features tail.  Frames and digit
+    planes never touch HBM.
 
-    Numerics are identical to the XLA digit path (ops/stft.py
-    ``_digit_feats``): every dot multiplies integer digits (exact in
-    bf16) and accumulates integers below 2^24 (exact in f32); group
-    terms are added ascending in magnitude under the same power-of-two
-    weights.
+    Same construction as the XLA digit path (ops/stft.py
+    ``_digit_feats``) but with the coarser base-256 kernel config: every
+    dot multiplies integer digits (exact in bf16) and accumulates
+    integers below 2^24 (exact in f32); the one-bit scale margin keeps
+    |x digits| <= base/2 so cross-piece f32 integer adds stay exact
+    too.  Pair terms are added ascending in magnitude under power-of-two
+    weights (``pairs``: static (i, j, weight) triples).
     """
     rows = rows_ref[0]  # (seg_rows, frame_shift); frame k = rows k..k+q
     q_full, rem = divmod(frame_length, frame_shift)
@@ -315,40 +318,39 @@ def _double_rows_kernel(
         if include_energy:
             e_t = jnp.sum(piece * piece, axis=-1, keepdims=True)
             energy = e_t if energy is None else energy + e_t
-    # scale = 2^ceil-ish exponent as in jnp.frexp: for normal m, frexp
-    # puts the significand in [0.5, 1), i.e. scale = 2^(E+1) where E is
-    # the biased exponent field — one integer add on the bit pattern
-    # (Mosaic has no frexp/ldexp)
+    # scale = 2 * the jnp.frexp scale: frexp puts the significand in
+    # [0.5, 1), i.e. 2^(E+1) with E the biased exponent field; the extra
+    # margin bit makes |first digit| <= base/2.  One integer add on the
+    # bit pattern (Mosaic has no frexp/ldexp).
     m = jnp.maximum(m, jnp.float32(1e-30))
     bits = jax.lax.bitcast_convert_type(m, jnp.int32)
     scale = jax.lax.bitcast_convert_type(
-        ((bits >> 23) + 1) << 23, jnp.float32
+        ((bits >> 23) + 2) << 23, jnp.float32
     )
     inv = jnp.float32(1.0) / scale  # power of two: exact
 
-    base = jnp.float32(64.0)
+    fbase = jnp.float32(base)
     planes = []  # per piece: list of n_x digit planes (exact)
     for piece, _, _ in pieces:
         v = piece * inv
         ps = []
         for _ in range(n_x):
-            d = jnp.round(v * base)
-            v = v * base - d
+            d = jnp.round(v * fbase)
+            v = v * fbase - d
             ps.append(d)
         planes.append(ps)
 
     acc = None
-    for members, w in groups:  # ascending magnitude, weights po2
+    for i, j, w in pairs:  # ascending magnitude, weights po2
         g = None
-        for i, j in members:
-            for (piece, r, width), ps in zip(pieces, planes):
-                lo = r * frame_shift
-                t = jnp.dot(
-                    ps[i],
-                    mats_ref[j, lo : lo + width, :],
-                    preferred_element_type=jnp.float32,
-                )  # integer digits: the bf16 pass is exact
-                g = t if g is None else g + t
+        for (piece, r, width), ps in zip(pieces, planes):
+            lo = r * frame_shift
+            t = jnp.dot(
+                ps[i],
+                mats_ref[j, lo : lo + width, :],
+                preferred_element_type=jnp.float32,
+            )  # integer digits: the bf16 pass is exact
+            g = t if g is None else g + t
         term = g * jnp.float32(w)
         acc = term if acc is None else acc + term
 
@@ -406,7 +408,15 @@ def stft_feats_pallas_double(
     from . import stft as _stft
 
     padded = jnp.asarray(padded, jnp.float32)
-    if _Element is None or frame_shift % 8 or "pdk_mats" not in params:
+    # frame-wide integer sums must stay exact in f32 at the kernel's
+    # base-256 digits: K * (base/2) * base <= 2^24, i.e. K <= 512
+    K_exact = frame_length * int(_stft._PDK_BASE) ** 2 // 2 <= 1 << 24
+    if (
+        _Element is None
+        or frame_shift % 8
+        or "pdk_mats" not in params
+        or not K_exact
+    ):
         from . import framing as _framing
 
         frames = jax.vmap(
@@ -429,7 +439,12 @@ def stft_feats_pallas_double(
     batch = padded.shape[0]
     mats = params["pdk_mats"]
     n_m = mats.shape[0]
-    groups = _stft.digit_group_schedule(_stft._X_DIGITS, n_m, frame_length)
+    pairs = [
+        (i, j, _stft._PDK_BASE ** -(i + j + 2))
+        for i, j in _stft.digit_pair_schedule(
+            _stft._PDK_X_DIGITS, n_m, _stft._PDK_CUTOFF
+        )
+    ]
     num_coeffs = params["pdk_w_hi"].shape[1] + int(include_energy)
     q_full, rem = divmod(frame_length, frame_shift)
     q_rows = q_full + (1 if rem else 0)
@@ -446,8 +461,9 @@ def stft_feats_pallas_double(
         block_frames=block_frames,
         frame_shift=frame_shift,
         frame_length=frame_length,
-        n_x=_stft._X_DIGITS,
-        groups=groups,
+        n_x=_stft._PDK_X_DIGITS,
+        base=_stft._PDK_BASE,
+        pairs=pairs,
         cos_scale=float(params["pdk_cos_scale"]),
         use_log=use_log,
         use_power=use_power,
@@ -480,7 +496,7 @@ def stft_feats_pallas_double(
             * block_frames
             * frame_length
             * mats.shape[2]
-            * sum(len(g) for g, _ in groups),
+            * len(pairs),
             bytes_accessed=4 * batch * (need + num_frames * num_coeffs),
             transcendentals=batch * num_frames * num_coeffs,
         ),

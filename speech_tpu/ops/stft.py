@@ -56,6 +56,17 @@ __all__ = [
 # matmul (digit_group_matrices), so the whole tier is ~6 MXU passes.
 
 _DIGIT_BASE = 64.0  # 7-bit signed digits: products <= 64^2, K-sums < 2^24
+# The fused Pallas kernel uses coarser base-256 digits: 4 x-planes (31
+# bits below the frame peak after the one-bit scale margin) x 4 M-planes
+# (32 bits of the f64 DFT matrices), 13 kept pairs instead of 20.  The
+# margin keeps |x digits| <= 128 so every per-piece MXU pass still
+# multiplies and accumulates integers below 2^24; pair weights apply per
+# pair (cross-pair f32 adds, ascending) because a base-256 group sum
+# would overflow the exact range.
+_PDK_BASE = 256.0
+_PDK_X_DIGITS = 4
+_PDK_M_DIGITS = 4
+_PDK_CUTOFF = 4  # truncation ~2^-40 of the summand scale
 _X_DIGITS = 5  # 30 bits below the frame peak.  4 planes (24 bits) are NOT
 # enough: samples quieter than the frame peak truncate at 2^-25*peak, and
 # on real speech those residues add coherently across a frame into DFT
@@ -70,16 +81,18 @@ _PAIR_CUTOFF = 5  # keep i + j <= 5 (weight >= 64^-7 ~ 2^-42 of the scale)
 _SI_PAIR_CUTOFF = 5  # the SI conv's own budget (see ops/si.py)
 
 
-def digitize_matrix(M: np.ndarray, ndig: int = _M_DIGITS):
+def digitize_matrix(
+    M: np.ndarray, ndig: int = _M_DIGITS, base: float = _DIGIT_BASE
+):
     """Host: float64 matrix -> (ndig, *M.shape) integer-valued float32
     digit planes plus the power-of-two scale, ``M ~= scale * sum_i
-    digits[i] * 64^-(i+1)``."""
+    digits[i] * base^-(i+1)``."""
     scale = 2.0 ** np.ceil(np.log2(np.abs(M).max()))
     v = M / scale
     planes = []
     for _ in range(ndig):
-        d = np.round(v * _DIGIT_BASE)
-        v = v * _DIGIT_BASE - d
+        d = np.round(v * base)
+        v = v * base - d
         planes.append(d.astype(np.float32))
     return np.stack(planes), np.float32(scale)
 
@@ -187,6 +200,10 @@ def digit_kernel_matrices(C: np.ndarray, S: np.ndarray, W: np.ndarray):
     ``[cos 0..nb-1 | nyq-cos, sin 1..nb-1]`` with ``nb = dft//2`` — both
     blocks exactly ``nb`` lanes.  Requires an even DFT size.
 
+    Uses the coarser base-256 kernel digit config (see ``_PDK_BASE``):
+    13 exact pair dots instead of 20, truncation ~2^-40 of the summand
+    scale.
+
     Returns a dict of host arrays: ``mats (n_m, K, 2*nb)`` digit planes,
     ``mixed_scale (nb,)`` (cos scale at DC, sin scale elsewhere — the
     per-matrix power-of-two scales baked per column), ``mask (nb,)``
@@ -198,8 +215,8 @@ def digit_kernel_matrices(C: np.ndarray, S: np.ndarray, W: np.ndarray):
     K, half = C.shape
     assert half % 2 == 1, "even DFT sizes only (half = dft//2 + 1)"
     nb = half - 1
-    cos_planes, cos_scale = digitize_matrix(C)
-    sin_planes, sin_scale = digitize_matrix(S)
+    cos_planes, cos_scale = digitize_matrix(C, _PDK_M_DIGITS, _PDK_BASE)
+    sin_planes, sin_scale = digitize_matrix(S, _PDK_M_DIGITS, _PDK_BASE)
     n_m = cos_planes.shape[0]
     mats = np.zeros((n_m, K, 2 * nb), np.float32)
     for j in range(n_m):
