@@ -105,6 +105,47 @@ def test_native_rejects_au_bitshift_beyond_table(native_lib):
         _native.decode_shorten_native(w.payload(), 16, sphere.ULAW_OUTWARD)
 
 
+def test_native_survives_random_payloads(native_lib):
+    """Seeded garbage after the magic must never corrupt memory: every
+    payload either decodes, returns None (unsupported), or raises
+    IOError — the process must not crash."""
+    rng = np.random.RandomState(20260816)
+    for _ in range(200):
+        body = rng.bytes(int(rng.randint(8, 400)))
+        payload = b"ajkg" + bytes([int(rng.randint(0, 4))]) + body
+        try:
+            out = _native.decode_shorten_native(
+                payload, int(rng.randint(1, 512)), sphere.ULAW_OUTWARD
+            )
+        except IOError:
+            continue
+        assert out is None or isinstance(out, tuple)
+
+
+def test_native_survives_bitflipped_real_files(native_lib):
+    """Single bit flips in a real shorten payload must decode, error, or
+    fall back — never crash or read out of bounds."""
+    if not SHN_FILES:
+        pytest.skip("no shorten fixtures")
+    with open(SHN_FILES[0], "rb") as f:
+        header = sphere.read_sphere_header(f)
+        sampcount, chancount = header[2], header[4]
+        payload = f.read()
+    rng = np.random.RandomState(7)
+    for _ in range(100):
+        corrupt = bytearray(payload)
+        for _ in range(int(rng.randint(1, 4))):
+            pos = int(rng.randint(0, len(corrupt)))
+            corrupt[pos] ^= 1 << int(rng.randint(0, 8))
+        try:
+            out = _native.decode_shorten_native(
+                bytes(corrupt), sampcount * chancount, sphere.ULAW_OUTWARD
+            )
+        except IOError:
+            continue
+        assert out is None or isinstance(out, tuple)
+
+
 def test_native_falls_back_on_unusual_headers(native_lib):
     """Headers beyond the native decoder's working limits return None
     (caller falls back to Python) instead of raising."""
