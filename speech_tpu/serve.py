@@ -1,0 +1,284 @@
+"""Serving runtime: micro-batched extraction and concurrent streams.
+
+The reference library has no serving story — extraction is a synchronous
+per-utterance loop (reference: command_line.py:468-607).  On TPU the
+economics invert: one chip runs the fused pipeline tens of thousands of
+times faster than real time, so the serving problem is *keeping the chip
+fed* from many concurrent, individually tiny requests.  Two runtime
+pieces cover it:
+
+- :class:`FeatureServer` — offline/online request batching.  Callers
+  submit whole signals from any thread and get a
+  :class:`concurrent.futures.Future`; a background dispatcher coalesces
+  requests into latency-bounded micro-batches and runs them through the
+  bucketed batched pipeline (:class:`~speech_tpu.parallel.ShardedExtractor`
+  — power-of-two length buckets bound recompilation, and a mesh shards
+  the batch axis across chips).
+- :class:`StreamPool` — a fixed pool of concurrent streaming sessions
+  multiplexed through ONE jitted program: per-slot explicit-carry states
+  are stacked into a batched pytree and every tick runs
+  ``vmap(process)`` with per-slot valid lengths (idle slots pass 0 and
+  are exact no-ops).  Opening, feeding, and closing sessions never
+  recompiles.
+"""
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .parallel import ShardedExtractor
+from .streaming import StreamingSTFT
+
+__all__ = ["FeatureServer", "StreamPool"]
+
+
+class FeatureServer:
+    """Thread-safe micro-batching front end for whole-signal extraction.
+
+    Parameters
+    ----------
+    computer
+        A host frame computer (STFT or SI).
+    mesh
+        Optional device mesh; shards each micro-batch over its
+        ``data_axis``.
+    max_batch
+        Largest micro-batch dispatched to the device at once.
+    max_wait_ms
+        How long the dispatcher waits to fill a batch after the first
+        pending request before running a partial one.  The latency floor
+        for a lone request is roughly this plus one device dispatch.
+    """
+
+    def __init__(
+        self,
+        computer,
+        mesh=None,
+        max_batch: int = 64,
+        max_wait_ms: float = 2.0,
+    ):
+        self._extractor = ShardedExtractor(computer, mesh)
+        self._max_batch = int(max_batch)
+        self._max_wait = float(max_wait_ms) / 1e3
+        self._queue = queue.SimpleQueue()
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="speech-tpu-serve", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------
+
+    def submit(self, signal: np.ndarray) -> Future:
+        """Enqueue one 1-D signal; resolves to ``(num_frames, C)``."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut = Future()
+        self._queue.put((np.asarray(signal), fut))
+        return fut
+
+    def extract(self, signal: np.ndarray) -> np.ndarray:
+        """Blocking single-signal convenience wrapper."""
+        return self.submit(signal).result()
+
+    def extract_many(self, signals: Sequence[np.ndarray]):
+        """Submit a burst and wait for all results (in order)."""
+        futs = [self.submit(s) for s in signals]
+        return [f.result() for f in futs]
+
+    def close(self) -> None:
+        """Drain pending requests and stop the dispatcher."""
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatcher ----------------------------------------------------
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self._max_wait
+            while len(batch) < self._max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    return
+                batch.append(nxt)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch) -> None:
+        signals = [s for s, _ in batch]
+        try:
+            outs = self._extractor.extract(signals)
+        except Exception as e:  # noqa: BLE001 — forwarded to callers
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        for (_, fut), out in zip(batch, outs):
+            fut.set_result(out)
+
+
+class _Session:
+    __slots__ = ("slot", "pending", "open")
+
+    def __init__(self, slot: int):
+        self.slot = slot
+        self.pending = np.zeros((0,), np.float32)
+        self.open = True
+
+
+class StreamPool:
+    """Fixed pool of concurrent streaming sessions on one device.
+
+    All sessions advance together through one jitted
+    ``vmap(StreamingSTFT.process)`` call per :meth:`step`; a session
+    without a full chunk pending contributes ``valid_len == 0`` (an
+    exact no-op on its carry state).  Not thread-safe: drive it from one
+    serving loop.
+
+    Typical loop::
+
+        pool = StreamPool(computer, slots=8, chunk_size=1600)
+        h = pool.open()
+        pool.feed(h, samples)          # any-length append
+        for h2, feats in pool.step():  # one vmapped device tick
+            deliver(h2, feats)
+        pool.feed(h, more)
+        ...
+        for h2, feats in pool.close(h):
+            deliver(h2, feats)
+    """
+
+    def __init__(self, computer, slots: int = 8, chunk_size: int = 1600):
+        self._stream = StreamingSTFT(computer, chunk_size)
+        self._slots = int(slots)
+        self._chunk = int(chunk_size)
+        self._dtype = np.dtype(self._stream._dtype)
+        init = self._stream.init_state()
+        self._states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self._slots,) + x.shape), init
+        )
+        self._init_single = init
+        self._sessions = {}
+        self._free = list(range(self._slots))
+        self._next_handle = 0
+        self._vstep = jax.jit(jax.vmap(self._stream._process_impl))
+        self._vfin = jax.jit(jax.vmap(self._stream._finalize_impl))
+
+    @property
+    def capacity(self) -> int:
+        return len(self._free)
+
+    # -- session management --------------------------------------------
+
+    def open(self) -> int:
+        """Claim a slot; returns a session handle."""
+        if not self._free:
+            raise RuntimeError("no free stream slots")
+        slot = self._free.pop()
+        self._set_slot(slot, self._init_single)
+        handle = self._next_handle
+        self._next_handle += 1
+        self._sessions[handle] = _Session(slot)
+        return handle
+
+    def feed(self, handle: int, samples: np.ndarray) -> None:
+        """Append samples to a session (no device work until step())."""
+        s = self._session(handle)
+        samples = np.asarray(samples, self._dtype).ravel()
+        s.pending = np.concatenate([s.pending.astype(samples.dtype), samples])
+
+    def step(self, only: int = None):
+        """One vmapped device tick: consume up to one chunk per session.
+
+        Returns ``[(handle, feats)]`` for sessions that emitted frames.
+        Call repeatedly to drain sessions with more than one chunk
+        pending.  ``only`` restricts consumption to one session (other
+        sessions' states are untouched exact no-ops) — used by
+        :meth:`close` so draining never swallows other sessions' output.
+        """
+        chunks = np.zeros((self._slots, self._chunk), self._dtype)
+        valids = np.zeros((self._slots,), np.int32)
+        took = {}
+        for handle, s in self._sessions.items():
+            if only is not None and handle != only:
+                continue
+            n = min(len(s.pending), self._chunk)
+            if n == 0:
+                continue
+            chunks[s.slot, :n] = s.pending[:n]
+            valids[s.slot] = n
+            took[handle] = n
+        if not took:
+            return []
+        self._states, feats, nfs = self._vstep(
+            self._states, jnp.asarray(chunks), jnp.asarray(valids)
+        )
+        feats = np.asarray(feats)
+        nfs = np.asarray(nfs)
+        out = []
+        for handle, n in took.items():
+            s = self._sessions[handle]
+            s.pending = s.pending[n:]
+            nf = int(nfs[s.slot])
+            if nf:
+                out.append((handle, feats[s.slot, :nf]))
+        return out
+
+    def close(self, handle: int):
+        """Drain, finalize, and release a session.
+
+        Returns ``[(handle, feats)]`` segments in stream order (possibly
+        several from draining, then the finalize flush).
+        """
+        s = self._session(handle)
+        out = []
+        while len(s.pending):
+            out.extend(self.step(only=handle))
+        fin_feats, fin_ns = self._vfin(self._states)
+        nf = int(np.asarray(fin_ns)[s.slot])
+        if nf:
+            out.append((handle, np.asarray(fin_feats)[s.slot, :nf]))
+        s.open = False
+        del self._sessions[handle]
+        self._free.append(s.slot)
+        return out
+
+    # -- internals -----------------------------------------------------
+
+    def _session(self, handle: int) -> _Session:
+        try:
+            return self._sessions[handle]
+        except KeyError:
+            raise KeyError(f"no open session {handle}") from None
+
+    def _set_slot(self, slot: int, state) -> None:
+        self._states = jax.tree_util.tree_map(
+            lambda batched, single: batched.at[slot].set(single),
+            self._states,
+            state,
+        )

@@ -1,0 +1,129 @@
+"""Serving runtime: micro-batched FeatureServer + StreamPool sessions."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from speech_tpu.compute import STFTFrameComputer
+from speech_tpu.serve import FeatureServer, StreamPool
+
+BANK = {"name": "fbank", "num_filts": 10, "sampling_rate": 16000}
+
+
+def _computer(**kw):
+    kwargs = dict(frame_length_ms=25, frame_shift_ms=10, dtype="float64")
+    kwargs.update(kw)
+    return STFTFrameComputer(dict(BANK), **kwargs)
+
+
+def test_feature_server_concurrent_submissions_match_compute_full():
+    computer = _computer()
+    rng = np.random.RandomState(11)
+    signals = [rng.randn(int(rng.randint(3000, 9000))) for _ in range(24)]
+    want = [computer.compute_full(s) for s in signals]
+    results = [None] * len(signals)
+
+    with FeatureServer(computer, max_batch=8, max_wait_ms=20.0) as server:
+
+        def client(i):
+            results[i] = server.extract(signals[i])
+
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(len(signals))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    for got, ref in zip(results, want):
+        assert got.shape == ref.shape
+        assert np.allclose(got, ref, atol=1e-8), np.abs(got - ref).max()
+
+
+def test_feature_server_burst_larger_than_batch():
+    computer = _computer()
+    rng = np.random.RandomState(3)
+    signals = [rng.randn(4000) * (i + 1) for i in range(10)]
+    with FeatureServer(computer, max_batch=4, max_wait_ms=1.0) as server:
+        outs = server.extract_many(signals)
+    for s, got in zip(signals, outs):
+        want = computer.compute_full(s)
+        assert np.allclose(got, want, atol=1e-8)
+
+
+def test_feature_server_bad_request_does_not_kill_server():
+    computer = _computer()
+    rng = np.random.RandomState(5)
+    with FeatureServer(computer, max_wait_ms=1.0) as server:
+        bad = server.submit(rng.randn(10, 10))  # 2-D: invalid
+        with pytest.raises(Exception):
+            bad.result(timeout=30)
+        sig = rng.randn(5000)
+        good = server.extract(sig)
+        assert np.allclose(good, computer.compute_full(sig), atol=1e-8)
+    with pytest.raises(RuntimeError):
+        server.submit(sig)
+
+
+def test_stream_pool_interleaved_sessions_match_compute_full():
+    computer = _computer()
+    rng = np.random.RandomState(29)
+    pool = StreamPool(computer, slots=3, chunk_size=800)
+    signals = {
+        h: rng.randn(int(rng.randint(2500, 7001)))
+        for h in [pool.open(), pool.open(), pool.open()]
+    }
+    assert pool.capacity == 0
+    got = {h: [] for h in signals}
+    cursors = {h: 0 for h in signals}
+    # interleave ragged feeds across sessions
+    while any(cursors[h] < len(s) for h, s in signals.items()):
+        for h, s in signals.items():
+            if cursors[h] >= len(s):
+                continue
+            n = int(rng.randint(1, 1200))
+            pool.feed(h, s[cursors[h] : cursors[h] + n])
+            cursors[h] += n
+        for h2, feats in pool.step():
+            got[h2].append(feats)
+    handles = list(signals)
+    for h in handles:
+        for h2, feats in pool.close(h):
+            assert h2 == h
+            got[h].append(feats)
+    assert pool.capacity == 3
+    for h, s in signals.items():
+        out = np.concatenate(got[h]) if got[h] else np.zeros((0, 10))
+        want = computer.compute_full(s)
+        assert out.shape == want.shape, (out.shape, want.shape)
+        assert np.allclose(out, want, atol=1e-8), np.abs(out - want).max()
+
+
+def test_stream_pool_slot_reuse_and_isolation():
+    computer = _computer()
+    rng = np.random.RandomState(41)
+    pool = StreamPool(computer, slots=2, chunk_size=800)
+    a, b = pool.open(), pool.open()
+    with pytest.raises(RuntimeError):
+        pool.open()
+    sig_a = rng.randn(4000)
+    sig_b = rng.randn(5200)
+    pool.feed(a, sig_a)
+    pool.feed(b, sig_b[:2000])
+    # closing a must not consume b's pending samples
+    out_a = np.concatenate([f for _, f in pool.close(a)])
+    assert np.allclose(out_a, computer.compute_full(sig_a), atol=1e-8)
+    pool.feed(b, sig_b[2000:])
+    out_b = [f for _, f in pool.step()]
+    out_b += [f for _, f in pool.close(b)]
+    out_b = np.concatenate(out_b)
+    assert np.allclose(out_b, computer.compute_full(sig_b), atol=1e-8)
+    # slot freed by a is reusable with a fresh state
+    c = pool.open()
+    sig_c = rng.randn(3000)
+    pool.feed(c, sig_c)
+    out_c = np.concatenate([f for _, f in pool.close(c)])
+    assert np.allclose(out_c, computer.compute_full(sig_c), atol=1e-8)
