@@ -127,3 +127,21 @@ def test_stream_pool_slot_reuse_and_isolation():
     pool.feed(c, sig_c)
     out_c = np.concatenate([f for _, f in pool.close(c)])
     assert np.allclose(out_c, computer.compute_full(sig_c), atol=1e-8)
+
+
+def test_feature_server_on_mesh():
+    """The server's micro-batches shard over the data axis of a mesh."""
+    from speech_tpu import parallel as par
+
+    computer = _computer()
+    mesh = par.make_mesh(("data",))
+    rng = np.random.RandomState(17)
+    signals = [rng.randn(int(rng.randint(3000, 6000))) for _ in range(9)]
+    with FeatureServer(
+        computer, mesh=mesh, max_batch=16, max_wait_ms=30.0
+    ) as server:
+        outs = server.extract_many(signals)
+    for s, got in zip(signals, outs):
+        want = computer.compute_full(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
