@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .parallel import ShardedExtractor
-from .streaming import StreamingSTFT
+from .streaming import StreamingSI, StreamingSTFT
 
 __all__ = ["FeatureServer", "StreamPool"]
 
@@ -154,8 +154,9 @@ class _Session:
 class StreamPool:
     """Fixed pool of concurrent streaming sessions on one device.
 
-    All sessions advance together through one jitted
-    ``vmap(StreamingSTFT.process)`` call per :meth:`step`; a session
+    Works with either computer (the STFT and SI streaming tiers share
+    the explicit-carry contract).  All sessions advance together through
+    one jitted ``vmap(process)`` call per :meth:`step`; a session
     without a full chunk pending contributes ``valid_len == 0`` (an
     exact no-op on its carry state).  Not thread-safe: drive it from one
     serving loop.
@@ -174,7 +175,14 @@ class StreamPool:
     """
 
     def __init__(self, computer, slots: int = 8, chunk_size: int = 1600):
-        self._stream = StreamingSTFT(computer, chunk_size)
+        from .compute import ShortIntegrationFrameComputer
+
+        cls = (
+            StreamingSI
+            if isinstance(computer, ShortIntegrationFrameComputer)
+            else StreamingSTFT
+        )
+        self._stream = cls(computer, chunk_size)
         self._slots = int(slots)
         self._chunk = int(chunk_size)
         self._dtype = np.dtype(self._stream._dtype)

@@ -346,8 +346,13 @@ class StreamingSI:
         s, T = self.shift, self.T
         buf_len = stream.shape[0]
         ny = (max_frames + 1) * s
-        # cover both the linear convolution and the extraction window
-        fft_size = 1 << max(0, int(max(buf_len + T - 1, ny))).bit_length()
+        # cover the linear convolution AND the extraction slice: y0 can
+        # reach buf_len - u_end with u_end as low as -|shift_eff|, and the
+        # slice below must never clamp for valid frames (it silently
+        # misaligned every emitted frame when T was small relative to the
+        # chunk, e.g. a 54-tap bank with 640-sample chunks)
+        need = max(buf_len + T - 1, buf_len + abs(self.shift_eff) + ny)
+        fft_size = 1 << max(0, int(need)).bit_length()
         X = jnp.fft.rfft(stream, n=fft_size)
         # local y[0] sits at stream position buf_len - u_end... - ny offset:
         # frame j reads y at counted positions [j*s, j*s + 2s); counted

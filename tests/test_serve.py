@@ -145,3 +145,30 @@ def test_feature_server_on_mesh():
         want = computer.compute_full(s)
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=1e-8)
+
+
+def test_stream_pool_si_computer():
+    """The pool drives SI computers through the same session contract."""
+    from speech_tpu.compute import ShortIntegrationFrameComputer
+
+    computer = ShortIntegrationFrameComputer(
+        {"name": "gammatone", "scaling_function": "mel", "num_filts": 6,
+         "sampling_rate": 8000},
+        frame_shift_ms=10, dtype="float64",
+    )
+    rng = np.random.RandomState(53)
+    pool = StreamPool(computer, slots=2, chunk_size=640)
+    a, b = pool.open(), pool.open()
+    sigs = {a: rng.randn(3000), b: rng.randn(4100)}
+    got = {a: [], b: []}
+    for h, s in sigs.items():
+        pool.feed(h, s)
+    for _ in range(10):
+        for h2, f in pool.step():
+            got[h2].append(f)
+    for h in (a, b):
+        got[h].extend(f for _, f in pool.close(h))
+        out = np.concatenate(got[h])
+        want = computer.compute_full(sigs[h])
+        assert out.shape == want.shape
+        assert np.allclose(out, want, atol=1e-8), np.abs(out - want).max()

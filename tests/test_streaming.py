@@ -304,3 +304,39 @@ def test_si_streaming_any_length(length):
     assert got.shape == want.shape
     if length:
         assert np.allclose(got, want, atol=1e-8)
+
+
+def test_si_streaming_small_support_chunk_sweep():
+    """Regression: when the bank's max support is small relative to the
+    chunk, the emit FFT must still cover the extraction slice — the old
+    sizing covered only the convolution, and the slice start clamped,
+    misaligning every frame of some chunks (54-tap bank, 640 chunks)."""
+    from speech_tpu.compute import ShortIntegrationFrameComputer
+
+    computer = ShortIntegrationFrameComputer(
+        {"name": "gammatone", "scaling_function": "mel", "num_filts": 6,
+         "sampling_rate": 8000},
+        frame_shift_ms=10, dtype="float64",
+    )
+    rng = np.random.RandomState(53)
+    sig = rng.randn(3000)
+    want = computer.compute_full(sig)
+    from speech_tpu.streaming import StreamingSI
+
+    for cs in (256, 640, 1024):
+        stream = StreamingSI(computer, cs)
+        state = stream.init_state()
+        outs = []
+        for i in range(-(-len(sig) // cs)):
+            chunk = np.zeros(cs)
+            n = min(cs, len(sig) - i * cs)
+            chunk[:n] = sig[i * cs : i * cs + n]
+            state, feats, nf = stream.process(state, chunk, n)
+            outs.append(np.asarray(feats)[: int(nf)])
+        feats, nf = stream.finalize(state)
+        outs.append(np.asarray(feats)[: int(nf)])
+        got = np.concatenate(outs)
+        assert got.shape == want.shape, (cs, got.shape, want.shape)
+        assert np.allclose(got, want, atol=1e-10), (
+            cs, np.abs(got - want).max(),
+        )
