@@ -115,3 +115,34 @@ def test_random_config_matches_reference(reference_speech, kind, bank, kw):
     got = ours.compute_full(signal)
     assert got.shape == want.shape, (got.shape, want.shape)
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize(
+    "kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))]
+)
+def test_random_config_device_streaming_matches_batch(kind, bank, kw):
+    """The jittable streaming tier (StreamingSTFT/SI transform) must match
+    compute_full across the random config space and random chunk sizes —
+    the host-tier sweep above does not exercise the device tier, which
+    has its own emit/FFT sizing logic (a real frame-misalignment bug hid
+    there for small-support banks)."""
+    from speech_tpu.streaming import StreamingSI, StreamingSTFT
+
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(dict(bank), dtype="float64", **kw)
+    rng = np.random.RandomState(4000 + sum(map(ord, str(sorted(kw.items())))))
+    chunk = int(rng.choice([160, 640, 800, 1024]))
+    stream = (
+        StreamingSTFT(computer, chunk)
+        if kind == "stft"
+        else StreamingSI(computer, chunk)
+    )
+    signal = rng.randn(int(rng.randint(2000, 6000)))
+    want = computer.compute_full(signal)
+    got = stream.transform(signal)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    if kind == "stft" and kw["frame_style"] == "causal":
+        # reference-faithful finalize quirk (see the host-tier sweep)
+        want = want[: got.shape[0] - 2]
+        got = got[: want.shape[0]]
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
