@@ -146,3 +146,61 @@ def test_random_config_device_streaming_matches_batch(kind, bank, kw):
         want = want[: got.shape[0] - 2]
         got = got[: want.shape[0]]
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize(
+    "kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))]
+)
+def test_random_config_ragged_batch_matches_compute_full(kind, bank, kw):
+    """compute_batch rows must equal per-signal compute_full for ragged
+    lengths under every random config.  STFT padding values are garbage
+    on purpose (the contract masks them); SI padding must be zero."""
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(dict(bank), dtype="float64", **kw)
+    rng = np.random.RandomState(6000 + len(str(kw)))
+    lengths = [int(rng.randint(1500, 5000)) for _ in range(3)]
+    max_len = max(lengths)
+    sigs = np.zeros((3, max_len))
+    if kind == "stft":
+        sigs[:] = rng.randn(3, max_len) * 100  # garbage past each length
+    for i, n in enumerate(lengths):
+        sigs[i, :n] = rng.randn(n)
+    feats, counts = computer.compute_batch(sigs, np.asarray(lengths))
+    feats, counts = np.asarray(feats), np.asarray(counts)
+    for i, n in enumerate(lengths):
+        want = computer.compute_full(sigs[i, :n])
+        assert counts[i] == want.shape[0], (counts[i], want.shape)
+        got = feats[i, : counts[i]]
+        assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize(
+    "kind,bank,kw",
+    [c for c in CASES if c[0] == "stft"],
+    ids=[f"cfg{i}" for i, c in enumerate(CASES) if c[0] == "stft"],
+)
+def test_random_config_pallas_double_matches_xla(kind, bank, kw):
+    """The fused Pallas exact kernel (interpret mode on CPU) agrees with
+    the XLA digit path across random STFT configs — exercising rem
+    pieces, every frame length/shift combination, and the fallbacks."""
+    kw = dict(kw)
+    kw.pop("fft_mode", None)
+    xla = STFTFrameComputer(
+        dict(bank), dtype="float32", precision="double", **kw
+    )
+    pal = STFTFrameComputer(
+        dict(bank), dtype="float32", precision="double",
+        fft_mode="pallas", **kw
+    )
+    rng = np.random.RandomState(83)
+    sigs = np.stack([rng.randn(4000), rng.randn(4000) * 0.2]).astype(
+        np.float32
+    )
+    lens = np.full((2,), 4000, np.int32)
+    fx, cx = xla.compute_batch(sigs, lens)
+    fp, cp = pal.compute_batch(sigs, lens)
+    assert np.array_equal(np.asarray(cx), np.asarray(cp))
+    tol = 2e-6 * max(1.0, float(np.abs(np.asarray(fx)).max()))
+    assert np.allclose(np.asarray(fp), np.asarray(fx), atol=tol), np.abs(
+        np.asarray(fp) - np.asarray(fx)
+    ).max()
