@@ -210,12 +210,12 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
 
         - 'highest' (default): full f32.  Max abs log-feature error vs
           float64, measured v5e: ~8e-7 on noise-like signals, up to
-          ~3e-5 at high-cancellation DFT bins of real speech (the f32
-          MXU accumulator's rounding floor).
+          ~1e-4 at the few highest-cancellation DFT bins of long real
+          speech (the f32 MXU accumulator's rounding floor).
         - 'double': exact digit-decomposition matmuls
-          (:func:`speech_tpu.ops.stft.digitize_matrix`) — ~8e-7 max on
-          any signal, ~4.5x the matmul-stage cost (still >70,000x real
-          time); float32 dtype only.
+          (:mod:`speech_tpu.ops.stft`) — ~7e-7 max on any signal; on
+          real TPUs it runs as one fused Pallas kernel at ~135,000x
+          real time (~2x the 'highest' cost); float32 dtype only.
         - 'default': single-pass bf16 MXU — ~25% faster than 'highest'
           but a clearly reduced-precision tier at ~1.5e-2 max abs error.
     """

@@ -36,6 +36,7 @@ from .. import config as _config
 __all__ = [
     "digitize_matrix",
     "digit_group_matrices",
+    "digit_kernel_matrices",
     "fold_bank_to_weights",
     "windowed_dft_matrices",
     "stft_feats_from_frames",
@@ -47,7 +48,7 @@ __all__ = [
 # On TPU, even a HIGHEST-precision f32 matmul rounds in its f32
 # accumulator (~2 ulp of the summand scale, measured on v5e), which at
 # high-cancellation DFT bins of real speech leaves log-feature errors up
-# to ~3e-5 — over the 1e-5 north-star bound.  The exact tier removes the
+# to ~1e-4 — over the 1e-5 north-star bound.  The exact tier removes the
 # rounding entirely: operands split into base-64 integer digits (7-bit,
 # exactly representable in bf16), so every single-pass MXU matmul
 # multiplies exact products and accumulates integers below 2^24 — exact
