@@ -93,11 +93,24 @@ class FeatureServer:
         return [f.result() for f in futs]
 
     def close(self) -> None:
-        """Drain pending requests and stop the dispatcher."""
+        """Drain pending requests and stop the dispatcher.
+
+        Requests submitted before the close are served; a submit racing
+        the close may slip behind the stop sentinel, so any stragglers
+        found after the dispatcher exits get a RuntimeError rather than a
+        future that never resolves.
+        """
         if not self._closed:
             self._closed = True
             self._queue.put(None)
             self._worker.join()
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    return
+                if item is not None:
+                    item[1].set_exception(RuntimeError("server is closed"))
 
     def __enter__(self):
         return self

@@ -172,3 +172,21 @@ def test_stream_pool_si_computer():
         want = computer.compute_full(sigs[h])
         assert out.shape == want.shape
         assert np.allclose(out, want, atol=1e-8), np.abs(out - want).max()
+
+
+def test_feature_server_close_resolves_stragglers():
+    """A submit that slips behind the close sentinel must get an error,
+    not a future that never resolves."""
+    computer = _computer()
+    server = FeatureServer(computer, max_wait_ms=1.0)
+    # simulate the race: enqueue directly behind the stop sentinel
+    from concurrent.futures import Future
+
+    server._closed = True
+    server._queue.put(None)
+    straggler = Future()
+    server._queue.put((np.zeros(4000), straggler))
+    server._closed = False
+    server.close()
+    with pytest.raises(RuntimeError):
+        straggler.result(timeout=30)
