@@ -204,3 +204,44 @@ def test_random_config_pallas_double_matches_xla(kind, bank, kw):
     assert np.allclose(np.asarray(fp), np.asarray(fx), atol=tol), np.abs(
         np.asarray(fp) - np.asarray(fx)
     ).max()
+
+
+@pytest.mark.parametrize(
+    "kind,bank,kw",
+    [c for i, c in enumerate(CASES) if i % 3 == 0],
+    ids=[f"cfg{i}" for i in range(len(CASES)) if i % 3 == 0],
+)
+def test_random_config_halo_sharded_matches_compute_full(kind, bank, kw):
+    """The sequence-parallel halo paths equal single-device compute_full
+    under random configs on the 8-device virtual mesh (the halo widths
+    are config-dependent — exactly where edge bugs hide)."""
+    from speech_tpu import parallel as par
+
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(dict(bank), dtype="float64", **kw)
+    mesh = par.make_mesh(("t",))
+    n = mesh.shape["t"]
+    shift = computer.frame_shift
+    if kind == "stft":
+        per = (-(-computer.frame_length // shift) + 2) * shift
+    else:
+        halo = computer.max_support - 1 + 2 * shift
+        per = (-(-halo // shift) + 2) * shift
+    sig_len = n * per
+    rng = np.random.RandomState(97)
+    signal = rng.randn(sig_len)
+    want = computer.compute_full(signal)
+    if kind == "stft":
+        got = np.asarray(
+            par.sharded_stft_feats(computer, signal, mesh, "t")
+        )
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+    else:
+        got = np.asarray(
+            par.sharded_si_feats(computer, signal, mesh, "t")
+        )
+        assert got.shape[0] >= want.shape[0]  # undershoot quirk tail
+        assert np.allclose(
+            got[: want.shape[0]], want, atol=1e-8
+        ), np.abs(got[: want.shape[0]] - want).max()
