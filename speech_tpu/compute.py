@@ -375,8 +375,10 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 self._device_params["dft_group_weights"] = jnp.asarray(gw)
                 self._device_params["dft_cos_scale"] = jnp.float32(cs)
                 self._device_params["dft_sin_scale"] = jnp.float32(ss)
-                if self._dft_size % 2 == 0:
-                    # layout for the fused Pallas double kernel
+                if self._dft_size % 256 == 0:
+                    # layout for the fused Pallas double kernel: the
+                    # cos|sin split slices the lane axis at nb = dft//2,
+                    # so nb must be a lane-tile multiple (and half odd)
                     pdk = _stft.digit_kernel_matrices(
                         self._dft_cos, self._dft_sin, self._weights
                     )
@@ -408,12 +410,13 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
     def _use_pallas(self) -> bool:
         mode = self._fft_mode or config.FFT_MODE
         if self._precision == "double":
-            # the fused exact digit kernel needs an even DFT size; odd
-            # sizes stay on the XLA digit path.  Unlike the reduced-
-            # precision pallas tier it is numerically equivalent to the
-            # XLA digit path, so "auto" selects it on real TPUs (1.8x:
-            # 34 -> 19 ms on the v5e headline batch).
-            if self._dft_size % 2:
+            # the fused exact digit kernel needs a lane-aligned layout
+            # (nb = dft//2 a multiple of 128); other sizes stay on the
+            # XLA digit path.  Unlike the reduced-precision pallas tier
+            # it is numerically equivalent to the XLA digit path, so
+            # "auto" selects it on real TPUs (34 -> 14.3 ms on the v5e
+            # headline batch).
+            if self._dft_size % 256:
                 return False
             if mode == "pallas":
                 return True

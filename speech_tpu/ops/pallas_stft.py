@@ -402,8 +402,10 @@ def stft_feats_pallas_double(
     """Fused Pallas ``precision="double"`` tier for padded signals.
 
     Same contract as :func:`stft_feats_pallas`; falls back to XLA
-    framing + the XLA digit path when overlapping blocks are unavailable
-    or the shift is not sublane-aligned.
+    framing + the XLA digit path when overlapping blocks are
+    unavailable, the shift is not sublane-aligned, the DFT size is not
+    lane-aligned (params carry no kernel layout), or the frame is too
+    long for exact base-256 sums.
     """
     from . import stft as _stft
 

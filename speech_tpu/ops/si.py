@@ -239,8 +239,9 @@ def si_feats_from_signal(
         if precision == "double":
             # exact digit tier (see ops/stft.py): the signal splits under
             # one per-signal power-of-two scale into base-64 digit planes
-            # (5 planes: full f32 content down to ~-66 dB of the signal
-            # peak), the band matrices into 6; every einsum pass then
+            # (_SI_X_DIGITS = 6: 36 bits below the signal peak, enough for
+            # loud-transient/quiet-tail dynamics — see ops/stft.py), the
+            # band matrices into 6; every einsum pass then
             # multiplies and accumulates integers below 2^24 — exact in
             # f32 — leaving only the 2^-36 pair cutoff.
             from .stft import _SI_X_DIGITS, _SI_PAIR_CUTOFF, _DIGIT_BASE

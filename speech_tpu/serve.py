@@ -68,6 +68,8 @@ class FeatureServer:
         self._max_wait = float(max_wait_ms) / 1e3
         self._queue = queue.SimpleQueue()
         self._closed = False
+        self._lock = threading.Lock()  # makes submit's check+put atomic
+        # with close's sentinel, so no request can slip behind the stop
         self._worker = threading.Thread(
             target=self._run, name="speech-tpu-serve", daemon=True
         )
@@ -77,10 +79,11 @@ class FeatureServer:
 
     def submit(self, signal: np.ndarray) -> Future:
         """Enqueue one 1-D signal; resolves to ``(num_frames, C)``."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         fut = Future()
-        self._queue.put((np.asarray(signal), fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put((np.asarray(signal), fut))
         return fut
 
     def extract(self, signal: np.ndarray) -> np.ndarray:
@@ -95,22 +98,25 @@ class FeatureServer:
     def close(self) -> None:
         """Drain pending requests and stop the dispatcher.
 
-        Requests submitted before the close are served; a submit racing
-        the close may slip behind the stop sentinel, so any stragglers
-        found after the dispatcher exits get a RuntimeError rather than a
-        future that never resolves.
+        Requests submitted before the close are served; the lock makes a
+        racing submit either land before the stop sentinel or raise.  As
+        a belt-and-braces measure, any item somehow found behind the
+        sentinel after the dispatcher exits gets a RuntimeError rather
+        than a future that never resolves.
         """
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._worker.join()
-            while True:
-                try:
-                    item = self._queue.get_nowait()
-                except queue.Empty:
-                    return
-                if item is not None:
-                    item[1].set_exception(RuntimeError("server is closed"))
+        self._worker.join()
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].set_exception(RuntimeError("server is closed"))
 
     def __enter__(self):
         return self
@@ -169,10 +175,11 @@ class StreamPool:
 
     Works with either computer (the STFT and SI streaming tiers share
     the explicit-carry contract).  All sessions advance together through
-    one jitted ``vmap(process)`` call per :meth:`step`; a session
-    without a full chunk pending contributes ``valid_len == 0`` (an
-    exact no-op on its carry state).  Not thread-safe: drive it from one
-    serving loop.
+    one jitted ``vmap(process)`` call per :meth:`step`: a session with
+    nothing pending contributes ``valid_len == 0`` (an exact no-op on
+    its carry state), and partial chunks are consumed immediately as
+    masked chunks — no waiting for a full chunk.  Not thread-safe:
+    drive it from one serving loop.
 
     Typical loop::
 

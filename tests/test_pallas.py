@@ -193,3 +193,28 @@ def test_pallas_double_tier_fallback_unaligned_shift():
     want = xla.compute_full(sig)
     got = pal.compute_full(sig)
     assert np.allclose(got, want, atol=2e-6)
+
+
+def test_pallas_double_non_lane_aligned_dft_falls_back():
+    """DFT sizes whose half-spectrum is not lane-aligned must route to
+    the XLA digit path instead of crashing at params construction (a
+    398-sample frame gives dft 398: even, but 398 % 4 == 2 tripped the
+    kernel layout's half-odd assertion before the gate was fixed)."""
+    rng = np.random.RandomState(9)
+    sig = rng.randn(12000).astype(np.float32)
+    kw = dict(
+        frame_length_ms=24.875,  # 398 samples @ 16 kHz
+        frame_shift_ms=10,
+        pad_to_nearest_power_of_two=False,
+    )
+    xla = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", **kw
+    )
+    pal = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", fft_mode="pallas",
+        **kw
+    )
+    assert xla._dft_size == 398
+    want = xla.compute_full(sig)
+    got = pal.compute_full(sig)
+    assert np.allclose(got, want, atol=2e-6)
