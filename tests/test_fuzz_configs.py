@@ -245,3 +245,37 @@ def test_random_config_halo_sharded_matches_compute_full(kind, bank, kw):
         assert np.allclose(
             got[: want.shape[0]], want, atol=1e-8
         ), np.abs(got[: want.shape[0]] - want).max()
+
+
+@pytest.mark.parametrize(
+    "kind,bank,kw",
+    [c for i, c in enumerate(CASES) if i % 2 == 0],
+    ids=[f"cfg{i}" for i in range(len(CASES)) if i % 2 == 0],
+)
+def test_random_config_torch_layer_matches_host(kind, bank, kw):
+    """The PyTorch compat modules reproduce the host computers across the
+    random config space (the reference's own accelerator-parity template,
+    extended to every configuration axis)."""
+    torch = pytest.importorskip("torch")
+    from speech_tpu.torch import (
+        PyTorchShortIntegrationFrameComputer,
+        PyTorchShortTimeFourierTransformFrameComputer,
+    )
+
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(dict(bank), dtype="float64", **kw)
+    if kind == "stft":
+        mod = PyTorchShortTimeFourierTransformFrameComputer.from_stft_frame_computer(
+            computer
+        )
+    else:
+        mod = PyTorchShortIntegrationFrameComputer.from_si_frame_computer(
+            computer
+        )
+    rng = np.random.RandomState(101)
+    signal = rng.randn(int(rng.randint(2000, 5000)))
+    want = computer.compute_full(signal)
+    with torch.no_grad():
+        got = mod(torch.as_tensor(signal, dtype=torch.float32)).numpy()
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
