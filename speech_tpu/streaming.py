@@ -305,6 +305,11 @@ class StreamingSI:
     ``compute_chunk``/``finalize`` path.  The carry holds the last
     ``max_support - 1 + 2*frame_shift`` raw samples — enough history for
     every convolution tap of any not-yet-emitted frame.
+
+    Caveat: the per-chunk emit convolution runs as a standard f32 FFT
+    product, so on TPU a ``precision="double"`` computer streams at
+    plain-f32 accuracy — the exact digit tier applies to the batch and
+    host-streaming paths (which share the exact conv program).
     """
 
     def __init__(self, computer: SIFrameComputer, chunk_size: int):
