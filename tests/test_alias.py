@@ -77,3 +77,28 @@ def test_deprecated_top_level_reexports():
     assert any(issubclass(x.category, DeprecationWarning) for x in w)
     with __import__("pytest").raises(AttributeError):
         speech_tpu.no_such_attr
+
+
+def test_config_selects_precision_tier():
+    """The exact tier is reachable from plain JSON configs through the
+    factory — the same path the CLI uses."""
+    from speech_tpu.compute import FrameComputer
+
+    cfg = {
+        "name": "stft",
+        "bank": {"name": "fbank", "num_filts": 8, "sampling_rate": 8000},
+        "frame_length_ms": 25,
+        "frame_shift_ms": 10,
+        "dtype": "float32",
+        "precision": "double",
+    }
+    c = alias_factory_subclass_from_arg(FrameComputer, cfg)
+    assert c._precision == "double"
+    si = {
+        "name": "si",
+        "bank": {"name": "fbank", "num_filts": 8, "sampling_rate": 8000},
+        "dtype": "float32",
+        "precision": "double",
+    }
+    c2 = alias_factory_subclass_from_arg(FrameComputer, si)
+    assert c2._precision == "double"
