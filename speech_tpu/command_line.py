@@ -408,6 +408,12 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
     parser.add_argument("--preprocess", type=_config_type, default=tuple())
     parser.add_argument("--postprocess", type=_config_type, default=tuple())
     parser.add_argument("--seed", type=_nonneg_int_type, default=None)
+    parser.add_argument(
+        "--batch-size",
+        type=_nonneg_int_type,
+        default=64,
+        help="Utterances per device batch (0: one at a time on host)",
+    )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -455,58 +461,112 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             options.feats_wspecifier,
         )
         return 1
-    num_utts, num_success = 0, 0
-    for utt_id, (buff, samp_freq, duration) in list(wav_reader.items()):
-        num_utts += 1
-        if duration < options.min_duration:
-            logger.warning(
-                "File: %s is too short (%.2f sec): producing no output",
-                utt_id,
-                duration,
-            )
-            continue
-        elif samp_freq != computer.bank.sampling_rate:
-            logger.warning(
-                "Sample frequency mismatch for file %s: you specified %.2f "
-                "but data has %.2f: producing no output",
-                utt_id,
-                computer.bank.sampling_rate,
-                samp_freq,
-            )
-            continue
-        cur_chan = options.channel
-        if options.channel == -1 and buff.shape[0] > 1:
-            logger.warning(
-                "Channel is not specified but you have data with %d "
-                "channels; defaulting to zero",
-                buff.shape[0],
-            )
-            cur_chan = 0
-        elif options.channel >= buff.shape[0]:
-            logger.warning(
-                "File with id %s has %d channels but you specified channel "
-                "%d, producing no output",
-                utt_id,
-                buff.shape[0],
-                options.channel,
-            )
-            continue
-        buff = buff[cur_chan].astype(np.float64, copy=False)
-        for preprocessor in preprocessors:
-            buff = preprocessor.apply(buff, in_place=True)
-        feats = computer.compute_full(buff)
+    counts = {"utts": 0, "success": 0}
+
+    def valid_signals():
+        # LAZY walk of the wave table — O(1) table entries in flight
+        # (the reference iterates the same way: command_line.py:332-359);
+        # validation/skip semantics and preprocessing happen here, in
+        # table order, so --seed determinism is batch-size independent
+        for utt_id, (buff, samp_freq, duration) in wav_reader.items():
+            counts["utts"] += 1
+            if duration < options.min_duration:
+                logger.warning(
+                    "File: %s is too short (%.2f sec): producing no output",
+                    utt_id,
+                    duration,
+                )
+                continue
+            elif samp_freq != computer.bank.sampling_rate:
+                logger.warning(
+                    "Sample frequency mismatch for file %s: you specified "
+                    "%.2f but data has %.2f: producing no output",
+                    utt_id,
+                    computer.bank.sampling_rate,
+                    samp_freq,
+                )
+                continue
+            cur_chan = options.channel
+            if options.channel == -1 and buff.shape[0] > 1:
+                logger.warning(
+                    "Channel is not specified but you have data with %d "
+                    "channels; defaulting to zero",
+                    buff.shape[0],
+                )
+                cur_chan = 0
+            elif options.channel >= buff.shape[0]:
+                logger.warning(
+                    "File with id %s has %d channels but you specified "
+                    "channel %d, producing no output",
+                    utt_id,
+                    buff.shape[0],
+                    options.channel,
+                )
+                continue
+            buff = buff[cur_chan].astype(np.float64, copy=False)
+            for preprocessor in preprocessors:
+                buff = preprocessor.apply(buff, in_place=True)
+            yield utt_id, buff
+
+    def emit(utt_id, feats):
         for postprocessor in postprocessors:
             feats = postprocessor.apply(feats, axis=-1)
         if not KaldiDataType.BaseMatrix.is_double:
             feats = feats.astype(np.float32)
         feat_writer.write(utt_id, feats)
-        if num_utts % 10 == 0:
-            logger.info("Processed %d utterances", num_utts)
-        num_success += 1
-    logger.info("Done %d out of %d utterances", num_success, num_utts)
+        counts["success"] += 1
+        if counts["success"] % 10 == 0:
+            logger.info("Processed %d utterances", counts["success"])
+
+    use_batched = (
+        options.batch_size
+        and isinstance(computer, LinearFilterBankFrameComputer)
+        and hasattr(computer, "compute_batch")
+    )
+    if use_batched:
+        # device micro-batches through the same bucketed mesh-sharded
+        # path as signals-to-torch-feat-dir; extract_iter double-buffers
+        # so host table decode overlaps device compute
+        from .parallel import ShardedExtractor, make_mesh
+        from .utils import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
+        try:
+            import jax
+
+            mesh = make_mesh(("data",)) if len(jax.devices()) > 1 else None
+        except Exception:
+            mesh = None
+        extractor = ShardedExtractor(computer, mesh)
+        id_batches = []
+
+        def signal_batches():
+            utts, sigs = [], []
+            for utt_id, buff in valid_signals():
+                utts.append(utt_id)
+                sigs.append(buff)
+                if len(sigs) >= options.batch_size:
+                    id_batches.append(utts)
+                    yield sigs
+                    utts, sigs = [], []
+            if sigs:
+                id_batches.append(utts)
+                yield sigs
+
+        for done, feats_list in enumerate(
+            extractor.extract_iter(signal_batches())
+        ):
+            for utt_id, feats in zip(id_batches[done], feats_list):
+                emit(utt_id, np.asarray(feats, np.float64))
+    else:
+        for utt_id, buff in valid_signals():
+            emit(utt_id, computer.compute_full(buff))
+    logger.info(
+        "Done %d out of %d utterances", counts["success"], counts["utts"]
+    )
     feat_writer.close()
     wav_reader.close()
-    return 0 if num_success else 1
+    return 0 if counts["success"] else 1
 
 
 def main(args: Optional[Sequence[str]] = None) -> int:

@@ -130,13 +130,14 @@ def pad_signal_np(
     frame_shift: int,
     pad_left: int,
     out: np.ndarray = None,
-) -> int:
+):
     """Assemble the symmetrically padded stream for static framing (host).
 
     Writes ``[reflect(pad_left) | signal | reflect(pad_right)]`` into
     ``out`` (or a new array), where ``pad_right`` completes the last frame
     per the reference's batch semantics (reference: compute.py:596-600).
-    Returns the number of frames.  The padding regions are at most
+    Returns ``(padded, num_frames)`` either way (``padded`` is the fresh
+    array, or ``out`` itself when given).  The padding regions are at most
     ``frame_length`` samples — a negligible host memcpy — and let the
     device frame with static slices instead of gathers.
     """
@@ -146,7 +147,7 @@ def pad_signal_np(
     padded = np.pad(signal[:sig_len], (pad_left, pad_right), "symmetric")
     if out is not None:
         out[: len(padded)] = padded
-        return num_frames
+        return out, num_frames
     return padded, num_frames
 
 

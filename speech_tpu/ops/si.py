@@ -200,7 +200,7 @@ def si_feats_from_signal(
                 rev,
                 window_strides=(1,),
                 padding="VALID",
-                precision=jax.lax.Precision.HIGHEST,
+                precision=jax.lax.Precision(precision),
             )[0]  # (F, L - T + 1)
             part = jax.lax.slice_in_dim(out, q0, q0 + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
@@ -259,7 +259,8 @@ def si_feats_from_signal(
             Xsh_stack = jnp.stack(planes)  # (XD, L)
 
             def _conv_part_digits(A_digits, A_scale):
-                # lax.scan forces one pair in flight: the 20 einsums are
+                # lax.scan forces one pair in flight: the schedule's pair
+                # einsums (one per (i, j) under the cutoff) are
                 # independent, and letting XLA schedule them freely keeps
                 # too many (batch, F, nb, V) buffers live at once (OOM on
                 # a 16 GB chip at production batch sizes)
@@ -293,10 +294,10 @@ def si_feats_from_signal(
                 return _finish_conv(acc * (x_scale * A_scale))
 
         else:
+            # "double" never reaches this branch (it implies the digit
+            # path above), so the tier string maps directly.
             Xsh = _shifted_blocks(sig_pad)
-            conv_prec = jax.lax.Precision(
-                "highest" if precision == "double" else precision
-            )
+            conv_prec = jax.lax.Precision(precision)
 
             def _conv_part_blocks(A):
                 Y = jnp.einsum(

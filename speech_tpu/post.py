@@ -68,7 +68,10 @@ class Standardize(PostProcessor):
             if "dtype" in kwargs:
                 self._stats = read_signal(rfilename, **kwargs)
             else:
-                for dtype in (np.float64, np.float32):
+                # float widths first; then the Kaldi matrix dtype strings
+                # so stats archived in Kaldi tables load too (reference:
+                # post.py:109 tries ('dm', 'fm') after the float widths)
+                for dtype in (np.float64, np.float32, "dm", "fm"):
                     try:
                         self._stats = read_signal(rfilename, dtype=dtype, **kwargs)
                         break
@@ -77,8 +80,9 @@ class Standardize(PostProcessor):
                 if self._stats is None:
                     raise IOError(
                         f"statistics at {rfilename} were unreadable at "
-                        "either float width"
+                        "either float width or as a Kaldi matrix"
                     )
+                self._stats = np.asarray(self._stats)
                 if len(self._stats.shape) == 1:
                     self._sanitize_stats()
         elif kwargs:

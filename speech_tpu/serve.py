@@ -78,12 +78,24 @@ class FeatureServer:
     # -- client side ---------------------------------------------------
 
     def submit(self, signal: np.ndarray) -> Future:
-        """Enqueue one 1-D signal; resolves to ``(num_frames, C)``."""
+        """Enqueue one 1-D signal; resolves to ``(num_frames, C)``.
+
+        Malformed requests raise *here*, to the submitting caller — a bad
+        signal must never poison the unrelated requests it would have
+        coalesced with in a micro-batch.
+        """
+        signal = np.asarray(signal)
+        if signal.ndim != 1:
+            raise ValueError(
+                f"signal must be 1-D, got shape {signal.shape}"
+            )
+        if not np.issubdtype(signal.dtype, np.number):
+            raise TypeError(f"signal must be numeric, got {signal.dtype}")
         fut = Future()
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
-            self._queue.put((np.asarray(signal), fut))
+            self._queue.put((signal, fut))
         return fut
 
     def extract(self, signal: np.ndarray) -> np.ndarray:
@@ -153,9 +165,17 @@ class FeatureServer:
         signals = [s for s, _ in batch]
         try:
             outs = self._extractor.extract(signals)
-        except Exception as e:  # noqa: BLE001 — forwarded to callers
-            for _, fut in batch:
-                fut.set_exception(e)
+        except Exception:  # noqa: BLE001 — isolate the bad request(s)
+            # submit() pre-validates shape/dtype, so batch failures here
+            # are rare; retry individually so only the offending request
+            # sees the error instead of the whole micro-batch.
+            for sig, fut in batch:
+                try:
+                    out = self._extractor.extract([sig])[0]
+                except Exception as e:  # noqa: BLE001 — to the caller
+                    fut.set_exception(e)
+                else:
+                    fut.set_result(out)
             return
         for (_, fut), out in zip(batch, outs):
             fut.set_result(out)

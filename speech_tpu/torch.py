@@ -15,8 +15,6 @@ short-integration computer is a bona fide vectorized torch implementation
 This module requires :mod:`torch`; import it lazily.
 """
 
-import math
-
 from typing import Optional
 
 import numpy as np
@@ -30,6 +28,7 @@ from .pre import Dither, Preemphasize
 __all__ = [
     "pytorch_dither",
     "pytorch_preemphasize",
+    "pytorch_si_frame_computer",
     "pytorch_stft_frame_computer",
     "PyTorchDither",
     "PyTorchPostProcessorWrapper",
@@ -93,6 +92,7 @@ class PyTorchDither(torch.nn.Module):
         return f"coeff={self.coeff}"
 
 
+@torch.jit.script_if_tracing
 def pytorch_stft_frame_computer(
     sig: torch.Tensor,
     weights: torch.Tensor,
@@ -119,7 +119,10 @@ def pytorch_stft_frame_computer(
     if sig.ndim != 1:
         raise RuntimeError(f"Expected sig to be 1-dimensional; got {sig.ndim}")
     if dft_size is None:
-        dft_size = int(2 ** math.ceil(math.log2(frame_length)))
+        # next power of two, TorchScript-compatible (math.log2 is not)
+        dft_size = 1
+        while dft_size < frame_length:
+            dft_size *= 2
     num_filts = weights.size(1)
     sig_len = sig.size(0)
     if sig_len < frame_length // 2 + 1:
@@ -224,6 +227,76 @@ class PyTorchShortTimeFourierTransformFrameComputer(torch.nn.Module):
 PyTorchSTFTFrameComputer = PyTorchShortTimeFourierTransformFrameComputer
 
 
+@torch.jit.script_if_tracing
+def pytorch_si_frame_computer(
+    sig: torch.Tensor,
+    firs: torch.Tensor,
+    window: torch.Tensor,
+    frame_shift: int,
+    shift_eff: int,
+    translation: int,
+    use_log: bool = True,
+    use_power: bool = False,
+    include_energy: bool = False,
+    eps: float = config.LOG_FLOOR_VALUE,
+) -> torch.Tensor:
+    """Functional vectorized SI computer (closed form of the reference's
+    overlap-save machinery, reference: compute.py:613-999): one FFT
+    convolution against all FIRs, pointwise modulus/power, windowed
+    integration.  TorchScript-compatible; under ``torch.jit.trace`` it is
+    scripted instead, so traces generalize across signal lengths."""
+    if sig.ndim != 1:
+        raise RuntimeError(f"Expected sig to be 1-dimensional; got {sig.ndim}")
+    shift = frame_shift
+    T = firs.size(1)
+    sig_len = sig.size(0)
+    target = (sig_len + shift // 2) // shift
+    after_pad = (target * shift + T - 1 - shift_eff) // shift - 1
+    num_frames = max(0, min(target, after_pad))
+    num_coeffs = firs.size(0) + int(include_energy)
+    if num_frames == 0:
+        return sig.new_empty((0, num_coeffs))
+    ny = (num_frames + 1) * shift
+    # next power of two >= sig_len + T - 1 (int.bit_length and math.log2
+    # are not TorchScript-compatible)
+    fft_size = 1
+    while fft_size < sig_len + T - 1:
+        fft_size *= 2
+    is_real = not firs.is_complex()
+    if is_real:
+        X = torch.fft.rfft(sig, fft_size)
+        H = torch.fft.rfft(firs, fft_size, 1)
+        conv = torch.fft.irfft(X.unsqueeze(0) * H, fft_size, 1)
+    else:
+        Xc = torch.fft.fft(sig.to(firs.dtype), fft_size)
+        Hc = torch.fft.fft(firs, fft_size, 1)
+        conv = torch.fft.ifft(Xc.unsqueeze(0) * Hc, fft_size, 1)
+    n_idx = torch.arange(ny, device=sig.device) + shift_eff
+    valid = (n_idx >= 0) & (n_idx < sig_len + T - 1)
+    y = conv[:, n_idx.clamp(0, fft_size - 1)]
+    y = torch.where(valid.unsqueeze(0), y, torch.zeros_like(y))
+    if use_power:
+        y_mod = y.square() if is_real else (y * y.conj()).real
+    else:
+        y_mod = y.abs()
+    if include_energy:
+        e_idx = torch.arange(ny, device=sig.device) + shift_eff - translation
+        e_valid = (e_idx >= 0) & (e_idx < sig_len)
+        xe = sig[e_idx.clamp(0, sig_len - 1)]
+        xe = torch.where(e_valid, xe, torch.zeros_like(xe))
+        e_mod = xe.square() if use_power else xe.abs()
+        y_mod = torch.cat([e_mod.unsqueeze(0), y_mod])
+    idx = (
+        torch.arange(num_frames, device=sig.device).unsqueeze(1) * shift
+        + torch.arange(2 * shift, device=sig.device).unsqueeze(0)
+    )
+    framed = y_mod[:, idx]  # (F, num_frames, 2*shift)
+    feats = torch.einsum("fkt,t->kf", framed, window)
+    if use_log:
+        feats = feats.clamp_min(eps).log()
+    return feats
+
+
 class PyTorchShortIntegrationFrameComputer(torch.nn.Module):
     """Vectorized torch SI computer with learnable FIRs and window.
 
@@ -274,56 +347,18 @@ class PyTorchShortIntegrationFrameComputer(torch.nn.Module):
         )
 
     def forward(self, sig: torch.Tensor) -> torch.Tensor:
-        if sig.ndim != 1:
-            raise RuntimeError(f"Expected sig to be 1-dimensional; got {sig.ndim}")
-        shift = self.frame_shift
-        T = self.firs.size(1)
-        sig_len = sig.size(0)
-        target = (sig_len + shift // 2) // shift
-        after_pad = (target * shift + T - 1 - self.shift_eff) // shift - 1
-        num_frames = max(0, min(target, after_pad))
-        num_coeffs = self.firs.size(0) + int(self.include_energy)
-        if num_frames == 0:
-            return sig.new_empty((0, num_coeffs))
-        ny = (num_frames + 1) * shift
-        fft_size = 1 << max(0, int(sig_len + T - 1)).bit_length()
-        is_real = not self.firs.is_complex()
-        if is_real:
-            X = torch.fft.rfft(sig, fft_size)
-            H = torch.fft.rfft(self.firs, fft_size, 1)
-            conv = torch.fft.irfft(X.unsqueeze(0) * H, fft_size, 1)
-        else:
-            X = torch.fft.fft(sig.to(self.firs.dtype), fft_size)
-            H = torch.fft.fft(self.firs, fft_size, 1)
-            conv = torch.fft.ifft(X.unsqueeze(0) * H, fft_size, 1)
-        n_idx = torch.arange(ny, device=sig.device) + self.shift_eff
-        valid = (n_idx >= 0) & (n_idx < sig_len + T - 1)
-        y = conv[:, n_idx.clamp(0, fft_size - 1)]
-        y = torch.where(valid.unsqueeze(0), y, torch.zeros_like(y))
-        if self.use_power:
-            y_mod = (y * y.conj()).real if not is_real else y.square()
-        else:
-            y_mod = y.abs()
-        if self.include_energy:
-            e_idx = (
-                torch.arange(ny, device=sig.device)
-                + self.shift_eff
-                - self.translation
-            )
-            e_valid = (e_idx >= 0) & (e_idx < sig_len)
-            xe = sig[e_idx.clamp(0, sig_len - 1)]
-            xe = torch.where(e_valid, xe, torch.zeros_like(xe))
-            e_mod = xe.square() if self.use_power else xe.abs()
-            y_mod = torch.cat([e_mod.unsqueeze(0), y_mod])
-        idx = (
-            torch.arange(num_frames, device=sig.device).unsqueeze(1) * shift
-            + torch.arange(2 * shift, device=sig.device).unsqueeze(0)
+        return pytorch_si_frame_computer(
+            sig,
+            self.firs,
+            self.window,
+            self.frame_shift,
+            self.shift_eff,
+            self.translation,
+            use_log=self.use_log,
+            use_power=self.use_power,
+            include_energy=self.include_energy,
+            eps=self.eps,
         )
-        framed = y_mod[:, idx]  # (F, num_frames, 2*shift)
-        feats = torch.einsum("fkt,t->kf", framed, self.window)
-        if self.use_log:
-            feats = feats.clamp_min(self.eps).log()
-        return feats
 
 
 PyTorchSIFrameComputer = PyTorchShortIntegrationFrameComputer

@@ -26,21 +26,31 @@ COMPUTER_CONFIG = {
 
 
 class _FakeReader:
-    def __init__(self, table):
+    """Lazily decoding reader; counts entries handed out so tests can
+    assert the CLI streams the table instead of materializing it."""
+
+    def __init__(self, table, decoded):
         self._table = table
+        self._decoded = decoded
 
     def items(self):
-        return self._table.items()
+        for key, value in self._table.items():
+            self._decoded.append(key)
+            yield key, value
 
     def close(self):
         pass
 
 
 class _FakeWriter:
-    def __init__(self, store):
+    def __init__(self, store, decoded=None):
         self._store = store
+        self._decoded = decoded
+        self.decoded_at_first_write = None
 
     def write(self, key, value):
+        if self.decoded_at_first_write is None and self._decoded is not None:
+            self.decoded_at_first_write = len(self._decoded)
         self._store[key] = np.asarray(value)
 
     def close(self):
@@ -58,14 +68,18 @@ def fake_kaldi(monkeypatch):
         pass
     tables = {}
     written = {}
+    decoded = []
+    writers = []
 
     def kaldi_open(specifier, dtype=None, mode="r", value_style=None):
         if mode == "w":
             written.setdefault(specifier, {})
-            return _FakeWriter(written[specifier])
+            writer = _FakeWriter(written[specifier], decoded)
+            writers.append(writer)
+            return writer
         if specifier not in tables:
             raise IOError(f"no such table: {specifier}")
-        return _FakeReader(tables[specifier])
+        return _FakeReader(tables[specifier], decoded)
 
     io_mod = types.ModuleType("pydrobert.kaldi.io")
     io_mod.open = kaldi_open
@@ -90,7 +104,9 @@ def fake_kaldi(monkeypatch):
         ("pydrobert.kaldi.io.enums", enums_mod),
     ):
         monkeypatch.setitem(sys.modules, name, mod)
-    return tables, written
+    return types.SimpleNamespace(
+        tables=tables, written=written, decoded=decoded, writers=writers
+    )
 
 
 def _wave_entry(rng, seconds=0.5, rate=8000, channels=1):
@@ -100,7 +116,7 @@ def _wave_entry(rng, seconds=0.5, rate=8000, channels=1):
 
 
 def test_kaldi_tables_round_trip(fake_kaldi):
-    tables, written = fake_kaldi
+    tables, written = fake_kaldi.tables, fake_kaldi.written
     rng = np.random.RandomState(17)
     tables["ark:wav.ark"] = {
         "utt1": _wave_entry(rng),
@@ -120,7 +136,7 @@ def test_kaldi_tables_round_trip(fake_kaldi):
 
 
 def test_kaldi_tables_skips_and_failures(fake_kaldi):
-    tables, written = fake_kaldi
+    tables, written = fake_kaldi.tables, fake_kaldi.written
     rng = np.random.RandomState(18)
     good = _wave_entry(rng)
     tables["ark:wav.ark"] = {
@@ -153,8 +169,61 @@ def test_kaldi_tables_skips_and_failures(fake_kaldi):
     assert rc == 1
 
 
+def test_kaldi_tables_corpus_scale_lazy_and_batched(fake_kaldi):
+    """A few hundred utterances stream through in micro-batches: the wave
+    table must be consumed lazily (O(batch) entries in flight at first
+    write, not the whole corpus) and outputs must match the per-utterance
+    path."""
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(20)
+    n_utts = 200
+    table = {}
+    for i in range(n_utts):
+        table[f"utt{i:03d}"] = _wave_entry(
+            rng, seconds=float(rng.uniform(0.3, 0.5))
+        )
+    tables["ark:big.ark"] = table
+    cfg = str(COMPUTER_CONFIG).replace("'", '"')
+    rc = cli.compute_feats_from_kaldi_tables(
+        ["ark:big.ark", "ark:bigfeats.ark", cfg, "--batch-size", "16"]
+    )
+    assert rc == 0
+    out = written["ark:bigfeats.ark"]
+    assert list(out) == list(table)  # all utterances, in table order
+    # laziness: at the first write at most ~2 batches (dispatch lookahead)
+    # of the 200 entries had been decoded
+    first = fake_kaldi.writers[0].decoded_at_first_write
+    assert first is not None and first <= 3 * 16, first
+    # batched output matches the host per-utterance oracle
+    computer = alias_factory_subclass_from_arg(FrameComputer, COMPUTER_CONFIG)
+    for utt in list(table)[:3] + list(table)[-2:]:
+        want = computer.compute_full(table[utt][0][0]).astype(np.float32)
+        assert out[utt].shape == want.shape, utt
+        assert np.allclose(out[utt], want, atol=1e-5), utt
+
+
+def test_kaldi_tables_batch_disabled_matches(fake_kaldi):
+    """--batch-size 0 forces the host per-utterance path; results agree."""
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(21)
+    tables["ark:wav.ark"] = {
+        "a": _wave_entry(rng),
+        "b": _wave_entry(rng, seconds=0.7),
+    }
+    cfg = str(COMPUTER_CONFIG).replace("'", '"')
+    for spec, extra in (("ark:x.ark", ["--batch-size", "0"]), ("ark:y.ark", [])):
+        rc = cli.compute_feats_from_kaldi_tables(
+            ["ark:wav.ark", spec, cfg] + extra
+        )
+        assert rc == 0
+    for utt in ("a", "b"):
+        assert np.allclose(
+            written["ark:x.ark"][utt], written["ark:y.ark"][utt], atol=1e-5
+        )
+
+
 def test_kaldi_tables_preprocess_seed_determinism(fake_kaldi):
-    tables, written = fake_kaldi
+    tables, written = fake_kaldi.tables, fake_kaldi.written
     rng = np.random.RandomState(19)
     tables["ark:wav.ark"] = {"u": _wave_entry(rng)}
     cfg = str(COMPUTER_CONFIG).replace("'", '"')

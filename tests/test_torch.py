@@ -1,5 +1,8 @@
 """Torch compat layer vs the host computers (reference test pattern:
-tests/test_torch.py — numpy/torch parity at atol 1e-5, plus jit modes)."""
+tests/test_torch.py — numpy/torch parity at atol 1e-5, under
+none/``torch.jit.script``/``torch.jit.trace``)."""
+
+import warnings
 
 import numpy as np
 import pytest
@@ -13,6 +16,25 @@ import speech_tpu.torch as stpu_torch  # noqa: E402
 
 
 BANK = {"name": "fbank", "num_filts": 13, "sampling_rate": 8000}
+JIT_MODES = ["none", "script", "trace"]
+
+
+def _jitted(mod, mode, example):
+    """Apply a torch.jit transform (reference parity matrix:
+    tests/test_torch.py:25-133).  The functional computers are decorated
+    ``script_if_tracing``, so traces generalize across signal lengths —
+    asserted by tracing with a different-length example than the test
+    signal."""
+    if mode == "none":
+        return mod
+    with warnings.catch_warnings():
+        # this torch version deprecates script/trace themselves; tracer
+        # warnings (shape specialization) must still be errors —
+        # script_if_tracing is what keeps them from firing
+        warnings.filterwarnings("ignore", category=DeprecationWarning)
+        if mode == "script":
+            return torch.jit.script(mod)
+        return torch.jit.trace(mod, (example,))
 
 
 @pytest.fixture(scope="module")
@@ -20,10 +42,13 @@ def signal():
     return np.random.RandomState(30).randn(4000)
 
 
+@pytest.mark.parametrize("jit_mode", JIT_MODES)
 @pytest.mark.parametrize("include_energy", [False, True], ids=["", "energy"])
 @pytest.mark.parametrize("use_power", [False, True], ids=["mag", "power"])
 @pytest.mark.parametrize("style", ["centered", "causal"])
-def test_stft_torch_matches_host(signal, include_energy, use_power, style):
+def test_stft_torch_matches_host(
+    signal, include_energy, use_power, style, jit_mode
+):
     computer = STFTFrameComputer(
         dict(BANK),
         frame_length_ms=25,
@@ -35,21 +60,34 @@ def test_stft_torch_matches_host(signal, include_energy, use_power, style):
     )
     want = computer.compute_full(signal)
     mod = stpu_torch.PyTorchSTFTFrameComputer.from_stft_frame_computer(computer)
+    mod = _jitted(mod, jit_mode, torch.randn(2500))
     got = mod(torch.as_tensor(signal, dtype=torch.float32)).detach().numpy()
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
+@pytest.mark.parametrize("jit_mode", JIT_MODES)
 @pytest.mark.parametrize("style", ["centered", "causal"])
-def test_si_torch_matches_host(signal, style):
+def test_si_torch_matches_host(signal, style, jit_mode):
     computer = SIFrameComputer(
         dict(BANK), frame_style=style, include_energy=True, dtype="float64"
     )
     want = computer.compute_full(signal)
     mod = stpu_torch.PyTorchSIFrameComputer.from_si_frame_computer(computer)
+    mod = _jitted(mod, jit_mode, torch.randn(2500))
     got = mod(torch.as_tensor(signal, dtype=torch.float32)).detach().numpy()
     assert got.shape == want.shape
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("jit_mode", ["script", "trace"])
+def test_pre_modules_jit(signal, jit_mode):
+    sig = torch.as_tensor(signal, dtype=torch.float32)
+    pre = stpu_torch.PyTorchPreemphasize(0.95)
+    assert torch.allclose(_jitted(pre, jit_mode, torch.randn(100))(sig), pre(sig))
+    dit = stpu_torch.PyTorchDither(1.0)
+    dit.eval()  # deterministic (dither only fires in training mode)
+    assert torch.equal(_jitted(dit, jit_mode, torch.randn(100))(sig), sig)
 
 
 def test_stft_torch_gradients(signal):
