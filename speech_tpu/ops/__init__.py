@@ -6,4 +6,4 @@ config, safe to ``jax.jit``/``vmap``/``shard_map``.  Host-side precompute
 two together live in :mod:`speech_tpu.compute`.
 """
 
-from . import framing, stft  # noqa: F401
+from . import framing, pallas_stft, postops, si, stft, xmath  # noqa: F401
