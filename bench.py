@@ -85,6 +85,8 @@ def main():
 
     chain_rt = _full_chain_throughput(stft, batch=128, seconds=15)
 
+    lat_ms, chunk_ms, pool_rt = _streaming_bench(stft)
+
     # the exact tier (<=1e-5 vs float64 on any signal; ~7e-7 measured)
     exact = STFTFrameComputer(
         {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
@@ -106,6 +108,14 @@ def main():
                 "si_gammatone_rt_factor": round(si_rt, 1),
                 "si_gabor_rt_factor": round(si_gabor_rt, 1),
                 "full_chain_rt_factor": round(chain_rt, 1),
+                # single-stream request-response latency per 100 ms chunk
+                # (readback-timed: includes the tunnel round trip) and the
+                # dispatch-amortized per-chunk cost (in-order queue, one
+                # readback over many chunks)
+                "streaming_latency_ms": round(lat_ms, 2),
+                "streaming_chunk_ms": round(chunk_ms, 2),
+                # 16 concurrent sessions, 8-chunk lax.scan per tick
+                "stream_pool_rt_factor": round(pool_rt, 1),
                 "exact_tier_rt_factor": round(exact_rt, 1),
                 # the tier meeting BOTH north-star clauses at once
                 # (<=1e-5 vs float64 on any signal AND >=5000x RT)
@@ -113,6 +123,62 @@ def main():
             }
         )
     )
+
+
+def _streaming_bench(computer, rate: int = 16000):
+    """Streaming/serving tier: single-stream latency and pool throughput.
+
+    Three numbers: (1) request-response latency for one 100 ms chunk —
+    process + host readback each tick, so the tunnel round trip is
+    included (the honest serving latency on this runtime); (2) the
+    dispatch-amortized per-chunk cost — many process calls, one readback
+    (the in-order queue covers them), isolating dispatch+compute from the
+    readback RTT; (3) StreamPool throughput — 16 concurrent sessions
+    draining 8 chunks per tick through the vmapped ``lax.scan`` program.
+    """
+    from speech_tpu.serve import StreamPool
+    from speech_tpu.streaming import StreamingSTFT
+
+    chunk_size = rate // 10  # 100 ms
+    stream = StreamingSTFT(computer, chunk_size)
+    rng = np.random.RandomState(2)
+    chunk = jnp.asarray(rng.randn(chunk_size).astype(np.float32))
+    state = stream.init_state()
+    state, feats, _ = stream.process(state, chunk)  # compile
+    np.asarray(feats[0, 0])
+
+    n = 50
+    start = time.perf_counter()
+    for _ in range(n):
+        state, feats, _ = stream.process(state, chunk)
+        np.asarray(feats[0, 0])  # per-tick readback: full round trip
+    lat_ms = (time.perf_counter() - start) / n * 1e3
+
+    start = time.perf_counter()
+    for _ in range(n):
+        state, feats, _ = stream.process(state, chunk)
+    np.asarray(feats[0, 0])  # one readback drains the in-order queue
+    chunk_ms = (time.perf_counter() - start) / n * 1e3
+
+    slots, depth, ticks = 16, 8, 4
+    pool = StreamPool(computer, slots=slots, chunk_size=chunk_size)
+    per_session = chunk_size * depth * ticks
+    audio_sec = slots * per_session / rate
+
+    def drain():
+        handles = [pool.open() for _ in range(slots)]
+        for h in handles:
+            pool.feed(h, rng.randn(per_session).astype(np.float32))
+        while any(len(s.pending) for s in pool._sessions.values()):
+            pool.step(max_chunks=depth)
+        for h in handles:
+            pool.close(h)
+
+    drain()  # compile (k=8 scan program + finalize)
+    start = time.perf_counter()
+    drain()
+    pool_rt = audio_sec / (time.perf_counter() - start)
+    return lat_ms, chunk_ms, pool_rt
 
 
 def _full_chain_throughput(computer, batch: int, seconds: int, rate=16000):

@@ -60,8 +60,8 @@ class ShardedExtractor:
             return 1
         return self._mesh.shape[self._data_axis]
 
-    def _fn(self, batch: int, max_len: int):
-        key = (batch, max_len)
+    def _fn(self, batch: int, max_len: int, full: bool = False):
+        key = (batch, max_len, full)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -80,10 +80,21 @@ class ShardedExtractor:
             use_pallas = c._use_pallas()
 
             def run(signals, lengths):
-                def pad_one(signal, length):
-                    return _framing.pad_signal(
-                        signal, length, frame_length, frame_shift, pad_left
-                    )
+                if full:
+                    # host-known all-full bucket: fully static symmetric
+                    # padding — pad_signal's small traced-offset ops lower
+                    # to scatters/gathers under vmap (~2.5 ms on the v5e
+                    # headline batch; see compute.compute_batch)
+                    def pad_one(signal, length):
+                        return _framing.pad_signal_full(
+                            signal, frame_length, pad_left
+                        )
+
+                else:
+                    def pad_one(signal, length):
+                        return _framing.pad_signal(
+                            signal, length, frame_length, frame_shift, pad_left
+                        )
 
                 if use_pallas:
                     padded = jax.vmap(pad_one)(signals, lengths)
@@ -101,9 +112,12 @@ class ShardedExtractor:
                         )
 
                     feats = jax.vmap(one)(signals, lengths)
-                counts = _framing.frame_count(
-                    lengths, frame_length, frame_shift
-                )
+                if full:
+                    counts = jnp.full((signals.shape[0],), max_frames, jnp.int32)
+                else:
+                    counts = _framing.frame_count(
+                        lengths, frame_length, frame_shift
+                    )
                 return feats, counts
 
             if use_pallas and self._mesh is not None:
@@ -177,13 +191,22 @@ class ShardedExtractor:
             # pipeline / the fused Pallas tier)
             return self._computer.compute_batch(signals, lengths)
         signals = jnp.asarray(signals, dtype=self._computer._dtype)
-        lengths = jnp.asarray(lengths, dtype=jnp.int32)
         batch, max_len = signals.shape
+        # host-known all-full lengths select the static-padding fast path
+        # (mesh twin of compute_batch's; full buckets are the production
+        # common case and must not pay the traced-offset scatter cost)
+        full = (
+            isinstance(self._computer, STFTFrameComputer)
+            and not isinstance(lengths, jax.Array)
+            and max_len >= self._computer._frame_length
+            and (np.asarray(lengths) == max_len).all()
+        )
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
         if batch % self.batch_multiple:
             raise ValueError(
                 f"batch ({batch}) must be a multiple of {self.batch_multiple}"
             )
-        return self._fn(batch, max_len)(signals, lengths)
+        return self._fn(batch, max_len, full)(signals, lengths)
 
     def extract_iter(self, batches):
         """Double-buffered extraction over an iterable of signal lists.

@@ -139,14 +139,27 @@ class FeatureServer:
     # -- dispatcher ----------------------------------------------------
 
     def _run(self) -> None:
+        """Dispatcher loop, double-buffered under sustained load.
+
+        Device dispatch is asynchronous (``ShardedExtractor._dispatch``),
+        while materializing results (``_collect``) blocks on the device.
+        Holding one in-flight batch lets host padding/IO of batch ``i+1``
+        overlap device compute of batch ``i``; with an empty queue the
+        in-flight batch materializes immediately so a lone request never
+        waits on a successor that may not come.
+        """
         import time
 
+        pending = None  # (batch, dispatch-result) awaiting materialization
         while True:
             item = self._queue.get()
             if item is None:
+                if pending is not None:
+                    self._resolve(pending)
                 return
             batch = [item]
             deadline = time.monotonic() + self._max_wait
+            stop = False
             while len(batch) < self._max_batch:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -156,29 +169,50 @@ class FeatureServer:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._dispatch(batch)
-                    return
+                    stop = True
+                    break
                 batch.append(nxt)
-            self._dispatch(batch)
+            pending, prev = (batch, self._dispatch(batch)), pending
+            if prev is not None:
+                self._resolve(prev)
+            if stop or self._queue.empty():
+                self._resolve(pending)
+                pending = None
+            if stop:
+                return
 
-    def _dispatch(self, batch) -> None:
-        signals = [s for s, _ in batch]
+    def _dispatch(self, batch):
+        """Asynchronously dispatch one micro-batch; None on failure (the
+        batch's futures are then already resolved via individual retry)."""
         try:
-            outs = self._extractor.extract(signals)
+            return self._extractor._dispatch([s for s, _ in batch])
         except Exception:  # noqa: BLE001 — isolate the bad request(s)
-            # submit() pre-validates shape/dtype, so batch failures here
-            # are rare; retry individually so only the offending request
-            # sees the error instead of the whole micro-batch.
-            for sig, fut in batch:
-                try:
-                    out = self._extractor.extract([sig])[0]
-                except Exception as e:  # noqa: BLE001 — to the caller
-                    fut.set_exception(e)
-                else:
-                    fut.set_result(out)
+            self._retry_individually(batch)
+            return None
+
+    def _resolve(self, entry) -> None:
+        batch, disp = entry
+        if disp is None:
+            return  # dispatch already failed; futures resolved
+        try:
+            outs = self._extractor._collect(*disp)
+        except Exception:  # noqa: BLE001 — isolate the bad request(s)
+            self._retry_individually(batch)
             return
         for (_, fut), out in zip(batch, outs):
             fut.set_result(out)
+
+    def _retry_individually(self, batch) -> None:
+        # submit() pre-validates shape/dtype, so batch failures here are
+        # rare; retry individually so only the offending request sees the
+        # error instead of the whole micro-batch.
+        for sig, fut in batch:
+            try:
+                out = self._extractor.extract([sig])[0]
+            except Exception as e:  # noqa: BLE001 — to the caller
+                fut.set_exception(e)
+            else:
+                fut.set_result(out)
 
 
 class _Session:
@@ -234,7 +268,7 @@ class StreamPool:
         self._sessions = {}
         self._free = list(range(self._slots))
         self._next_handle = 0
-        self._vstep = jax.jit(jax.vmap(self._stream._process_impl))
+        self._vstep = jax.jit(jax.vmap(self._stream._process_many_impl))
         self._vfin = jax.jit(jax.vmap(self._stream._finalize_impl))
 
     @property
@@ -260,41 +294,61 @@ class StreamPool:
         samples = np.asarray(samples, self._dtype).ravel()
         s.pending = np.concatenate([s.pending.astype(samples.dtype), samples])
 
-    def step(self, only: int = None):
-        """One vmapped device tick: consume up to one chunk per session.
+    def step(self, only: int = None, max_chunks: int = 1):
+        """One vmapped device tick: consume up to ``max_chunks`` chunks per
+        session in a single dispatch.
 
         Returns ``[(handle, feats)]`` for sessions that emitted frames.
-        Call repeatedly to drain sessions with more than one chunk
-        pending.  ``only`` restricts consumption to one session (other
-        sessions' states are untouched exact no-ops) — used by
-        :meth:`close` so draining never swallows other sessions' output.
+        On tunneled runtimes dispatch latency dominates per-chunk compute,
+        so draining backlogs with ``max_chunks > 1`` (the inner
+        ``lax.scan`` of :meth:`StreamingSTFT.process_many`) is the
+        throughput lever; the scan depth pads to a power of two so the
+        program recompiles only per depth tier.  ``only`` restricts
+        consumption to one session (other sessions' states are untouched
+        exact no-ops) — used by :meth:`close` so draining never swallows
+        other sessions' output.
         """
-        chunks = np.zeros((self._slots, self._chunk), self._dtype)
-        valids = np.zeros((self._slots,), np.int32)
-        took = {}
+        C = self._chunk
+        plan = {}
+        kmax = 0
         for handle, s in self._sessions.items():
             if only is not None and handle != only:
                 continue
-            n = min(len(s.pending), self._chunk)
+            n = len(s.pending)
             if n == 0:
                 continue
-            chunks[s.slot, :n] = s.pending[:n]
-            valids[s.slot] = n
-            took[handle] = n
-        if not took:
+            nchunks = min(int(max_chunks), -(-n // C))
+            plan[handle] = nchunks
+            kmax = max(kmax, nchunks)
+        if not plan:
             return []
+        k = 1 << max(0, kmax - 1).bit_length()  # pow2 scan-depth tiers
+        chunks = np.zeros((self._slots, k, C), self._dtype)
+        valids = np.zeros((self._slots, k), np.int32)
+        for handle, nchunks in plan.items():
+            s = self._sessions[handle]
+            data = s.pending[: nchunks * C]
+            for j in range(nchunks):
+                seg = data[j * C : (j + 1) * C]
+                chunks[s.slot, j, : len(seg)] = seg
+                valids[s.slot, j] = len(seg)
         self._states, feats, nfs = self._vstep(
             self._states, jnp.asarray(chunks), jnp.asarray(valids)
         )
         feats = np.asarray(feats)
         nfs = np.asarray(nfs)
         out = []
-        for handle, n in took.items():
+        for handle, nchunks in plan.items():
             s = self._sessions[handle]
-            s.pending = s.pending[n:]
-            nf = int(nfs[s.slot])
-            if nf:
-                out.append((handle, feats[s.slot, :nf]))
+            took = int(valids[s.slot].sum())
+            s.pending = s.pending[took:]
+            segs = [
+                feats[s.slot, j, : nfs[s.slot, j]]
+                for j in range(nchunks)
+                if nfs[s.slot, j]
+            ]
+            if segs:
+                out.append((handle, np.concatenate(segs)))
         return out
 
     def close(self, handle: int):
@@ -306,7 +360,8 @@ class StreamPool:
         s = self._session(handle)
         out = []
         while len(s.pending):
-            out.extend(self.step(only=handle))
+            backlog = -(-len(s.pending) // self._chunk)
+            out.extend(self.step(only=handle, max_chunks=backlog))
         fin_feats, fin_ns = self._vfin(self._states)
         nf = int(np.asarray(fin_ns)[s.slot])
         if nf:

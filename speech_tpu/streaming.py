@@ -89,6 +89,7 @@ class StreamingSTFT:
         self._dtype = computer._dtype
         computer.params  # materialize outside any trace (lazily cached)
         self._process = jax.jit(self._process_impl)
+        self._process_many = jax.jit(self._process_many_impl)
         self._finalize = jax.jit(self._finalize_impl)
 
     def init_state(self) -> StreamState:
@@ -174,6 +175,24 @@ class StreamingSTFT:
             nf,
         )
 
+    def _process_many_impl(self, state, chunks, valids):
+        """Consume ``k`` chunks in ONE device call via ``lax.scan``.
+
+        ``chunks (k, chunk_size)``, ``valids (k,)``; returns
+        ``(state, feats (k, max_frames, C), nfs (k,))``.  Serving backlogs
+        drain at one dispatch per call instead of one per chunk — on
+        tunneled runtimes dispatch latency dominates per-chunk compute, so
+        this is the streaming throughput lever (see serve.StreamPool).
+        """
+
+        def step(st, inp):
+            chunk, v = inp
+            st, feats, nf = self._process_impl(st, chunk, v)
+            return st, (feats, nf)
+
+        state, (feats, nfs) = jax.lax.scan(step, state, (chunks, valids))
+        return state, feats, nfs
+
     def _finalize_impl(self, state: StreamState):
         FL, FS, PL = self.frame_length, self.frame_shift, self.pad_left
         buf_len = state.carry.shape[0]
@@ -231,6 +250,18 @@ class StreamingSTFT:
         if valid_len is None:
             valid_len = self.chunk_size
         return self._process(state, chunk, valid_len)
+
+    def process_many(self, state, chunks, valids):
+        """Consume ``chunks (k, chunk_size)`` with per-chunk ``valids
+        (k,)`` in one device dispatch; returns ``(state, feats
+        (k, max_frames, C), nfs (k,))``.  Each distinct ``k`` compiles
+        once — batch backlogs into a few power-of-two depths."""
+        if chunks.shape[-1] != self.chunk_size:
+            raise ValueError(
+                f"chunks must have static size {self.chunk_size}; "
+                f"got {chunks.shape[-1]}"
+            )
+        return self._process_many(state, chunks, valids)
 
     def finalize(self, state: StreamState):
         """Flush remaining samples; returns ``(feats, n_valid)``."""
@@ -306,10 +337,13 @@ class StreamingSI:
     ``max_support - 1 + 2*frame_shift`` raw samples — enough history for
     every convolution tap of any not-yet-emitted frame.
 
-    Caveat: the per-chunk emit convolution runs as a standard f32 FFT
-    product, so on TPU a ``precision="double"`` computer streams at
-    plain-f32 accuracy — the exact digit tier applies to the batch and
-    host-streaming paths (which share the exact conv program).
+    The per-chunk emit convolution follows the computer's ``conv_mode``:
+    banded-Toeplitz block matmuls (the batch path's MXU backend,
+    :func:`speech_tpu.ops.si.toeplitz_conv_blocks`) for ``matmul``/
+    ``direct``/resolved-``auto``, or the FFT product for ``fft``.  A
+    ``precision="double"`` computer streams through the exact
+    digit-decomposition conv, so the batch tier's accuracy contract
+    (~1e-6 vs float64 on any signal) holds for streaming too.
     """
 
     def __init__(self, computer: SIFrameComputer, chunk_size: int):
@@ -330,8 +364,24 @@ class StreamingSI:
         self.fin_pad = 2 * self.shift + max(0, self.shift_eff) + self.shift
         self.fin_max = (2 * self.shift + self.fin_pad) // self.shift + 1
         self._dtype = computer._dtype
-        computer.params  # materialize outside any trace
+        # emit conv backend: resolve the computer's conv_mode the same way
+        # its batch path does (auto -> matmul at speech-sized supports;
+        # "direct" also maps to the block matmuls here — both are
+        # full-precision MXU paths and the stream has no lax.conv tier)
+        from .ops import si as _si
+
+        conv_mode = computer._conv_mode
+        if conv_mode == "auto":
+            conv_mode = (
+                "matmul" if self.T <= 16 * _si.CONV_BLOCK else "fft"
+            )
+        elif conv_mode == "direct":
+            conv_mode = "matmul"
+        self.conv_mode = conv_mode
+        self.precision = computer._precision
+        self._params = computer._params_for({"conv_mode": conv_mode})
         self._process = jax.jit(self._process_impl)
+        self._process_many = jax.jit(self._process_many_impl)
         self._finalize = jax.jit(self._finalize_impl)
 
     def init_state(self) -> SIStreamState:
@@ -343,27 +393,19 @@ class StreamingSI:
 
     # ------------------------------------------------------------------
 
-    def _emit(self, stream, u_end, nf, max_frames: int):
-        """Features for up to ``max_frames`` frames ending ``u_end`` counted
-        samples before the buffer end (only the first ``nf`` rows valid)."""
-        c = self.computer
-        params = c.params
-        s, T = self.shift, self.T
+    def _conv_parts_fft(self, stream, ny, y0):
+        """Per-part (re[, im]) conv values ``(F, ny)`` starting at stream
+        index ``y0``, via one real-FFT product over the whole buffer."""
+        params = self._params
         buf_len = stream.shape[0]
-        ny = (max_frames + 1) * s
         # cover the linear convolution AND the extraction slice: y0 can
         # reach buf_len - u_end with u_end as low as -|shift_eff|, and the
         # slice below must never clamp for valid frames (it silently
         # misaligned every emitted frame when T was small relative to the
         # chunk, e.g. a 54-tap bank with 640-sample chunks)
-        need = max(buf_len + T - 1, buf_len + abs(self.shift_eff) + ny)
+        need = max(buf_len + self.T - 1, buf_len + abs(self.shift_eff) + ny)
         fft_size = 1 << max(0, int(need)).bit_length()
         X = jnp.fft.rfft(stream, n=fft_size)
-        # local y[0] sits at stream position buf_len - u_end... - ny offset:
-        # frame j reads y at counted positions [j*s, j*s + 2s); counted
-        # position q maps to the conv output at stream index
-        # (buf_len - u_end) + q  (u_end counts positions from y[0] to end)
-        y0 = buf_len - u_end  # traced
 
         def conv_vals(f):
             H = jnp.fft.rfft(f, n=fft_size, axis=-1)
@@ -378,12 +420,134 @@ class StreamingSI:
             # occur when y0 < 0, which cannot happen (carry covers T-1+2s)
             return vals
 
+        parts = [conv_vals(params["firs_re"])]
+        if not self.is_real:
+            parts.append(conv_vals(params["firs_im"]))
+        return parts
+
+    def _conv_parts_matmul(self, stream, ny, y0):
+        """Per-part conv values ``(F, ny)`` via the batch path's
+        banded-Toeplitz block matmuls (ops/si.py) over the whole buffer;
+        ``precision='double'`` runs the exact digit-decomposition passes,
+        so the stream inherits the batch tier's exactness."""
+        from .ops import si as _si
+        from .ops.stft import (
+            _DIGIT_BASE,
+            _SI_PAIR_CUTOFF,
+            _SI_X_DIGITS,
+            digit_pair_schedule,
+        )
+
+        params = self._params
+        V = _si.CONV_BLOCK
+        buf_len = stream.shape[0]
+        need = max(buf_len + self.T - 1, buf_len + abs(self.shift_eff) + ny)
+        nb = -(-need // V)
+        x_pad = jnp.pad(stream, (0, nb * V - buf_len))
+        double = self.precision == "double"
+        if double:
+            Kk = params["conv_re_digits"].shape[1] - 1
+        else:
+            Kk = params["conv_re_blocks"].shape[0] - 1
+
+        def shifted(flat):
+            Xb = flat.reshape(nb, V)
+            # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
+            return jnp.stack(
+                [jnp.pad(Xb, ((k, 0), (0, 0)))[:nb] for k in range(Kk + 1)]
+            )
+
+        start = jnp.clip(y0, 0, nb * V - ny).astype(jnp.int32)
+
+        def sliced(y_full):
+            return jax.lax.dynamic_slice(
+                y_full, (jnp.zeros((), jnp.int32), start), (y_full.shape[0], ny)
+            )
+
+        if not double:
+            Xsh = shifted(x_pad)
+            prec = jax.lax.Precision(self.precision)
+
+            def part(name):
+                Y = jnp.einsum(
+                    "kbv,kfvw->fbw",
+                    Xsh,
+                    params[name + "_blocks"],
+                    precision=prec,
+                )
+                return sliced(Y.reshape(Y.shape[0], nb * V))
+
+        else:
+            # exact digit tier: per-buffer power-of-two scale, base-64
+            # digit planes, pair-scheduled integer matmuls (< 2^24 per
+            # pass — exact in f32); see ops/si.py's digit conv
+            m = jnp.max(jnp.abs(x_pad))
+            _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
+            x_scale = jnp.ldexp(jnp.ones_like(m), e)
+            v = x_pad / x_scale
+            base = np.float32(_DIGIT_BASE)
+            planes = []
+            for _ in range(_SI_X_DIGITS):
+                d = jnp.round(v * base)
+                v = v * base - d
+                planes.append(d)
+            Xsh_stack = jnp.stack([shifted(p) for p in planes])
+
+            def part(name):
+                A_digits = params[name + "_digits"]
+                pairs = digit_pair_schedule(
+                    _SI_X_DIGITS, A_digits.shape[0], _SI_PAIR_CUTOFF
+                )
+                ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
+                jj = jnp.asarray([j for _, j in pairs], jnp.int32)
+                ww = jnp.asarray(
+                    [_DIGIT_BASE ** -(i + j + 2) for i, j in pairs],
+                    jnp.float32,
+                )
+                nF = A_digits.shape[2]
+
+                def step(acc, t):
+                    xd = jax.lax.dynamic_index_in_dim(
+                        Xsh_stack, ii[t], 0, keepdims=False
+                    )
+                    ad = jax.lax.dynamic_index_in_dim(
+                        A_digits, jj[t], 0, keepdims=False
+                    )
+                    p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
+                    return acc + p * ww[t], None
+
+                acc = jnp.zeros((nF, nb, V), jnp.float32)
+                acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
+                y = acc * (x_scale * params[name + "_scale"])
+                return sliced(y.reshape(nF, nb * V))
+
+        parts = [part("conv_re")]
+        if not self.is_real:
+            parts.append(part("conv_im"))
+        return parts
+
+    def _emit(self, stream, u_end, nf, max_frames: int):
+        """Features for up to ``max_frames`` frames ending ``u_end`` counted
+        samples before the buffer end (only the first ``nf`` rows valid)."""
+        c = self.computer
+        params = self._params
+        s = self.shift
+        buf_len = stream.shape[0]
+        ny = (max_frames + 1) * s
+        # local y[0] sits at stream position buf_len - u_end... - ny offset:
+        # frame j reads y at counted positions [j*s, j*s + 2s); counted
+        # position q maps to the conv output at stream index
+        # (buf_len - u_end) + q  (u_end counts positions from y[0] to end)
+        y0 = buf_len - u_end  # traced
+        if self.conv_mode == "matmul":
+            parts = self._conv_parts_matmul(stream, ny, y0)
+        else:
+            parts = self._conv_parts_fft(stream, ny, y0)
         if self.is_real:
-            y = conv_vals(params["firs_re"])
+            y = parts[0]
             y_mod = y * y if c._power else jnp.abs(y)
         else:
-            yr = conv_vals(params["firs_re"])
-            yi = conv_vals(params["firs_im"])
+            yr, yi = parts
             y_mod = yr * yr + yi * yi
             if not c._power:
                 y_mod = jnp.sqrt(y_mod)
@@ -437,6 +601,18 @@ class StreamingSI:
             nf,
         )
 
+    def _process_many_impl(self, state, chunks, valids):
+        """Consume ``k`` chunks in one device call (lax.scan); same
+        contract as :meth:`StreamingSTFT._process_many_impl`."""
+
+        def step(st, inp):
+            chunk, v = inp
+            st, feats, nf = self._process_impl(st, chunk, v)
+            return st, (feats, nf)
+
+        state, (feats, nfs) = jax.lax.scan(step, state, (chunks, valids))
+        return state, feats, nfs
+
     def _finalize_impl(self, state: SIStreamState):
         s, T = self.shift, self.T
         seen = state.seen
@@ -468,6 +644,16 @@ class StreamingSI:
         if valid_len is None:
             valid_len = self.chunk_size
         return self._process(state, chunk, valid_len)
+
+    def process_many(self, state, chunks, valids):
+        """Consume ``chunks (k, chunk_size)`` in one device dispatch (see
+        :meth:`StreamingSTFT.process_many`)."""
+        if chunks.shape[-1] != self.chunk_size:
+            raise ValueError(
+                f"chunks must have static size {self.chunk_size}; "
+                f"got {chunks.shape[-1]}"
+            )
+        return self._process_many(state, chunks, valids)
 
     def finalize(self, state: SIStreamState):
         """Flush; returns ``(feats, n_valid)``."""

@@ -80,6 +80,35 @@ def test_sharded_extractor_matches_compute_full(computer):
         assert np.allclose(feats, want, atol=1e-8), np.abs(feats - want).max()
 
 
+def test_sharded_extractor_static_fast_path(computer):
+    """Host-known all-full buckets take the static-padding program on the
+    mesh too (round-2 gap: only the single-chip compute_batch had it) and
+    match the traced-length path exactly."""
+    mesh = par.make_mesh(("data",))
+    ex = par.ShardedExtractor(computer, mesh)
+    rng = np.random.RandomState(9)
+    batch = ex.batch_multiple * 2
+    max_len = 4096
+    signals = rng.randn(batch, max_len)
+    lengths = np.full(batch, max_len, np.int64)
+    feats_full, counts_full = ex.extract_batch(signals, lengths)
+    assert any(k[2] for k in ex._fns), "static fast path not compiled"
+    # traced-lengths program must agree
+    feats_traced, counts_traced = ex.extract_batch(
+        signals, jnp.asarray(lengths)
+    )
+    assert np.array_equal(np.asarray(counts_full), np.asarray(counts_traced))
+    assert np.allclose(
+        np.asarray(feats_full), np.asarray(feats_traced), atol=1e-10
+    )
+    # per-signal oracle
+    for i in (0, batch - 1):
+        want = computer.compute_full(signals[i])
+        got = np.asarray(feats_full[i, : int(counts_full[i])])
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
+
+
 def test_accumulate_stats_matches_reference(computer, reference_speech):
     from pydrobert.speech.post import Standardize as RefStandardize
 

@@ -129,6 +129,46 @@ def test_stream_pool_slot_reuse_and_isolation():
     assert np.allclose(out_c, computer.compute_full(sig_c), atol=1e-8)
 
 
+def test_stream_pool_multi_chunk_drain_matches_compute_full():
+    """max_chunks > 1 drains a backlog through the inner lax.scan in one
+    dispatch; output identical to one-chunk-per-tick stepping."""
+    computer = _computer()
+    rng = np.random.RandomState(57)
+    pool = StreamPool(computer, slots=2, chunk_size=800)
+    a, b = pool.open(), pool.open()
+    sig_a = rng.randn(800 * 9 + 123)  # deep backlog, ragged tail
+    sig_b = rng.randn(800 * 3)
+    pool.feed(a, sig_a)
+    pool.feed(b, sig_b)
+    got = {a: [], b: []}
+    for h, f in pool.step(max_chunks=16):
+        got[h].append(f)
+    assert not any(len(s.pending) for s in pool._sessions.values())
+    for h in (a, b):
+        for h2, f in pool.close(h):
+            got[h2].append(f)
+    for h, sig in ((a, sig_a), (b, sig_b)):
+        out = np.concatenate(got[h])
+        want = computer.compute_full(sig)
+        assert out.shape == want.shape
+        assert np.allclose(out, want, atol=1e-8), np.abs(out - want).max()
+
+
+def test_feature_server_sustained_load_overlap():
+    """Bursts large enough to form several micro-batches flow through the
+    double-buffered dispatcher with per-request correctness intact."""
+    computer = _computer()
+    rng = np.random.RandomState(58)
+    signals = [rng.randn(int(rng.randint(2000, 5000))) for _ in range(24)]
+    with FeatureServer(computer, max_batch=4, max_wait_ms=5.0) as server:
+        futs = [server.submit(s) for s in signals]
+        outs = [f.result(timeout=120) for f in futs]
+    for s, got in zip(signals, outs):
+        want = computer.compute_full(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-8)
+
+
 def test_feature_server_on_mesh():
     """The server's micro-batches shard over the data axis of a mesh."""
     from speech_tpu import parallel as par

@@ -306,6 +306,91 @@ def test_si_streaming_any_length(length):
         assert np.allclose(got, want, atol=1e-8)
 
 
+@pytest.mark.parametrize("kind", ["stft", "si"])
+def test_process_many_matches_single_steps(kind):
+    """k chunks through one process_many dispatch == k process calls."""
+    if kind == "stft":
+        computer = _computer()
+        stream = StreamingSTFT(computer, 800)
+    else:
+        computer = _si_computer()
+        stream = StreamingSI(computer, 800)
+    rng = np.random.RandomState(97)
+    sig = rng.randn(800 * 5 + 321)
+    k = 6
+    pad = np.zeros(k * 800)
+    pad[: len(sig)] = sig
+    chunks = pad.reshape(k, 800)
+    valids = np.clip(len(sig) - np.arange(k) * 800, 0, 800).astype(np.int32)
+    # single steps
+    state = stream.init_state()
+    outs = []
+    for j in range(k):
+        state, feats, nf = stream.process(state, chunks[j], int(valids[j]))
+        outs.append(np.asarray(feats)[: int(nf)])
+    ff, fn_ = stream.finalize(state)
+    outs.append(np.asarray(ff)[: int(fn_)])
+    want = np.concatenate(outs)
+    # one scan dispatch
+    state = stream.init_state()
+    state, feats, nfs = stream.process_many(
+        state, jnp.asarray(chunks), jnp.asarray(valids)
+    )
+    outs = [np.asarray(feats[j, : int(nfs[j])]) for j in range(k)]
+    ff, fn_ = stream.finalize(state)
+    outs.append(np.asarray(ff)[: int(fn_)])
+    got = np.concatenate(outs)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-12), np.abs(got - want).max()
+    with pytest.raises(ValueError):
+        stream.process_many(state, jnp.zeros((2, 999)), jnp.zeros((2,), jnp.int32))
+
+
+@pytest.mark.parametrize("conv_mode", ["fft", "matmul"])
+def test_si_streaming_conv_backends_match_full(conv_mode):
+    """The stream emit follows the computer's conv backend; both agree
+    with compute_full."""
+    computer = _si_computer(conv_mode=conv_mode)
+    stream = StreamingSI(computer, 800)
+    assert stream.conv_mode == conv_mode
+    rng = np.random.RandomState(95)
+    signal = rng.randn(2500)
+    got = stream.transform(signal)
+    want = computer.compute_full(signal)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("bank_name", ["fbank", "gammatone"])
+def test_si_streaming_double_tier_exact(bank_name):
+    """precision='double' streams through the exact digit conv: stream ==
+    batch to <=1e-6 on hostile (loud-transient/quiet-tail) signals — the
+    batch tier's accuracy contract extends to streaming (round-2 gap:
+    StreamingSI silently fell back to plain-f32 FFT conv)."""
+    bank = {
+        "name": bank_name,
+        "scaling_function": "mel",
+        "num_filts": 6,
+        "sampling_rate": 8000,
+    }
+    computer = SIFrameComputer(
+        dict(bank), dtype="float32", precision="double", include_energy=True
+    )
+    stream = StreamingSI(computer, 640)
+    rng = np.random.RandomState(96)
+    for trial in range(3):
+        n = int(rng.randint(1500, 4000))
+        signal = rng.randn(n) * (1 + 100 * (rng.rand(n) < 0.01))
+        signal[-n // 4 :] *= 1e-3  # quiet tail
+        got = stream.transform(signal.astype(np.float32))
+        want = computer.compute_full(signal.astype(np.float32))
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=1e-6), (
+            trial,
+            np.abs(got - want).max(),
+        )
+
+
 def test_si_streaming_small_support_chunk_sweep():
     """Regression: when the bank's max support is small relative to the
     chunk, the emit FFT must still cover the extraction slice — the old
