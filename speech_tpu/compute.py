@@ -216,6 +216,11 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
           (:mod:`speech_tpu.ops.stft`) — ~7e-7 max on any signal; on
           real TPUs it runs as one fused Pallas kernel at ~135,000x
           real time (~2x the 'highest' cost); float32 dtype only.
+        - 'accurate': the reduced-pair variant of the fused digit
+          kernel (10 pair dots instead of 13) — <=1e-6 on speech,
+          ~1.3e-5 worst on adversarial tonal signals, cheaper than
+          'double'; where the kernel gate fails it falls back to the
+          exact XLA digit path; float32 dtype only.
         - 'default': single-pass bf16 MXU — ~25% faster than 'highest'
           but a clearly reduced-precision tier at ~1.5e-2 max abs error.
     """
@@ -238,6 +243,8 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         fft_mode: Optional[str] = None,
         precision: str = "highest",
     ):
+        if precision not in ("highest", "high", "default", "double", "accurate"):
+            raise ValueError(f"Invalid precision: {precision!r}")
         self._precision = precision
         bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
         self._rate = bank.sampling_rate
@@ -247,9 +254,9 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         self._real = bank.is_real
         self._kaldi_shift = kaldi_shift
         self._dtype = jnp.dtype(dtype)
-        if precision == "double" and self._dtype != jnp.float32:
+        if precision in ("double", "accurate") and self._dtype != jnp.float32:
             raise ValueError(
-                "precision='double' is the float32 exact-matmul tier; "
+                f"precision='{precision}' is a float32 digit-matmul tier; "
                 "use dtype='float64' with the default precision instead"
             )
         self._fft_mode = fft_mode
@@ -363,9 +370,10 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 "dft_cos": jnp.asarray(self._dft_cos, dtype=self._dtype),
                 "dft_sin": jnp.asarray(self._dft_sin, dtype=self._dtype),
             }
-            if self._precision == "double":
+            if self._precision in ("double", "accurate"):
                 # grouped digit-pair matrices for the exact-matmul tier
-                # (ops/stft.py digit_group_matrices)
+                # (ops/stft.py digit_group_matrices) — also the XLA
+                # fallback for 'accurate' where the kernel gate fails
                 mats, gw, cs, ss, _ = _stft.digit_group_matrices(
                     self._dft_cos, self._dft_sin
                 )
@@ -376,11 +384,18 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 self._device_params["dft_cos_scale"] = jnp.float32(cs)
                 self._device_params["dft_sin_scale"] = jnp.float32(ss)
                 if self._dft_size % 256 == 0:
-                    # layout for the fused Pallas double kernel: the
+                    # layout for the fused Pallas digit kernel: the
                     # cos|sin split slices the lane axis at nb = dft//2,
                     # so nb must be a lane-tile multiple (and half odd)
                     pdk = _stft.digit_kernel_matrices(
-                        self._dft_cos, self._dft_sin, self._weights
+                        self._dft_cos,
+                        self._dft_sin,
+                        self._weights,
+                        ndig=(
+                            _stft._PAK_M_DIGITS
+                            if self._precision == "accurate"
+                            else _stft._PDK_M_DIGITS
+                        ),
                     )
                     self._device_params["pdk_cos_scale"] = pdk.pop(
                         "cos_scale"
@@ -409,13 +424,13 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
 
     def _use_pallas(self) -> bool:
         mode = self._fft_mode or config.FFT_MODE
-        if self._precision == "double":
-            # the fused exact digit kernel needs a lane-aligned layout
+        if self._precision in ("double", "accurate"):
+            # the fused digit kernels need a lane-aligned layout
             # (nb = dft//2 a multiple of 128); other sizes stay on the
             # XLA digit path.  Unlike the reduced-precision pallas tier
-            # it is numerically equivalent to the XLA digit path, so
-            # "auto" selects it on real TPUs (34 -> 14.3 ms on the v5e
-            # headline batch).
+            # they meet their accuracy contracts either way, so "auto"
+            # selects them on real TPUs (34 -> 14.3 ms on the v5e
+            # headline batch for the exact tier).
             if self._dft_size % 256:
                 return False
             if mode == "pallas":
@@ -426,7 +441,13 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
     def _pallas_feats(self, padded, max_frames: int):
         from .ops import pallas_stft as _pallas
 
-        if self._precision == "double":
+        if self._precision in ("double", "accurate"):
+            if self._precision == "accurate":
+                digit_cfg = dict(
+                    n_x=_stft._PAK_X_DIGITS, cutoff=_stft._PAK_CUTOFF
+                )
+            else:
+                digit_cfg = {}
             return _pallas.stft_feats_pallas_double(
                 padded,
                 self.params,
@@ -439,6 +460,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 include_energy=self._include_energy,
                 log_floor=config.LOG_FLOOR_VALUE,
                 interpret=jax.default_backend() != "tpu",
+                **digit_cfg,
             )
         return _pallas.stft_feats_pallas(
             padded,
@@ -788,6 +810,11 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     ):
         if conv_mode not in ("auto", "fft", "direct", "matmul"):
             raise ValueError(f"Invalid conv_mode: {conv_mode}")
+        if precision not in ("highest", "high", "default", "double"):
+            raise ValueError(
+                f"Invalid SI precision: {precision!r} (the 'accurate' "
+                "tier is STFT-only; the SI exact tier is 'double')"
+            )
         if precision == "double":
             if jnp.dtype(dtype) != jnp.float32:
                 raise ValueError(

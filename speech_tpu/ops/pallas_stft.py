@@ -398,16 +398,26 @@ def stft_feats_pallas_double(
     log_floor: float,
     block_frames: int = 512,
     interpret: bool = False,
+    n_x: Optional[int] = None,
+    cutoff: Optional[int] = None,
 ):
-    """Fused Pallas ``precision="double"`` tier for padded signals.
+    """Fused Pallas digit-tier kernel for padded signals.
 
-    Same contract as :func:`stft_feats_pallas`; falls back to XLA
-    framing + the XLA digit path when overlapping blocks are
+    Default plane config is the exact ``precision="double"`` tier
+    (4 x-planes, 13 pair dots); ``n_x``/``cutoff`` select reduced-plane
+    variants — ``precision="accurate"`` passes (3, 2) for 6 dots at
+    <=1e-5.  Same contract as :func:`stft_feats_pallas`; falls back to
+    XLA framing + the XLA (exact) digit path when overlapping blocks are
     unavailable, the shift is not sublane-aligned, the DFT size is not
     lane-aligned (params carry no kernel layout), or the frame is too
     long for exact base-256 sums.
     """
     from . import stft as _stft
+
+    if n_x is None:
+        n_x = _stft._PDK_X_DIGITS
+    if cutoff is None:
+        cutoff = _stft._PDK_CUTOFF
 
     padded = jnp.asarray(padded, jnp.float32)
     # frame-wide integer sums must stay exact in f32 at the kernel's
@@ -443,9 +453,7 @@ def stft_feats_pallas_double(
     n_m = mats.shape[0]
     pairs = [
         (i, j, _stft._PDK_BASE ** -(i + j + 2))
-        for i, j in _stft.digit_pair_schedule(
-            _stft._PDK_X_DIGITS, n_m, _stft._PDK_CUTOFF
-        )
+        for i, j in _stft.digit_pair_schedule(n_x, n_m, cutoff)
     ]
     num_coeffs = params["pdk_w_hi"].shape[1] + int(include_energy)
     q_full, rem = divmod(frame_length, frame_shift)
@@ -463,7 +471,7 @@ def stft_feats_pallas_double(
         block_frames=block_frames,
         frame_shift=frame_shift,
         frame_length=frame_length,
-        n_x=_stft._PDK_X_DIGITS,
+        n_x=n_x,
         base=_stft._PDK_BASE,
         pairs=pairs,
         cos_scale=float(params["pdk_cos_scale"]),

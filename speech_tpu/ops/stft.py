@@ -68,6 +68,19 @@ _PDK_BASE = 256.0
 _PDK_X_DIGITS = 4
 _PDK_M_DIGITS = 4
 _PDK_CUTOFF = 4  # truncation ~2^-40 of the summand scale
+# precision="accurate": the reduced-pair variant of the fused kernel —
+# the full 4x4 digit planes (30-bit signal capture is NOT negotiable:
+# 3 planes measured 2.9e-3 on near-degenerate tone pairs even with every
+# pair kept) but pairs cut at i+j <= 3 (10 dots instead of 13).
+# Measured vs float64 (interpret mode): <=1e-6 on speech-like signals,
+# 1.3e-5 worst on an adversarial high-cancellation tonal signal where
+# the exact tier reads 4.8e-6 — a <=1e-5 real-speech tier at ~3/4 of
+# the exact tier's MXU passes.  Configs swept (nx, nm, cutoff -> max
+# err): (3,3,2) 3.5e-3; (4,4,2) 3.5e-3; (3,3,4) 2.9e-3; (4,4,3)
+# 1.3e-5; (4,4,4)=double 4.8e-6.
+_PAK_X_DIGITS = 4
+_PAK_M_DIGITS = 4
+_PAK_CUTOFF = 3
 _X_DIGITS = 5  # 30 bits below the frame peak.  4 planes (24 bits) are NOT
 # enough: samples quieter than the frame peak truncate at 2^-25*peak, and
 # on real speech those residues add coherently across a frame into DFT
@@ -192,7 +205,12 @@ def digit_group_matrices(C: np.ndarray, S: np.ndarray):
     return mats, weights, cos_scale, sin_scale, n_im
 
 
-def digit_kernel_matrices(C: np.ndarray, S: np.ndarray, W: np.ndarray):
+def digit_kernel_matrices(
+    C: np.ndarray,
+    S: np.ndarray,
+    W: np.ndarray,
+    ndig: int = _PDK_M_DIGITS,
+):
     """Host: digit planes laid out for the fused Pallas double-tier kernel.
 
     The kernel cannot lane-slice at the odd half-spectrum width
@@ -216,8 +234,8 @@ def digit_kernel_matrices(C: np.ndarray, S: np.ndarray, W: np.ndarray):
     K, half = C.shape
     assert half % 2 == 1, "even DFT sizes only (half = dft//2 + 1)"
     nb = half - 1
-    cos_planes, cos_scale = digitize_matrix(C, _PDK_M_DIGITS, _PDK_BASE)
-    sin_planes, sin_scale = digitize_matrix(S, _PDK_M_DIGITS, _PDK_BASE)
+    cos_planes, cos_scale = digitize_matrix(C, ndig, _PDK_BASE)
+    sin_planes, sin_scale = digitize_matrix(S, ndig, _PDK_BASE)
     n_m = cos_planes.shape[0]
     mats = np.zeros((n_m, K, 2 * nb), np.float32)
     for j in range(n_m):
@@ -433,7 +451,9 @@ def stft_feats_from_frames(
     """
     frame_length = frames.shape[-1]
     mode = _resolve_fft_mode(fft_mode, dft_size)
-    if precision == "double":
+    if precision in ("double", "accurate"):
+        # 'accurate' shares the exact XLA digit path off-kernel: its
+        # reduced-plane formulation only pays on the fused Pallas tier
         feats = _digit_feats(frames, params, use_power, dft_size)
     elif mode != "fft" and dft_size % 2 == 0:
         feats = _matmul_feats_nyquist_split(

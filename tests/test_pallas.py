@@ -218,3 +218,70 @@ def test_pallas_double_non_lane_aligned_dft_falls_back():
     want = xla.compute_full(sig)
     got = pal.compute_full(sig)
     assert np.allclose(got, want, atol=2e-6)
+
+
+def test_accurate_tier_within_1e5_on_speech():
+    """precision='accurate': the reduced-pair fused kernel stays <=1e-5
+    vs float64 on real speech and speech-like hostile signals (the tier's
+    contract; adversarial pure-tone cancellation can reach ~1.3e-5 — see
+    ops/stft.py config notes)."""
+    import os
+
+    from speech_tpu.io import read_signal
+
+    kw = dict(frame_length_ms=25, frame_shift_ms=10, include_energy=True)
+    f64 = STFTFrameComputer(dict(BANK), dtype="float64", **kw)
+    acc = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="accurate", fft_mode="pallas",
+        **kw
+    )
+    sig = read_signal(
+        os.path.join(os.path.dirname(__file__), "audio", "test.wav"),
+        dtype=np.float32,
+    )
+    sig = (sig / np.abs(sig).max()).astype(np.float32)
+    rng = np.random.RandomState(11)
+    transient = (rng.randn(32000) * 0.001).astype(np.float32)
+    transient[::1600] *= 1e4  # 60 dB click-to-floor dynamics
+    for s in (sig, transient):
+        want = f64.compute_full(s.astype(np.float64))
+        got = acc.compute_full(s)
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 1e-5, np.abs(got - want).max()
+
+
+def test_accurate_tier_fallback_is_exact_digit_path():
+    """Where the kernel gate fails (unaligned DFT), 'accurate' falls back
+    to the exact XLA digit path — never to a lower-precision tier."""
+    rng = np.random.RandomState(12)
+    sig = rng.randn(12000).astype(np.float32)
+    kw = dict(frame_length_ms=24.875, frame_shift_ms=10,
+              pad_to_nearest_power_of_two=False)
+    acc = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="accurate", fft_mode="pallas",
+        **kw
+    )
+    dbl = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", **kw
+    )
+    assert not acc._use_pallas()
+    assert np.array_equal(acc.compute_full(sig), dbl.compute_full(sig))
+
+
+def test_accurate_tier_config_factory_and_validation():
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+
+    c = alias_factory_subclass_from_arg(
+        FrameComputer,
+        {"name": "stft", "bank": dict(BANK), "precision": "accurate"},
+    )
+    assert c._precision == "accurate"
+    with pytest.raises(ValueError):
+        STFTFrameComputer(dict(BANK), precision="accurate", dtype="float64")
+    with pytest.raises(ValueError):
+        STFTFrameComputer(dict(BANK), precision="bogus")
+    from speech_tpu.compute import SIFrameComputer
+
+    with pytest.raises(ValueError):
+        SIFrameComputer(dict(BANK), precision="accurate")
