@@ -85,7 +85,7 @@ def main():
 
     chain_rt = _full_chain_throughput(stft, batch=128, seconds=15)
 
-    lat_ms, chunk_ms, pool_rt = _streaming_bench(stft)
+    lat_ms, chunk_ms, pool_rt, pool_device_rt = _streaming_bench(stft)
 
     # the exact tier (<=1e-5 vs float64 on any signal; ~7e-7 measured)
     exact = STFTFrameComputer(
@@ -97,6 +97,18 @@ def main():
         precision="double",
     )
     exact_rt = _throughput(exact, batch=128, seconds=15)
+
+    # the reduced-pair <=1e-5 tier (10 digit dots instead of 13):
+    # fastest config meeting the north-star accuracy clause
+    accurate = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 40, "sampling_rate": 16000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+        precision="accurate",
+    )
+    accurate_rt = _throughput(accurate, batch=128, seconds=15)
 
     print(
         json.dumps(
@@ -114,12 +126,18 @@ def main():
                 # readback over many chunks)
                 "streaming_latency_ms": round(lat_ms, 2),
                 "streaming_chunk_ms": round(chunk_ms, 2),
-                # 16 concurrent sessions, 8-chunk lax.scan per tick
+                # 16 concurrent sessions, 16-chunk lax.scan per tick:
+                # end-to-end host drain (RTT-bound on tunneled runtimes)
+                # and the device-side program throughput
                 "stream_pool_rt_factor": round(pool_rt, 1),
+                "stream_pool_device_rt_factor": round(pool_device_rt, 1),
                 "exact_tier_rt_factor": round(exact_rt, 1),
-                # the tier meeting BOTH north-star clauses at once
-                # (<=1e-5 vs float64 on any signal AND >=5000x RT)
+                # tiers meeting BOTH north-star clauses at once
+                # (<=1e-5 vs float64 AND >=5000x RT): 'double' is exact
+                # on any signal; 'accurate' is the faster <=1e-5 point
                 "exact_tier_vs_baseline": round(exact_rt / 5000.0, 3),
+                "accurate_tier_rt_factor": round(accurate_rt, 1),
+                "accurate_tier_vs_baseline": round(accurate_rt / 5000.0, 3),
             }
         )
     )
@@ -160,7 +178,7 @@ def _streaming_bench(computer, rate: int = 16000):
     np.asarray(feats[0, 0])  # one readback drains the in-order queue
     chunk_ms = (time.perf_counter() - start) / n * 1e3
 
-    slots, depth, ticks = 16, 8, 4
+    slots, depth, ticks = 16, 16, 4
     pool = StreamPool(computer, slots=slots, chunk_size=chunk_size)
     per_session = chunk_size * depth * ticks
     audio_sec = slots * per_session / rate
@@ -171,14 +189,31 @@ def _streaming_bench(computer, rate: int = 16000):
             pool.feed(h, rng.randn(per_session).astype(np.float32))
         while any(len(s.pending) for s in pool._sessions.values()):
             pool.step(max_chunks=depth)
-        for h in handles:
-            pool.close(h)
+        pool.close_many(handles)
 
-    drain()  # compile (k=8 scan program + finalize)
+    drain()  # compile (scan program + finalize)
     start = time.perf_counter()
     drain()
     pool_rt = audio_sec / (time.perf_counter() - start)
-    return lat_ms, chunk_ms, pool_rt
+
+    # device-side pool throughput: queued tick dispatches, one readback
+    # (isolates the vmapped scan program from the tunnel RTT that
+    # dominates the end-to-end drain above)
+    states = pool._states
+    chunks = jnp.asarray(
+        rng.randn(slots, depth, chunk_size).astype(np.float32)
+    )
+    valids = jnp.full((slots, depth), chunk_size, jnp.int32)
+    _, feats, _ = pool._vstep(states, chunks, valids)
+    np.asarray(feats[0, 0, 0, 0])
+    n = 10
+    start = time.perf_counter()
+    for _ in range(n):
+        _, feats, _ = pool._vstep(states, chunks, valids)
+    np.asarray(feats[0, 0, 0, 0])
+    tick = (time.perf_counter() - start) / n
+    pool_device_rt = slots * depth * (chunk_size / rate) / tick
+    return lat_ms, chunk_ms, pool_rt, pool_device_rt
 
 
 def _full_chain_throughput(computer, batch: int, seconds: int, rate=16000):

@@ -304,15 +304,18 @@ class StreamPool:
         ``lax.scan`` of :meth:`StreamingSTFT.process_many`) is the
         throughput lever; the scan depth pads to a power of two so the
         program recompiles only per depth tier.  ``only`` restricts
-        consumption to one session (other sessions' states are untouched
-        exact no-ops) — used by :meth:`close` so draining never swallows
-        other sessions' output.
+        consumption to one session or a set of sessions (other sessions'
+        states are untouched exact no-ops) — used by :meth:`close` /
+        :meth:`close_many` so draining never swallows other sessions'
+        output.
         """
         C = self._chunk
+        if only is not None and not isinstance(only, (set, frozenset)):
+            only = {only}
         plan = {}
         kmax = 0
         for handle, s in self._sessions.items():
-            if only is not None and handle != only:
+            if only is not None and handle not in only:
                 continue
             n = len(s.pending)
             if n == 0:
@@ -357,18 +360,38 @@ class StreamPool:
         Returns ``[(handle, feats)]`` segments in stream order (possibly
         several from draining, then the finalize flush).
         """
-        s = self._session(handle)
+        return self.close_many([handle])
+
+    def close_many(self, handles):
+        """Drain, finalize, and release several sessions at once.
+
+        One finalize dispatch + one readback covers every closing
+        session (the vmapped finalize computes all slots anyway) — on
+        tunneled runtimes a per-session close pays a full round trip
+        each, so batch closes are the serving-side drain lever.  Returns
+        ``[(handle, feats)]`` segments, drained chunks first, then each
+        session's finalize flush in ``handles`` order.
+        """
+        sessions = {h: self._session(h) for h in handles}
         out = []
-        while len(s.pending):
-            backlog = -(-len(s.pending) // self._chunk)
-            out.extend(self.step(only=handle, max_chunks=backlog))
+        while any(len(s.pending) for s in sessions.values()):
+            backlog = max(
+                -(-len(s.pending) // self._chunk)
+                for s in sessions.values()
+                if len(s.pending)
+            )
+            out.extend(self.step(only=set(handles), max_chunks=backlog))
         fin_feats, fin_ns = self._vfin(self._states)
-        nf = int(np.asarray(fin_ns)[s.slot])
-        if nf:
-            out.append((handle, np.asarray(fin_feats)[s.slot, :nf]))
-        s.open = False
-        del self._sessions[handle]
-        self._free.append(s.slot)
+        fin_feats = np.asarray(fin_feats)
+        fin_ns = np.asarray(fin_ns)
+        for handle in handles:
+            s = sessions[handle]
+            nf = int(fin_ns[s.slot])
+            if nf:
+                out.append((handle, fin_feats[s.slot, :nf]))
+            s.open = False
+            del self._sessions[handle]
+            self._free.append(s.slot)
         return out
 
     # -- internals -----------------------------------------------------

@@ -110,13 +110,26 @@ class StreamingSTFT:
     def _emit(self, stream, total):
         """Frames + count from a stream buffer whose last ``total`` samples
         (ending at the buffer end) are valid."""
+        from .ops.framing import frame_padded
+
         FL, FS = self.frame_length, self.frame_shift
         buf_len = stream.shape[0]
         nf = jnp.maximum(0, (total - FL) // FS + 1)
-        # frame k starts at (buf_len - total) + k*FS
-        starts = (buf_len - total) + jnp.arange(self.max_frames) * FS
-        idx = jnp.clip(starts[:, None] + jnp.arange(FL)[None, :], 0, buf_len - 1)
-        frames = jnp.take(stream, idx, axis=0)
+        # frame k starts at (buf_len - total) + k*FS.  ONE contiguous
+        # dynamic_slice aligns the valid region at a static origin, then
+        # framing is static strided slices (frame_padded) — a per-frame
+        # index gather here cost more than the rest of the chunk program
+        # combined (TPU gathers, the round-1 lesson)
+        win_len = (self.max_frames - 1) * FS + FL
+        start = jnp.clip(buf_len - total, 0, buf_len).astype(jnp.int32)
+        window = jax.lax.dynamic_slice(
+            jnp.concatenate(
+                [stream, jnp.zeros((win_len,), stream.dtype)]
+            ),
+            (start,),
+            (win_len,),
+        )
+        frames = frame_padded(window, self.max_frames, FL, FS)
         return self._feats(frames), nf
 
     def _process_impl(self, state: StreamState, chunk, valid_len):
@@ -126,12 +139,26 @@ class StreamingSTFT:
         v = jnp.clip(jnp.asarray(valid_len, jnp.int32), 0, C)
 
         # grow the raw stream head while the initial reflection is pending
+        # (chunk shifted to head coordinates via one contiguous
+        # dynamic_slice — gather-free)
         if PL:
             pos = jnp.arange(PL)
-            src = jnp.clip(pos - state.n_raw, 0, C - 1)
+            shifted = jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [
+                        jnp.zeros((PL,), self._dtype),
+                        chunk,
+                        # keep the slice in bounds for chunks shorter
+                        # than the head (dynamic_slice clamps silently)
+                        jnp.zeros((max(0, PL - C),), self._dtype),
+                    ]
+                ),
+                ((PL - jnp.minimum(state.n_raw, PL)).astype(jnp.int32),),
+                (PL,),
+            )
             head = jnp.where(
                 (pos >= state.n_raw) & (pos < state.n_raw + v),
-                jnp.take(chunk, src, axis=0),
+                shifted,
                 state.head,
             )
         else:
@@ -141,8 +168,13 @@ class StreamingSTFT:
         # tail-valid extension: rolling right by the masked tail keeps the
         # newest valid sample at the buffer end (the wrapped garbage lands
         # in front of the valid region, where the frame index math never
-        # reads)
-        ext = jnp.roll(jnp.concatenate([state.carry, chunk]), C - v)
+        # reads).  The traced-shift roll runs as one contiguous
+        # dynamic_slice of the doubled buffer, not a gather.
+        cc = jnp.concatenate([state.carry, chunk])
+        L = cc.shape[0]
+        ext = jax.lax.dynamic_slice(
+            jnp.concatenate([cc, cc]), ((L - C + v).astype(jnp.int32),), (L,)
+        )
         total = state.n_carry + v
         stream = jnp.concatenate([jnp.zeros((PL,), self._dtype), ext])
         # apply the symmetric reflection of the stream head once it is
@@ -562,10 +594,13 @@ class StreamingSI:
             )
             e_mod = xe * xe if c._power else jnp.abs(xe)
             y_mod = jnp.concatenate([e_mod[None, :], y_mod])
-        idx = (
-            jnp.arange(max_frames)[:, None] * s + jnp.arange(2 * s)[None, :]
-        )
-        framed = jnp.take(y_mod, idx, axis=-1)
+        # overlapping (max_frames, 2s) windows at stride s = two static
+        # reshapes concatenated (no gather): frame k is
+        # [y[k*s:(k+1)*s] | y[(k+1)*s:(k+2)*s]]
+        nF = y_mod.shape[0]
+        lo = y_mod[:, : max_frames * s].reshape(nF, max_frames, s)
+        hi = y_mod[:, s : (max_frames + 1) * s].reshape(nF, max_frames, s)
+        framed = jnp.concatenate([lo, hi], axis=-1)
         feats = jnp.einsum(
             "fkt,t->kf",
             framed,
@@ -584,9 +619,15 @@ class StreamingSI:
         # zero the masked tail (the convolution reads raw samples — unlike
         # the STFT stream, garbage cannot be masked by index math alone),
         # then roll it to the front so the newest valid sample stays at the
-        # buffer end (zeros ahead of the signal are harmless to the conv)
+        # buffer end (zeros ahead of the signal are harmless to the conv).
+        # The traced-shift roll runs as one contiguous dynamic_slice of
+        # the doubled buffer, not a gather.
         chunk = jnp.where(jnp.arange(C) < v, chunk, 0)
-        stream = jnp.roll(jnp.concatenate([state.carry, chunk]), C - v)
+        cc = jnp.concatenate([state.carry, chunk])
+        L = cc.shape[0]
+        stream = jax.lax.dynamic_slice(
+            jnp.concatenate([cc, cc]), ((L - C + v).astype(jnp.int32),), (L,)
+        )
         u = state.unconsumed + v
         nf = jnp.maximum(0, u // s - 1)
         nf = jnp.minimum(nf, self.max_frames)

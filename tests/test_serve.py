@@ -58,9 +58,12 @@ def test_feature_server_bad_request_does_not_kill_server():
     computer = _computer()
     rng = np.random.RandomState(5)
     with FeatureServer(computer, max_wait_ms=1.0) as server:
-        bad = server.submit(rng.randn(10, 10))  # 2-D: invalid
-        with pytest.raises(Exception):
-            bad.result(timeout=30)
+        # malformed requests raise at submit(), to the caller — they must
+        # never enqueue and poison a coalesced micro-batch
+        with pytest.raises(ValueError):
+            server.submit(rng.randn(10, 10))  # 2-D: invalid
+        with pytest.raises(TypeError):
+            server.submit(np.array(["a", "b"]))  # non-numeric
         sig = rng.randn(5000)
         good = server.extract(sig)
         assert np.allclose(good, computer.compute_full(sig), atol=1e-8)
@@ -152,6 +155,42 @@ def test_stream_pool_multi_chunk_drain_matches_compute_full():
         want = computer.compute_full(sig)
         assert out.shape == want.shape
         assert np.allclose(out, want, atol=1e-8), np.abs(out - want).max()
+
+
+def test_stream_pool_close_many_matches_individual_closes():
+    """Batch close: one finalize dispatch for many sessions, identical
+    output to per-session closes, and no cross-session leakage with a
+    session that stays open."""
+    computer = _computer()
+    rng = np.random.RandomState(59)
+    sigs = [rng.randn(int(rng.randint(2000, 6000))) for _ in range(3)]
+
+    def run(close_batched):
+        pool = StreamPool(computer, slots=4, chunk_size=800)
+        handles = [pool.open() for _ in sigs]
+        keep = pool.open()  # stays open; must be untouched
+        pool.feed(keep, rng.randn(1000))
+        for h, s in zip(handles, sigs):
+            pool.feed(h, s)
+        got = {h: [] for h in handles}
+        if close_batched:
+            for h, f in pool.close_many(handles):
+                got[h].append(f)
+        else:
+            for h in handles:
+                for h2, f in pool.close(h):
+                    got[h2].append(f)
+        assert len(pool._sessions[keep].pending) == 1000
+        return {h: np.concatenate(fs) for h, fs in got.items()}
+
+    a = run(True)
+    b = run(False)  # fresh pools: handle ids coincide across runs
+    assert sorted(a) == sorted(b)
+    for h, sig in zip(sorted(a), sigs):
+        want = computer.compute_full(sig)
+        assert a[h].shape == want.shape
+        assert np.allclose(a[h], want, atol=1e-8)
+        assert np.array_equal(a[h], b[h])
 
 
 def test_feature_server_sustained_load_overlap():

@@ -367,12 +367,9 @@ def test_si_streaming_double_tier_exact(bank_name):
     batch to <=1e-6 on hostile (loud-transient/quiet-tail) signals — the
     batch tier's accuracy contract extends to streaming (round-2 gap:
     StreamingSI silently fell back to plain-f32 FFT conv)."""
-    bank = {
-        "name": bank_name,
-        "scaling_function": "mel",
-        "num_filts": 6,
-        "sampling_rate": 8000,
-    }
+    bank = {"name": bank_name, "num_filts": 6, "sampling_rate": 8000}
+    if bank_name == "gammatone":
+        bank["scaling_function"] = "mel"
     computer = SIFrameComputer(
         dict(bank), dtype="float32", precision="double", include_energy=True
     )

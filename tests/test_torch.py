@@ -80,6 +80,32 @@ def test_si_torch_matches_host(signal, style, jit_mode):
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
+def test_stft_torch_on_accelerator(signal):
+    """Device leg (reference pattern: tests/test_torch.py runs its matrix
+    on CUDA when available and skips gracefully otherwise)."""
+    if torch.cuda.is_available():
+        device = torch.device("cuda")
+    elif getattr(torch.backends, "mps", None) and torch.backends.mps.is_available():
+        device = torch.device("mps")
+    else:
+        pytest.skip("no torch accelerator available")
+    computer = STFTFrameComputer(
+        dict(BANK), frame_length_ms=25, frame_shift_ms=10, dtype="float64"
+    )
+    want = computer.compute_full(signal)
+    mod = stpu_torch.PyTorchSTFTFrameComputer.from_stft_frame_computer(
+        computer
+    ).to(device)
+    got = (
+        mod(torch.as_tensor(signal, dtype=torch.float32, device=device))
+        .detach()
+        .cpu()
+        .numpy()
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-4)
+
+
 @pytest.mark.parametrize("jit_mode", ["script", "trace"])
 def test_pre_modules_jit(signal, jit_mode):
     sig = torch.as_tensor(signal, dtype=torch.float32)
