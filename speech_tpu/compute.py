@@ -784,12 +784,16 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         convolutions poorly), or 'auto' ('matmul' up to supports of
         ``16 * CONV_BLOCK`` samples, then 'fft').
     precision
-        'highest' (default) or 'double' — exact digit-decomposition
-        convolution matmuls (float32 only, implies conv_mode='matmul';
-        see :class:`ShortTimeFourierTransformFrameComputer`): <=1e-5 max
-        abs log-feature error vs float64 on any signal, where the plain
-        f32 conv's MXU rounding floor reaches ~2e-5 (gammatone) to ~2e-4
-        (fbank) on real speech.
+        'highest' (default), 'double', or 'accurate'.  'double' runs the
+        convolution as exact base-64 digit-decomposition matmuls
+        (float32 only, implies conv_mode='matmul'; see
+        :class:`ShortTimeFourierTransformFrameComputer`): <=1e-5 max abs
+        log-feature error vs float64 on any signal, where the plain f32
+        conv's MXU rounding floor reaches ~2e-5 (gammatone) to ~2e-4
+        (fbank) on real speech.  'accurate' is the base-256 variant with
+        contractions split into exact <=4-block chunks — the same
+        accuracy class (~6e-7 measured on hostile signals) at ~70% of
+        the MXU block-passes (see ``speech_tpu.ops.stft`` ``_SAK_*``).
     """
 
     aliases = {"si"}
@@ -810,20 +814,19 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
     ):
         if conv_mode not in ("auto", "fft", "direct", "matmul"):
             raise ValueError(f"Invalid conv_mode: {conv_mode}")
-        if precision not in ("highest", "high", "default", "double"):
-            raise ValueError(
-                f"Invalid SI precision: {precision!r} (the 'accurate' "
-                "tier is STFT-only; the SI exact tier is 'double')"
-            )
-        if precision == "double":
+        if precision not in ("highest", "high", "default", "double", "accurate"):
+            raise ValueError(f"Invalid SI precision: {precision!r}")
+        if precision in ("double", "accurate"):
             if jnp.dtype(dtype) != jnp.float32:
                 raise ValueError(
-                    "precision='double' is the float32 exact-matmul tier; "
-                    "use dtype='float64' with the default precision instead"
+                    f"precision='{precision}' is a float32 digit-matmul "
+                    "tier; use dtype='float64' with the default precision "
+                    "instead"
                 )
             if conv_mode == "fft" or conv_mode == "direct":
                 raise ValueError(
-                    "precision='double' requires the matmul convolution"
+                    f"precision='{precision}' requires the matmul "
+                    "convolution"
                 )
             conv_mode = "matmul"
         self._precision = precision
@@ -935,8 +938,16 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             blocks = {}
             for name, part in parts:
                 band = _si.toeplitz_conv_blocks(part)
-                if self._precision == "double":
-                    planes, scale = _stft.digitize_matrix(band)
+                if self._precision in ("double", "accurate"):
+                    if self._precision == "accurate":
+                        planes, scale = _stft.digitize_matrix(
+                            band,
+                            _stft._SAK_M_DIGITS,
+                            _stft._SAK_BASE,
+                            margin=True,
+                        )
+                    else:
+                        planes, scale = _stft.digitize_matrix(band)
                     blocks[name + "_digits"] = jnp.asarray(planes)
                     blocks[name + "_scale"] = jnp.float32(scale)
                 else:

@@ -209,7 +209,7 @@ def si_feats_from_signal(
         # toeplitz_conv_blocks): pure MXU work, no FFT.  Output block i of
         # width V sums shifted input blocks against the (K+1, F, V, V)
         # band matrices in params.
-        if precision == "double":
+        if precision in ("double", "accurate"):
             V = params["conv_re_digits"].shape[-1]
             Kk = params["conv_re_digits"].shape[1] - 1
         else:
@@ -220,11 +220,14 @@ def si_feats_from_signal(
         nb = max(1, -(-max(m_hi, 1) // V))
         sig_pad = jnp.pad(signal, (0, max(0, nb * V - signal.shape[0])))
 
-        def _shifted_blocks(flat):
+        def _shifted_blocks(flat, lo: int = 0, hi: int = None):
             Xb = flat[: nb * V].reshape(nb, V)
             # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
             return jnp.stack(
-                [jnp.pad(Xb, ((k, 0), (0, 0)))[:nb] for k in range(Kk + 1)]
+                [
+                    jnp.pad(Xb, ((k, 0), (0, 0)))[:nb]
+                    for k in range(lo, Kk + 1 if hi is None else hi)
+                ]
             )
 
         def _finish_conv(Y):
@@ -236,23 +239,46 @@ def si_feats_from_signal(
             )
             return jnp.where(valid[None, :], part, 0)
 
-        if precision == "double":
-            # exact digit tier (see ops/stft.py): the signal splits under
-            # one per-signal power-of-two scale into base-64 digit planes
-            # (_SI_X_DIGITS = 6: 36 bits below the signal peak, enough for
-            # loud-transient/quiet-tail dynamics — see ops/stft.py), the
-            # band matrices into 6; every einsum pass then
-            # multiplies and accumulates integers below 2^24 — exact in
-            # f32 — leaving only the 2^-36 pair cutoff.
-            from .stft import _SI_X_DIGITS, _SI_PAIR_CUTOFF, _DIGIT_BASE
+        if precision in ("double", "accurate"):
+            # digit tiers (see ops/stft.py): the signal splits under one
+            # per-signal power-of-two scale into integer digit planes, the
+            # band matrices likewise; every einsum pass then multiplies
+            # and accumulates integers below 2^24 — exact in f32.
+            # 'double': base-64, 6 x-planes (36 bits below the signal
+            # peak), 21 pairs, whole-support contractions.  'accurate':
+            # base-256, 5 x-planes, 10 pairs, contractions split into
+            # <=4-block chunks so the plane-0 passes stay exact — about
+            # half the MXU block-passes of 'double' at a ~1e-5-class
+            # accuracy contract.
+            from .stft import (
+                _DIGIT_BASE,
+                _SAK_BASE,
+                _SAK_CUTOFF,
+                _SAK_KCHUNK,
+                _SAK_X_DIGITS,
+                _SI_PAIR_CUTOFF,
+                _SI_X_DIGITS,
+                digit_pair_schedule,
+            )
+
+            if precision == "accurate":
+                base_f, n_x, kchunk = _SAK_BASE, _SAK_X_DIGITS, _SAK_KCHUNK
+                cutoff = _SAK_CUTOFF
+            else:
+                base_f, n_x, kchunk = _DIGIT_BASE, _SI_X_DIGITS, None
+                cutoff = _SI_PAIR_CUTOFF
 
             m = jnp.max(jnp.abs(sig_pad))
             _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
-            x_scale = jnp.ldexp(jnp.ones_like(m), e)
+            # 'accurate' carries a one-bit margin so |digits| <= base/2
+            # on every plane (matches the A-digit margin; see ops/stft.py)
+            x_scale = jnp.ldexp(
+                jnp.ones_like(m), e + (1 if precision == "accurate" else 0)
+            )
             v = sig_pad / x_scale
-            base = np.float32(_DIGIT_BASE)
+            base = np.float32(base_f)
             planes = []
-            for _ in range(_SI_X_DIGITS):
+            for _ in range(n_x):
                 d = jnp.round(v * base)
                 v = v * base - d
                 planes.append(d)
@@ -264,33 +290,39 @@ def si_feats_from_signal(
                 # independent, and letting XLA schedule them freely keeps
                 # too many (batch, F, nb, V) buffers live at once (OOM on
                 # a 16 GB chip at production batch sizes)
-                from .stft import digit_pair_schedule
-
-                pairs = digit_pair_schedule(
-                    _SI_X_DIGITS, A_digits.shape[0], _SI_PAIR_CUTOFF
-                )
+                pairs = digit_pair_schedule(n_x, A_digits.shape[0], cutoff)
                 ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
                 jj = jnp.asarray([j for _, j in pairs], jnp.int32)
                 ww = jnp.asarray(
-                    [_DIGIT_BASE ** -(i + j + 2) for i, j in pairs],
+                    [base_f ** -(i + j + 2) for i, j in pairs],
                     jnp.float32,
                 )
                 nF = A_digits.shape[2]
-
-                def step(acc, t):
-                    xd = _shifted_blocks(
-                        jax.lax.dynamic_index_in_dim(
-                            Xsh_stack, ii[t], 0, keepdims=False
-                        )
-                    )
-                    ad = jax.lax.dynamic_index_in_dim(
-                        A_digits, jj[t], 0, keepdims=False
-                    )
-                    p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
-                    return acc + p * ww[t], None
+                if kchunk is None or Kk + 1 <= kchunk:
+                    chunks = [(0, Kk + 1)]
+                else:
+                    chunks = [
+                        (lo, min(lo + kchunk, Kk + 1))
+                        for lo in range(0, Kk + 1, kchunk)
+                    ]
 
                 acc = jnp.zeros((nF, nb, V), jnp.float32)
-                acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
+                for lo, hi in chunks:
+                    def step(acc, t, lo=lo, hi=hi):
+                        xd = _shifted_blocks(
+                            jax.lax.dynamic_index_in_dim(
+                                Xsh_stack, ii[t], 0, keepdims=False
+                            ),
+                            lo,
+                            hi,
+                        )
+                        ad = jax.lax.dynamic_index_in_dim(
+                            A_digits, jj[t], 0, keepdims=False
+                        )[lo:hi]
+                        p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
+                        return acc + p * ww[t], None
+
+                    acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
                 return _finish_conv(acc * (x_scale * A_scale))
 
         else:
@@ -347,7 +379,7 @@ def si_feats_from_signal(
             part = jax.lax.slice_in_dim(conv, shift_eff + pl, shift_eff + pl + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
 
-    if conv_mode == "matmul" and precision == "double":
+    if conv_mode == "matmul" and precision in ("double", "accurate"):
         conv_re = lambda: _conv_part_digits(
             params["conv_re_digits"], params["conv_re_scale"]
         )

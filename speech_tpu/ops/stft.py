@@ -93,15 +93,44 @@ _SI_X_DIGITS = 6  # the SI conv scales per signal, not per frame, so a loud
 _M_DIGITS = 6  # 36 bits of the float64 DFT matrices
 _PAIR_CUTOFF = 5  # keep i + j <= 5 (weight >= 64^-7 ~ 2^-42 of the scale)
 _SI_PAIR_CUTOFF = 5  # the SI conv's own budget (see ops/si.py)
+# SI precision="accurate": base-256 digit conv — 5 x-planes x 5
+# A-planes, pairs cut at i + j <= 4 (15 pairs vs the base-64 tier's
+# 21; MXU block-passes 105 -> 75).  The cutoff is NOT further
+# reducible: on 60 dB click-to-tail signals the quiet content's
+# leading digits sit 1-2 planes down, so its products live at i + j
+# >= 3-4 — cutoff 3 (even with single-sided edge pairs) measured
+# 2-4e-5, the same coherent quiet-sample truncation that set
+# _SI_X_DIGITS = 6.  First dropped weight at cutoff 4 is
+# 256^-5 * K/4 ~ 2^-33 of the signal scale (beats base-64 cutoff 5's
+# 2^-29); measured <=7e-7 on the hostile set.  BOTH operands carry a
+# one-bit scale margin (|d| <= 128 on every plane), so each einsum
+# accumulates integers below contraction * 2^14 — exact up to
+# 2^24 / 2^14 = 1024 contraction lanes = 8 shifted blocks (supports to
+# ~1023 taps) with NO pass splitting; longer supports split the block
+# dimension into <=8-block chunks whose partial sums stay exact
+# integers (a 4-block split without the margin measured SLOWER than
+# the base-64 tier — 180 vs 152 ms — from scan-step overhead).
+_SAK_BASE = 256.0
+_SAK_X_DIGITS = 5
+_SAK_M_DIGITS = 5
+_SAK_CUTOFF = 4
+_SAK_KCHUNK = 8
 
 
 def digitize_matrix(
-    M: np.ndarray, ndig: int = _M_DIGITS, base: float = _DIGIT_BASE
+    M: np.ndarray,
+    ndig: int = _M_DIGITS,
+    base: float = _DIGIT_BASE,
+    margin: bool = False,
 ):
     """Host: float64 matrix -> (ndig, *M.shape) integer-valued float32
     digit planes plus the power-of-two scale, ``M ~= scale * sum_i
-    digits[i] * base^-(i+1)``."""
+    digits[i] * base^-(i+1)``.  ``margin`` doubles the scale so every
+    digit (including plane 0) stays <= base/2 — one captured bit traded
+    for a 2x larger exact-contraction bound downstream."""
     scale = 2.0 ** np.ceil(np.log2(np.abs(M).max()))
+    if margin:
+        scale *= 2.0
     v = M / scale
     planes = []
     for _ in range(ndig):

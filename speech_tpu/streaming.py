@@ -465,6 +465,10 @@ class StreamingSI:
         from .ops import si as _si
         from .ops.stft import (
             _DIGIT_BASE,
+            _SAK_BASE,
+            _SAK_CUTOFF,
+            _SAK_KCHUNK,
+            _SAK_X_DIGITS,
             _SI_PAIR_CUTOFF,
             _SI_X_DIGITS,
             digit_pair_schedule,
@@ -476,17 +480,20 @@ class StreamingSI:
         need = max(buf_len + self.T - 1, buf_len + abs(self.shift_eff) + ny)
         nb = -(-need // V)
         x_pad = jnp.pad(stream, (0, nb * V - buf_len))
-        double = self.precision == "double"
-        if double:
+        digit_tier = self.precision in ("double", "accurate")
+        if digit_tier:
             Kk = params["conv_re_digits"].shape[1] - 1
         else:
             Kk = params["conv_re_blocks"].shape[0] - 1
 
-        def shifted(flat):
+        def shifted(flat, lo=0, hi=None):
             Xb = flat.reshape(nb, V)
             # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
             return jnp.stack(
-                [jnp.pad(Xb, ((k, 0), (0, 0)))[:nb] for k in range(Kk + 1)]
+                [
+                    jnp.pad(Xb, ((k, 0), (0, 0)))[:nb]
+                    for k in range(lo, Kk + 1 if hi is None else hi)
+                ]
             )
 
         start = jnp.clip(y0, 0, nb * V - ny).astype(jnp.int32)
@@ -496,7 +503,7 @@ class StreamingSI:
                 y_full, (jnp.zeros((), jnp.int32), start), (y_full.shape[0], ny)
             )
 
-        if not double:
+        if not digit_tier:
             Xsh = shifted(x_pad)
             prec = jax.lax.Precision(self.precision)
 
@@ -510,46 +517,67 @@ class StreamingSI:
                 return sliced(Y.reshape(Y.shape[0], nb * V))
 
         else:
-            # exact digit tier: per-buffer power-of-two scale, base-64
-            # digit planes, pair-scheduled integer matmuls (< 2^24 per
-            # pass — exact in f32); see ops/si.py's digit conv
+            # digit tiers: per-buffer power-of-two scale, integer digit
+            # planes, pair-scheduled exact matmuls (< 2^24 per pass); the
+            # 'accurate' config splits long contractions into <=4-block
+            # chunks — see ops/si.py's digit conv
+            if self.precision == "accurate":
+                base_f, n_x, kchunk = _SAK_BASE, _SAK_X_DIGITS, _SAK_KCHUNK
+                cutoff = _SAK_CUTOFF
+            else:
+                base_f, n_x, kchunk = _DIGIT_BASE, _SI_X_DIGITS, None
+                cutoff = _SI_PAIR_CUTOFF
             m = jnp.max(jnp.abs(x_pad))
             _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
-            x_scale = jnp.ldexp(jnp.ones_like(m), e)
+            # one-bit margin under 'accurate' (see ops/si.py)
+            x_scale = jnp.ldexp(
+                jnp.ones_like(m),
+                e + (1 if self.precision == "accurate" else 0),
+            )
             v = x_pad / x_scale
-            base = np.float32(_DIGIT_BASE)
+            base = np.float32(base_f)
             planes = []
-            for _ in range(_SI_X_DIGITS):
+            for _ in range(n_x):
                 d = jnp.round(v * base)
                 v = v * base - d
                 planes.append(d)
-            Xsh_stack = jnp.stack([shifted(p) for p in planes])
+            plane_stack = jnp.stack(planes)  # (XD, nb*V)
 
             def part(name):
                 A_digits = params[name + "_digits"]
-                pairs = digit_pair_schedule(
-                    _SI_X_DIGITS, A_digits.shape[0], _SI_PAIR_CUTOFF
-                )
+                pairs = digit_pair_schedule(n_x, A_digits.shape[0], cutoff)
                 ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
                 jj = jnp.asarray([j for _, j in pairs], jnp.int32)
                 ww = jnp.asarray(
-                    [_DIGIT_BASE ** -(i + j + 2) for i, j in pairs],
+                    [base_f ** -(i + j + 2) for i, j in pairs],
                     jnp.float32,
                 )
                 nF = A_digits.shape[2]
-
-                def step(acc, t):
-                    xd = jax.lax.dynamic_index_in_dim(
-                        Xsh_stack, ii[t], 0, keepdims=False
-                    )
-                    ad = jax.lax.dynamic_index_in_dim(
-                        A_digits, jj[t], 0, keepdims=False
-                    )
-                    p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
-                    return acc + p * ww[t], None
+                if kchunk is None or Kk + 1 <= kchunk:
+                    chunks = [(0, Kk + 1)]
+                else:
+                    chunks = [
+                        (lo, min(lo + kchunk, Kk + 1))
+                        for lo in range(0, Kk + 1, kchunk)
+                    ]
 
                 acc = jnp.zeros((nF, nb, V), jnp.float32)
-                acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
+                for lo, hi in chunks:
+                    def step(acc, t, lo=lo, hi=hi):
+                        xd = shifted(
+                            jax.lax.dynamic_index_in_dim(
+                                plane_stack, ii[t], 0, keepdims=False
+                            ),
+                            lo,
+                            hi,
+                        )
+                        ad = jax.lax.dynamic_index_in_dim(
+                            A_digits, jj[t], 0, keepdims=False
+                        )[lo:hi]
+                        p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
+                        return acc + p * ww[t], None
+
+                    acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
                 y = acc * (x_scale * params[name + "_scale"])
                 return sliced(y.reshape(nF, nb * V))
 

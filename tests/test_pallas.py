@@ -283,5 +283,12 @@ def test_accurate_tier_config_factory_and_validation():
         STFTFrameComputer(dict(BANK), precision="bogus")
     from speech_tpu.compute import SIFrameComputer
 
+    si = alias_factory_subclass_from_arg(
+        FrameComputer,
+        {"name": "si", "bank": dict(BANK), "precision": "accurate"},
+    )
+    assert si._precision == "accurate" and si._conv_mode == "matmul"
     with pytest.raises(ValueError):
-        SIFrameComputer(dict(BANK), precision="accurate")
+        SIFrameComputer(dict(BANK), precision="accurate", conv_mode="fft")
+    with pytest.raises(ValueError):
+        SIFrameComputer(dict(BANK), precision="bogus")

@@ -254,8 +254,10 @@ def test_si_sharded_extractor_on_mesh():
     ],
     ids=["gammatone", "fbank"],
 )
-def test_si_double_precision_tier_on_real_speech(bank):
-    """precision='double' (exact digit conv matmuls) holds <=1e-5 on real
+@pytest.mark.parametrize("precision", ["double", "accurate"])
+def test_si_double_precision_tier_on_real_speech(bank, precision):
+    """The digit tiers ('double' exact base-64; 'accurate' base-256 with
+    chunked contractions, ~70% of the MXU passes) hold <=1e-5 on real
     speech; the plain f32 conv's MXU floor reaches ~2e-5 (gammatone) to
     ~2e-4 (fbank) at out-of-band/high-cancellation outputs."""
     import os
@@ -270,7 +272,7 @@ def test_si_double_precision_tier_on_real_speech(bank):
         dict(bank), dtype="float64", conv_mode="matmul", include_energy=True
     )
     cdd = SIFrameComputer(
-        dict(bank), dtype="float32", precision="double", include_energy=True
+        dict(bank), dtype="float32", precision=precision, include_energy=True
     )
     want = c64.compute_full(sig)
     got = cdd.compute_full(sig.astype(np.float32)).astype(np.float64)
@@ -278,11 +280,14 @@ def test_si_double_precision_tier_on_real_speech(bank):
     assert err.max() < 1e-5, err.max()
 
 
-def test_si_double_precision_tier_transient_then_quiet():
+@pytest.mark.parametrize("precision", ["double", "accurate"])
+def test_si_double_precision_tier_transient_then_quiet(precision):
     """The per-signal digit scale must capture quiet content after a loud
-    transient: with 5 x-planes a 60 dB click-to-speech gap measured
-    6.8e-6 max error (capture truncation adding coherently across the
-    conv taps); the 6th plane holds it under 2e-6."""
+    transient: with 5 base-64 x-planes a 60 dB click-to-speech gap
+    measured 6.8e-6 max error (capture truncation adding coherently
+    across the conv taps); the 6th plane holds it under 2e-6.  The
+    'accurate' tier's pair cutoff must be 4 for the same reason (cutoff
+    3 measured 2-4e-5 on this class of signal — ops/stft.py _SAK_*)."""
     import os
 
     from speech_tpu.io import read_signal
@@ -300,7 +305,7 @@ def test_si_double_precision_tier_transient_then_quiet():
         dict(bank), dtype="float64", conv_mode="matmul", include_energy=True
     )
     cdd = SIFrameComputer(
-        dict(bank), dtype="float32", precision="double", include_energy=True
+        dict(bank), dtype="float32", precision=precision, include_energy=True
     )
     want = c64.compute_full(sig.astype(np.float64))
     got = cdd.compute_full(sig).astype(np.float64)
@@ -313,3 +318,7 @@ def test_si_double_precision_guards():
         SIFrameComputer(dict(bank), dtype="float64", precision="double")
     with pytest.raises(ValueError):
         SIFrameComputer(dict(bank), conv_mode="fft", precision="double")
+    with pytest.raises(ValueError):
+        SIFrameComputer(dict(bank), dtype="float64", precision="accurate")
+    with pytest.raises(ValueError):
+        SIFrameComputer(dict(bank), conv_mode="direct", precision="accurate")

@@ -361,17 +361,19 @@ def test_si_streaming_conv_backends_match_full(conv_mode):
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
 
 
+@pytest.mark.parametrize("precision", ["double", "accurate"])
 @pytest.mark.parametrize("bank_name", ["fbank", "gammatone"])
-def test_si_streaming_double_tier_exact(bank_name):
-    """precision='double' streams through the exact digit conv: stream ==
-    batch to <=1e-6 on hostile (loud-transient/quiet-tail) signals — the
-    batch tier's accuracy contract extends to streaming (round-2 gap:
-    StreamingSI silently fell back to plain-f32 FFT conv)."""
+def test_si_streaming_double_tier_exact(bank_name, precision):
+    """The digit tiers stream through the digit conv: stream == batch to
+    <=1e-6 on hostile (loud-transient/quiet-tail) signals — the batch
+    tier's accuracy contract extends to streaming (round-2 gap:
+    StreamingSI silently fell back to plain-f32 FFT conv).  'accurate'
+    is the base-256 chunked-contraction variant (ops/stft.py _SAK_*)."""
     bank = {"name": bank_name, "num_filts": 6, "sampling_rate": 8000}
     if bank_name == "gammatone":
         bank["scaling_function"] = "mel"
     computer = SIFrameComputer(
-        dict(bank), dtype="float32", precision="double", include_energy=True
+        dict(bank), dtype="float32", precision=precision, include_energy=True
     )
     stream = StreamingSI(computer, 640)
     rng = np.random.RandomState(96)
