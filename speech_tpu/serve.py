@@ -372,6 +372,7 @@ class StreamPool:
         ``[(handle, feats)]`` segments, drained chunks first, then each
         session's finalize flush in ``handles`` order.
         """
+        handles = list(dict.fromkeys(handles))  # dedupe, order-preserving
         sessions = {h: self._session(h) for h in handles}
         out = []
         while any(len(s.pending) for s in sessions.values()):

@@ -69,19 +69,21 @@ def test_random_config_streaming_matches_batch(kind, bank, kw):
     assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
 
 
+@pytest.mark.parametrize("precision", ["double", "accurate"])
 @pytest.mark.parametrize(
     "kind,bank,kw", CASES, ids=[f"cfg{i}" for i in range(len(CASES))]
 )
-def test_random_config_double_tier_tracks_float64(kind, bank, kw):
-    """The f32 precision='double' tier holds ~1e-5 of the float64 result
-    across the random config space (both computers, all frame styles,
-    power/mag, log on/off, odd DFT sizes)."""
+def test_random_config_double_tier_tracks_float64(kind, bank, kw, precision):
+    """The f32 digit tiers ('double' exact; 'accurate' reduced-pair) hold
+    ~1e-5 of the float64 result across the random config space (both
+    computers, all frame styles, power/mag, log on/off, odd DFT
+    sizes)."""
     cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
     kw = dict(kw)
     if kind == "si":
-        kw["conv_mode"] = "matmul"  # the double tier's only conv backend
+        kw["conv_mode"] = "matmul"  # the digit tiers' only conv backend
     c64 = cls(dict(bank), dtype="float64", **kw)
-    cdd = cls(dict(bank), dtype="float32", precision="double", **kw)
+    cdd = cls(dict(bank), dtype="float32", precision=precision, **kw)
     rng = np.random.RandomState(79)
     signal = rng.randn(4000).astype(np.float32)
     want = c64.compute_full(signal.astype(np.float64))
