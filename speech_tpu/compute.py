@@ -383,10 +383,14 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 self._device_params["dft_group_weights"] = jnp.asarray(gw)
                 self._device_params["dft_cos_scale"] = jnp.float32(cs)
                 self._device_params["dft_sin_scale"] = jnp.float32(ss)
-                if self._dft_size % 256 == 0:
+                if self._dft_size % 4 == 0:
                     # layout for the fused Pallas digit kernel: the
-                    # cos|sin split slices the lane axis at nb = dft//2,
-                    # so nb must be a lane-tile multiple (and half odd)
+                    # combined matrix needs the sin DC slot free and both
+                    # lane blocks equal (half odd <=> dft % 4 == 0).
+                    # Non-128-aligned nb lane splits compile and match
+                    # the XLA digit path on real v5e hardware (dft 384:
+                    # 2.5e-7) — the gate was dft % 256 until that was
+                    # validated
                     pdk = _stft.digit_kernel_matrices(
                         self._dft_cos,
                         self._dft_sin,
@@ -425,13 +429,14 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
     def _use_pallas(self) -> bool:
         mode = self._fft_mode or config.FFT_MODE
         if self._precision in ("double", "accurate"):
-            # the fused digit kernels need a lane-aligned layout
-            # (nb = dft//2 a multiple of 128); other sizes stay on the
-            # XLA digit path.  Unlike the reduced-precision pallas tier
-            # they meet their accuracy contracts either way, so "auto"
+            # the fused digit kernels need the cos|sin combined layout
+            # (half odd <=> dft % 4 == 0; hardware-validated including
+            # non-128-aligned lane splits); other sizes stay on the XLA
+            # digit path.  Unlike the reduced-precision pallas tier they
+            # meet their accuracy contracts either way, so "auto"
             # selects them on real TPUs (34 -> 14.3 ms on the v5e
             # headline batch for the exact tier).
-            if self._dft_size % 256:
+            if self._dft_size % 4:
                 return False
             if mode == "pallas":
                 return True

@@ -622,19 +622,17 @@ class StreamingSI:
             )
             e_mod = xe * xe if c._power else jnp.abs(xe)
             y_mod = jnp.concatenate([e_mod[None, :], y_mod])
-        # overlapping (max_frames, 2s) windows at stride s = two static
-        # reshapes concatenated (no gather): frame k is
-        # [y[k*s:(k+1)*s] | y[(k+1)*s:(k+2)*s]]
+        # the overlapping 2s-windows factor into non-overlapping s-blocks
+        # hit by the window's two halves (the batch tail's form,
+        # ops/si.py) — no gather, no duplicated y traffic, identical
+        # reduction order to compute_full
         nF = y_mod.shape[0]
-        lo = y_mod[:, : max_frames * s].reshape(nF, max_frames, s)
-        hi = y_mod[:, s : (max_frames + 1) * s].reshape(nF, max_frames, s)
-        framed = jnp.concatenate([lo, hi], axis=-1)
-        feats = jnp.einsum(
-            "fkt,t->kf",
-            framed,
-            params["window"],
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        prec = jax.lax.Precision.HIGHEST
+        blocks = y_mod.reshape(nF, max_frames + 1, s)
+        w = params["window"]
+        lo = jnp.einsum("fkt,t->fk", blocks, w[:s], precision=prec)
+        hi = jnp.einsum("fkt,t->fk", blocks, w[s:], precision=prec)
+        feats = (lo[:, :-1] + hi[:, 1:]).T
         if c._log:
             feats = xlog(jnp.maximum(feats, _config.LOG_FLOOR_VALUE))
         return feats

@@ -292,3 +292,33 @@ def test_accurate_tier_config_factory_and_validation():
         SIFrameComputer(dict(BANK), precision="accurate", conv_mode="fft")
     with pytest.raises(ValueError):
         SIFrameComputer(dict(BANK), precision="bogus")
+
+
+def test_pallas_double_unaligned_lane_split_matches_xla():
+    """DFT sizes with dft % 4 == 0 but a non-128-aligned half-spectrum
+    (e.g. 384 -> nb = 192) run the fused digit kernel — the cos|sin lane
+    split at an unaligned offset compiles and matches the XLA digit path
+    (validated on real v5e at 2.5e-7; interpret-mode checked here)."""
+    rng = np.random.RandomState(13)
+    sig = rng.randn(2, 12000).astype(np.float32)
+    lens = np.full((2,), 12000, np.int32)
+    kw = dict(
+        frame_length_ms=24,  # 384 samples @ 16 kHz -> dft 384, nb 192
+        frame_shift_ms=10,
+        pad_to_nearest_power_of_two=False,
+        include_energy=True,
+    )
+    xla = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", **kw
+    )
+    pal = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", fft_mode="pallas",
+        **kw
+    )
+    assert xla._dft_size == 384 and pal._use_pallas()
+    fx, cx = xla.compute_batch(sig, lens)
+    fp, cp = pal.compute_batch(sig, lens)
+    assert np.array_equal(np.asarray(cx), np.asarray(cp))
+    assert np.allclose(np.asarray(fp), np.asarray(fx), atol=2e-6), np.abs(
+        np.asarray(fp) - np.asarray(fx)
+    ).max()
