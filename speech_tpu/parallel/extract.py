@@ -225,14 +225,18 @@ class ShardedExtractor:
         if pending is not None:
             yield self._collect(*pending)
 
-    def _dispatch(self, signals: Sequence[np.ndarray]):
+    def _dispatch(self, signals: Sequence[np.ndarray], min_batch: int = 0):
+        """Start a batch asynchronously; ``min_batch`` pads the batch
+        dimension up (serving uses it to keep ONE compiled program per
+        length bucket instead of one per coalesced batch size — device
+        compiles are minutes on tunneled runtimes)."""
         n = len(signals)
         if n == 0:
             return None, None, 0
         lengths = np.array([len(s) for s in signals], dtype=np.int32)
         c = self._computer
         max_len = _next_pow2(max(int(lengths.max()), c.frame_length))
-        batch = -(-n // self.batch_multiple) * self.batch_multiple
+        batch = -(-max(n, min_batch) // self.batch_multiple) * self.batch_multiple
         buf = np.zeros((batch, max_len), dtype=np.dtype(c._dtype.name))
         for i, s in enumerate(signals):
             buf[i, : len(s)] = s

@@ -54,6 +54,12 @@ class FeatureServer:
         How long the dispatcher waits to fill a batch after the first
         pending request before running a partial one.  The latency floor
         for a lone request is roughly this plus one device dispatch.
+    pad_batches
+        Pad every micro-batch to ``max_batch`` rows so each length
+        bucket compiles exactly ONE program regardless of load level
+        (default).  The padding rows are free when the device is
+        otherwise idle; disable only if partial-batch device time
+        matters more than compile stalls.
     """
 
     def __init__(
@@ -62,9 +68,11 @@ class FeatureServer:
         mesh=None,
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
+        pad_batches: bool = True,
     ):
         self._extractor = ShardedExtractor(computer, mesh)
         self._max_batch = int(max_batch)
+        self._pad_batches = bool(pad_batches)
         self._max_wait = float(max_wait_ms) / 1e3
         self._queue = queue.SimpleQueue()
         self._closed = False
@@ -106,6 +114,27 @@ class FeatureServer:
         """Submit a burst and wait for all results (in order)."""
         futs = [self.submit(s) for s in signals]
         return [f.result() for f in futs]
+
+    def warmup(self, lengths: Sequence[int], batch: int = None) -> None:
+        """Pre-compile the bucket programs for expected signal lengths.
+
+        Device compiles can take minutes on tunneled runtimes and would
+        otherwise land on the first unlucky request.  Runs a zero batch
+        through each distinct power-of-two bucket covering ``lengths``,
+        blocking until the programs are built.  With ``pad_batches``
+        (the default) every micro-batch shares one program per bucket,
+        so a single warm-up signal per bucket covers all load levels.
+        """
+        if batch is None:
+            batch = 1 if self._pad_batches else self._max_batch
+        done = set()
+        for n in lengths:
+            n = max(int(n), 1)
+            key = 1 << (n - 1).bit_length()
+            if key in done:
+                continue
+            done.add(key)
+            self.extract_many([np.zeros(n, np.float32)] * batch)
 
     def close(self) -> None:
         """Drain pending requests and stop the dispatcher.
@@ -185,7 +214,10 @@ class FeatureServer:
         """Asynchronously dispatch one micro-batch; None on failure (the
         batch's futures are then already resolved via individual retry)."""
         try:
-            return self._extractor._dispatch([s for s, _ in batch])
+            return self._extractor._dispatch(
+                [s for s, _ in batch],
+                min_batch=self._max_batch if self._pad_batches else 0,
+            )
         except Exception:  # noqa: BLE001 — isolate the bad request(s)
             self._retry_individually(batch)
             return None
@@ -274,6 +306,18 @@ class StreamPool:
     @property
     def capacity(self) -> int:
         return len(self._free)
+
+    def warmup(self, depths: Sequence[int] = (1,)) -> None:
+        """Pre-compile the vmapped tick programs for the given scan
+        depths (each pads to its power-of-two tier) plus the finalize
+        program, before any session opens.  The warm-up ticks carry
+        ``valid_len 0`` everywhere — exact no-ops on the slot states."""
+        for d in depths:
+            k = 1 << max(0, int(d) - 1).bit_length()
+            chunks = jnp.zeros((self._slots, k, self._chunk), self._dtype)
+            valids = jnp.zeros((self._slots, k), jnp.int32)
+            self._vstep(self._states, chunks, valids)
+        self._vfin(self._states)
 
     # -- session management --------------------------------------------
 

@@ -208,6 +208,45 @@ def test_feature_server_sustained_load_overlap():
         assert np.allclose(got, want, atol=1e-8)
 
 
+def test_feature_server_warmup_and_single_program_per_bucket():
+    """warmup() pre-builds bucket programs; with pad_batches (default)
+    every micro-batch shares one compiled program per length bucket —
+    varying coalesced batch sizes must not grow the program cache."""
+    computer = _computer()
+    rng = np.random.RandomState(61)
+    with FeatureServer(computer, max_batch=8, max_wait_ms=5.0) as server:
+        server.warmup([3000, 3500, 6000])  # two distinct pow2 buckets
+        n_programs = len(server._extractor._fns) or len(
+            getattr(computer, "_full_fns", {})
+        )
+        # requests at several load levels, same buckets
+        outs = server.extract_many([rng.randn(3200)])
+        outs += server.extract_many([rng.randn(2100) for _ in range(5)])
+        outs += server.extract_many([rng.randn(5000) for _ in range(3)])
+        after = len(server._extractor._fns) or len(
+            getattr(computer, "_full_fns", {})
+        )
+        assert after == n_programs, (n_programs, after)
+    for got, n in zip(outs, [3200] + [2100] * 5 + [5000] * 3):
+        assert got.shape[1] == computer.num_coeffs
+
+
+def test_stream_pool_warmup_is_noop_on_sessions():
+    computer = _computer()
+    pool = StreamPool(computer, slots=2, chunk_size=800)
+    pool.warmup(depths=(1, 8))
+    rng = np.random.RandomState(62)
+    sig = rng.randn(2400)
+    h = pool.open()
+    pool.feed(h, sig)
+    out = [f for _, f in pool.step(max_chunks=8)]
+    out += [f for _, f in pool.close(h)]
+    got = np.concatenate(out)
+    want = computer.compute_full(sig)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-8)
+
+
 def test_feature_server_on_mesh():
     """The server's micro-batches shard over the data axis of a mesh."""
     from speech_tpu import parallel as par
