@@ -362,7 +362,11 @@ def _signals_to_torch_feat_dir(options) -> int:
                     if not batch_utts:
                         return
                     with timer.stage("compute"):
-                        batch_feats = extractor.extract(batch_sigs)
+                        # min_batch: the trailing partial batch reuses the
+                        # full batches' compiled program
+                        batch_feats = extractor.extract(
+                            batch_sigs, min_batch=options.batch_size
+                        )
                     for utt_id, feats in zip(batch_utts, batch_feats):
                         save_timed(
                             utt_id, postprocess(np.asarray(feats, np.float64))
@@ -554,7 +558,9 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
                 yield sigs
 
         for done, feats_list in enumerate(
-            extractor.extract_iter(signal_batches())
+            extractor.extract_iter(
+                signal_batches(), min_batch=options.batch_size
+            )
         ):
             for utt_id, feats in zip(id_batches[done], feats_list):
                 emit(utt_id, np.asarray(feats, np.float64))

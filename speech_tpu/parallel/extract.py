@@ -208,17 +208,18 @@ class ShardedExtractor:
             )
         return self._fn(batch, max_len, full)(signals, lengths)
 
-    def extract_iter(self, batches):
+    def extract_iter(self, batches, min_batch: int = 0):
         """Double-buffered extraction over an iterable of signal lists.
 
         Dispatches batch ``i+1``'s (asynchronous) device computation before
         materializing batch ``i``'s results, so host IO/padding overlaps
         device compute.  Yields one ``[(num_frames_j, num_coeffs)]`` list
-        per input batch.
+        per input batch.  ``min_batch`` pads the batch dimension so a
+        trailing partial batch reuses the full batches' compiled program.
         """
         pending = None  # (feats, counts, n)
         for signals in batches:
-            nxt = self._dispatch(signals)
+            nxt = self._dispatch(signals, min_batch)
             if pending is not None:
                 yield self._collect(*pending)
             pending = nxt
@@ -253,11 +254,11 @@ class ShardedExtractor:
         counts = np.asarray(counts)
         return [feats[i, : counts[i]] for i in range(n)]
 
-    def extract(self, signals: Sequence[np.ndarray]):
+    def extract(self, signals: Sequence[np.ndarray], min_batch: int = 0):
         """Features for a list of host 1-D signals of any lengths.
 
         Pads to a power-of-two bucket (bounding recompilation), rounds the
-        batch up to the mesh multiple, and returns a list of
-        ``(num_frames_i, num_coeffs)`` arrays.
+        batch up to the mesh multiple (and at least ``min_batch``), and
+        returns a list of ``(num_frames_i, num_coeffs)`` arrays.
         """
-        return self._collect(*self._dispatch(signals))
+        return self._collect(*self._dispatch(signals, min_batch))
