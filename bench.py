@@ -197,20 +197,20 @@ def _streaming_bench(computer, rate: int = 16000):
     pool_rt = audio_sec / (time.perf_counter() - start)
 
     # device-side pool throughput: queued tick dispatches, one readback
-    # (isolates the vmapped scan program from the tunnel RTT that
+    # (isolates the vmapped wide-chunk program from the tunnel RTT that
     # dominates the end-to-end drain above)
     states = pool._states
     chunks = jnp.asarray(
-        rng.randn(slots, depth, chunk_size).astype(np.float32)
+        rng.randn(slots, depth * chunk_size).astype(np.float32)
     )
-    valids = jnp.full((slots, depth), chunk_size, jnp.int32)
+    valids = jnp.full((slots,), depth * chunk_size, jnp.int32)
     _, feats, _ = pool._vstep(states, chunks, valids)
-    np.asarray(feats[0, 0, 0, 0])
+    np.asarray(feats[0, 0, 0])
     n = 10
     start = time.perf_counter()
     for _ in range(n):
         _, feats, _ = pool._vstep(states, chunks, valids)
-    np.asarray(feats[0, 0, 0, 0])
+    np.asarray(feats[0, 0, 0])
     tick = (time.perf_counter() - start) / n
     pool_device_rt = slots * depth * (chunk_size / rate) / tick
     return lat_ms, chunk_ms, pool_rt, pool_device_rt

@@ -107,7 +107,7 @@ class StreamingSTFT:
         c = self.computer
         return _stft.stft_feats_from_frames(frames, c.params, **c._static_spec)
 
-    def _emit(self, stream, total):
+    def _emit(self, stream, total, max_frames: int):
         """Frames + count from a stream buffer whose last ``total`` samples
         (ending at the buffer end) are valid."""
         from .ops.framing import frame_padded
@@ -120,7 +120,7 @@ class StreamingSTFT:
         # framing is static strided slices (frame_padded) — a per-frame
         # index gather here cost more than the rest of the chunk program
         # combined (TPU gathers, the round-1 lesson)
-        win_len = (self.max_frames - 1) * FS + FL
+        win_len = (max_frames - 1) * FS + FL
         start = jnp.clip(buf_len - total, 0, buf_len).astype(jnp.int32)
         window = jax.lax.dynamic_slice(
             jnp.concatenate(
@@ -129,7 +129,7 @@ class StreamingSTFT:
             (start,),
             (win_len,),
         )
-        frames = frame_padded(window, self.max_frames, FL, FS)
+        frames = frame_padded(window, max_frames, FL, FS)
         return self._feats(frames), nf
 
     def _process_impl(self, state: StreamState, chunk, valid_len):
@@ -190,8 +190,12 @@ class StreamingSTFT:
         is_first = state.is_first & ~apply_now if PL else jnp.asarray(False)
 
         # no frame may be emitted before the reflection is applied (frames
-        # would claim virtual positions the prefix still owns)
-        feats, nf = self._emit(stream, total)
+        # would claim virtual positions the prefix still owns).  The frame
+        # capacity scales with the chunk length — any width processes in
+        # ONE call (wide chunks batch all their frames into one matmul,
+        # the serving backlog fast path; see serve.StreamPool.step)
+        max_frames = max(0, (CL + PL + C - self.frame_length) // FS + 1)
+        feats, nf = self._emit(stream, total, max_frames)
         nf = jnp.where(is_first, 0, nf)
         rem = jnp.minimum(total - nf * FS, CL)
         carry = stream[-CL:] if CL else stream[:0]
@@ -656,8 +660,11 @@ class StreamingSI:
         )
         u = state.unconsumed + v
         nf = jnp.maximum(0, u // s - 1)
-        nf = jnp.minimum(nf, self.max_frames)
-        feats = self._emit(stream, u, nf, self.max_frames)
+        # per-call frame capacity scales with the chunk length (wide
+        # chunks run as one call — the serving backlog fast path)
+        max_frames = (2 * s + C) // s
+        nf = jnp.minimum(nf, max_frames)
+        feats = self._emit(stream, u, nf, max_frames)
         return (
             SIStreamState(
                 carry=stream[-self.carry_len :],

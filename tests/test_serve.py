@@ -190,7 +190,10 @@ def test_stream_pool_close_many_matches_individual_closes():
         want = computer.compute_full(sig)
         assert a[h].shape == want.shape
         assert np.allclose(a[h], want, atol=1e-8)
-        assert np.array_equal(a[h], b[h])
+        # the two paths drain at different wide-chunk tiers (batched
+        # closes share the largest backlog's width), so equality is to
+        # reduction-order noise, not bit-exact
+        assert np.allclose(a[h], b[h], atol=1e-10)
 
 
 def test_feature_server_sustained_load_overlap():
