@@ -346,6 +346,42 @@ def test_process_many_matches_single_steps(kind):
         stream.process_many(state, jnp.zeros((2, 999)), jnp.zeros((2,), jnp.int32))
 
 
+@pytest.mark.parametrize("kind", ["stft", "si"])
+def test_process_wide_matches_chunked(kind):
+    """One wide masked call == the same samples fed chunk by chunk."""
+    if kind == "stft":
+        computer = _computer()
+        stream = StreamingSTFT(computer, 800)
+    else:
+        computer = _si_computer()
+        stream = StreamingSI(computer, 800)
+    rng = np.random.RandomState(98)
+    sig = rng.randn(800 * 4 + 137)
+    # chunked
+    state = stream.init_state()
+    outs = []
+    for i in range(0, 800 * 5, 800):
+        chunk = np.zeros(800)
+        seg = sig[i : i + 800]
+        chunk[: len(seg)] = seg
+        state, feats, nf = stream.process(state, chunk, len(seg))
+        outs.append(np.asarray(feats)[: int(nf)])
+    ff, fn_ = stream.finalize(state)
+    outs.append(np.asarray(ff)[: int(fn_)])
+    want = np.concatenate(outs)
+    # one wide call (padded to a 4096-tier width)
+    state = stream.init_state()
+    wide = np.zeros(800 * 8)
+    wide[: len(sig)] = sig
+    state, feats, nf = stream.process_wide(state, jnp.asarray(wide), len(sig))
+    outs = [np.asarray(feats)[: int(nf)]]
+    ff, fn_ = stream.finalize(state)
+    outs.append(np.asarray(ff)[: int(fn_)])
+    got = np.concatenate(outs)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.allclose(got, want, atol=1e-10), np.abs(got - want).max()
+
+
 @pytest.mark.parametrize("conv_mode", ["fft", "matmul"])
 def test_si_streaming_conv_backends_match_full(conv_mode):
     """The stream emit follows the computer's conv backend; both agree
