@@ -246,10 +246,11 @@ def si_feats_from_signal(
             # and accumulates integers below 2^24 — exact in f32.
             # 'double': base-64, 6 x-planes (36 bits below the signal
             # peak), 21 pairs, whole-support contractions.  'accurate':
-            # base-256, 5 x-planes, 10 pairs, contractions split into
-            # <=4-block chunks so the plane-0 passes stay exact — about
-            # half the MXU block-passes of 'double' at a ~1e-5-class
-            # accuracy contract.
+            # base-256, 5x5 planes with one-bit scale margins on both
+            # operands (so contractions up to 8 blocks stay exact with
+            # no splitting; beyond that, <=8-block chunks), 15 pairs —
+            # ~70% of 'double's MXU block-passes at the same measured
+            # accuracy class (see ops/stft.py _SAK_*).
             from .stft import (
                 _DIGIT_BASE,
                 _SAK_BASE,
