@@ -178,12 +178,14 @@ def _streaming_bench(computer, rate: int = 16000):
     np.asarray(feats[0, 0])  # one readback drains the in-order queue
     chunk_ms = (time.perf_counter() - start) / n * 1e3
 
-    slots, depth, ticks = 16, 16, 4
+    slots, depth = 16, 64
     pool = StreamPool(computer, slots=slots, chunk_size=chunk_size)
-    per_session = chunk_size * depth * ticks
+    per_session = chunk_size * depth
     audio_sec = slots * per_session / rate
 
     def drain():
+        # each session's 6.4 s backlog drains in ONE wide tick; the
+        # end-to-end number is transfer/RTT-bound on tunneled runtimes
         handles = [pool.open() for _ in range(slots)]
         for h in handles:
             pool.feed(h, rng.randn(per_session).astype(np.float32))
