@@ -60,6 +60,19 @@ class FeatureServer:
         (default).  The padding rows are free when the device is
         otherwise idle; disable only if partial-batch device time
         matters more than compile stalls.
+    max_pending
+        Admission control: with more than this many requests enqueued,
+        ``submit`` raises RuntimeError instead of growing the queue
+        without bound (a stalled device would otherwise buffer every
+        caller's audio in host memory).  None (default) disables the
+        limit.
+
+    Attributes
+    ----------
+    stats
+        Monotonic counters: ``submitted``, ``completed``, ``failed``,
+        ``rejected`` (admission control), ``batches`` (device
+        dispatches).
     """
 
     def __init__(
@@ -69,15 +82,25 @@ class FeatureServer:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         pad_batches: bool = True,
+        max_pending: int = None,
     ):
         self._extractor = ShardedExtractor(computer, mesh)
         self._max_batch = int(max_batch)
         self._pad_batches = bool(pad_batches)
         self._max_wait = float(max_wait_ms) / 1e3
+        self._max_pending = None if max_pending is None else int(max_pending)
+        self._pending = 0  # requests submitted but not yet resolved
         self._queue = queue.SimpleQueue()
         self._closed = False
         self._lock = threading.Lock()  # makes submit's check+put atomic
         # with close's sentinel, so no request can slip behind the stop
+        self.stats = {
+            "submitted": 0,
+            "completed": 0,
+            "failed": 0,
+            "rejected": 0,
+            "batches": 0,
+        }
         self._worker = threading.Thread(
             target=self._run, name="speech-tpu-serve", daemon=True
         )
@@ -103,6 +126,17 @@ class FeatureServer:
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
+            if (
+                self._max_pending is not None
+                and self._pending >= self._max_pending
+            ):
+                self.stats["rejected"] += 1
+                raise RuntimeError(
+                    f"server overloaded: {self._pending} requests pending "
+                    f"(max_pending={self._max_pending})"
+                )
+            self._pending += 1
+            self.stats["submitted"] += 1
             self._queue.put((signal, fut))
         return fut
 
@@ -157,7 +191,7 @@ class FeatureServer:
             except queue.Empty:
                 return
             if item is not None:
-                item[1].set_exception(RuntimeError("server is closed"))
+                self._done(item[1], exc=RuntimeError("server is closed"))
 
     def __enter__(self):
         return self
@@ -214,13 +248,16 @@ class FeatureServer:
         """Asynchronously dispatch one micro-batch; None on failure (the
         batch's futures are then already resolved via individual retry)."""
         try:
-            return self._extractor._dispatch(
+            disp = self._extractor._dispatch(
                 [s for s, _ in batch],
                 min_batch=self._max_batch if self._pad_batches else 0,
             )
         except Exception:  # noqa: BLE001 — isolate the bad request(s)
             self._retry_individually(batch)
             return None
+        with self._lock:
+            self.stats["batches"] += 1
+        return disp
 
     def _resolve(self, entry) -> None:
         batch, disp = entry
@@ -232,7 +269,7 @@ class FeatureServer:
             self._retry_individually(batch)
             return
         for (_, fut), out in zip(batch, outs):
-            fut.set_result(out)
+            self._done(fut, out)
 
     def _retry_individually(self, batch) -> None:
         # submit() pre-validates shape/dtype, so batch failures here are
@@ -242,9 +279,18 @@ class FeatureServer:
             try:
                 out = self._extractor.extract([sig])[0]
             except Exception as e:  # noqa: BLE001 — to the caller
-                fut.set_exception(e)
+                self._done(fut, exc=e)
             else:
-                fut.set_result(out)
+                self._done(fut, out)
+
+    def _done(self, fut, result=None, exc=None) -> None:
+        with self._lock:
+            self._pending -= 1
+            self.stats["failed" if exc is not None else "completed"] += 1
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
 
 
 class _Session:

@@ -234,6 +234,26 @@ def test_feature_server_warmup_and_single_program_per_bucket():
         assert got.shape[1] == computer.num_coeffs
 
 
+def test_feature_server_admission_control_and_stats():
+    computer = _computer()
+    rng = np.random.RandomState(63)
+    # max_pending 0: every submit rejects, server stays healthy
+    with FeatureServer(computer, max_wait_ms=1.0, max_pending=0) as server:
+        with pytest.raises(RuntimeError, match="overloaded"):
+            server.submit(rng.randn(3000))
+        assert server.stats["rejected"] == 1
+    # normal operation: counters add up
+    sigs = [rng.randn(int(rng.randint(2000, 4000))) for _ in range(6)]
+    with FeatureServer(computer, max_batch=4, max_wait_ms=5.0) as server:
+        outs = server.extract_many(sigs)
+    assert len(outs) == 6
+    assert server.stats["submitted"] == 6
+    assert server.stats["completed"] == 6
+    assert server.stats["failed"] == 0
+    assert 1 <= server.stats["batches"] <= 6
+    assert server._pending == 0
+
+
 def test_stream_pool_warmup_is_noop_on_sessions():
     computer = _computer()
     pool = StreamPool(computer, slots=2, chunk_size=800)
