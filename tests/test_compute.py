@@ -399,3 +399,28 @@ def test_compute_batch_full_length_fast_path(frame_style):
     for i in range(3):
         full = comp.compute_full(batch[i])
         assert np.allclose(np.asarray(f_fast)[i, : len(full)], full)
+
+
+@pytest.mark.parametrize("kind", ["stft", "si"])
+def test_compute_batch_zero_length_rows(kind):
+    """A zero-length row in a ragged batch yields count 0 and does not
+    disturb its neighbors."""
+    from speech_tpu.compute import SIFrameComputer, STFTFrameComputer
+
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(
+        {"name": "fbank", "num_filts": 6, "sampling_rate": 8000},
+        dtype="float64",
+    )
+    rng = np.random.RandomState(23)
+    sigs = np.zeros((3, 2048))
+    sigs[0] = rng.randn(2048)
+    sigs[2, :1000] = rng.randn(1000)
+    lengths = np.array([2048, 0, 1000])
+    feats, counts = computer.compute_batch(sigs, lengths)
+    counts = np.asarray(counts)
+    assert counts[1] == 0
+    for i in (0, 2):
+        want = computer.compute_full(sigs[i, : lengths[i]])
+        assert counts[i] == want.shape[0]
+        assert np.allclose(np.asarray(feats)[i, : counts[i]], want, atol=1e-8)

@@ -38,6 +38,16 @@ class _FakeReader:
             self._decoded.append(key)
             yield key, value
 
+    def __getitem__(self, key):
+        self._decoded.append(key)
+        return self._table[key]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
     def close(self):
         pass
 
@@ -72,6 +82,10 @@ def fake_kaldi(monkeypatch):
     writers = []
 
     def kaldi_open(specifier, dtype=None, mode="r", value_style=None):
+        # the real backend takes Kaldi dtype STRINGS; numpy dtypes raise
+        # (Standardize's float-width attempts must fall through to 'dm')
+        if dtype is not None and dtype not in ("b", "bm", "bv", "dm", "fm", "wm"):
+            raise TypeError(f"unknown kaldi dtype: {dtype!r}")
         if mode == "w":
             written.setdefault(specifier, {})
             writer = _FakeWriter(written[specifier], decoded)
@@ -220,6 +234,26 @@ def test_kaldi_tables_batch_disabled_matches(fake_kaldi):
         assert np.allclose(
             written["ark:x.ark"][utt], written["ark:y.ark"][utt], atol=1e-5
         )
+
+
+def test_standardize_stats_load_from_kaldi_table(fake_kaldi):
+    """Standardize stats archived in a Kaldi table load through the
+    dm/fm dtype fallbacks (reference: post.py:109)."""
+    import numpy as np
+
+    from speech_tpu.post import Standardize
+
+    rng = np.random.RandomState(22)
+    feats = rng.randn(30, 8)
+    ref = Standardize()
+    ref.accumulate(feats)
+    fake_kaldi.tables["ark:stats.ark"] = {"global": np.asarray(ref.stats)}
+    # the fake reader returns the raw entry for any dtype string; the
+    # real backend validates 'dm'/'fm' itself
+    loaded = Standardize("ark:stats.ark", key="global")
+    got = loaded.apply(feats)
+    want = ref.apply(feats)
+    assert np.allclose(got, want)
 
 
 def test_kaldi_tables_preprocess_seed_determinism(fake_kaldi):
