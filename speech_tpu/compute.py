@@ -362,57 +362,67 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
 
     @property
     def params(self):
-        """Device arrays consumed by the jitted pipeline (a pytree)."""
+        """Device arrays consumed by the jitted pipeline (a pytree).
+
+        Safe to touch inside a jit trace: construction runs under
+        ``ensure_compile_time_eval`` so the cache holds concrete arrays,
+        never tracers (a first access inside someone else's jit used to
+        poison the cache and leak tracers into later programs).
+        """
         if self._device_params is None:
-            self._device_params = {
-                "window": jnp.asarray(self._window, dtype=self._dtype),
-                "weights": jnp.asarray(self._weights, dtype=self._dtype),
-                "dft_cos": jnp.asarray(self._dft_cos, dtype=self._dtype),
-                "dft_sin": jnp.asarray(self._dft_sin, dtype=self._dtype),
-            }
-            if self._precision in ("double", "accurate"):
-                # grouped digit-pair matrices for the exact-matmul tier
-                # (ops/stft.py digit_group_matrices) — also the XLA
-                # fallback for 'accurate' where the kernel gate fails
-                mats, gw, cs, ss, _ = _stft.digit_group_matrices(
-                    self._dft_cos, self._dft_sin
-                )
-                self._device_params["dft_group_mats"] = jnp.asarray(
-                    mats, dtype=jnp.bfloat16  # integer digits: exact
-                )
-                self._device_params["dft_group_weights"] = jnp.asarray(gw)
-                self._device_params["dft_cos_scale"] = jnp.float32(cs)
-                self._device_params["dft_sin_scale"] = jnp.float32(ss)
-                if self._dft_size % 4 == 0:
-                    # layout for the fused Pallas digit kernel: the
-                    # combined matrix needs the sin DC slot free and both
-                    # lane blocks equal (half odd <=> dft % 4 == 0).
-                    # Non-128-aligned nb lane splits compile and match
-                    # the XLA digit path on real v5e hardware (dft 384:
-                    # 2.5e-7) — the gate was dft % 256 until that was
-                    # validated
-                    pdk = _stft.digit_kernel_matrices(
-                        self._dft_cos,
-                        self._dft_sin,
-                        self._weights,
-                        ndig=(
-                            _stft._PAK_M_DIGITS
-                            if self._precision == "accurate"
-                            else _stft._PDK_M_DIGITS
-                        ),
-                    )
-                    self._device_params["pdk_cos_scale"] = pdk.pop(
-                        "cos_scale"
-                    )  # host scalar: baked statically into the kernel
-                    for name, arr in pdk.items():
-                        self._device_params["pdk_" + name] = jnp.asarray(arr)
-                self._device_params["weights_lo"] = jnp.asarray(
-                    (
-                        self._weights
-                        - self._weights.astype(np.float32).astype(np.float64)
-                    ).astype(np.float32)
-                )
+            with jax.ensure_compile_time_eval():
+                self._build_device_params()
         return self._device_params
+
+    def _build_device_params(self):
+        self._device_params = {
+            "window": jnp.asarray(self._window, dtype=self._dtype),
+            "weights": jnp.asarray(self._weights, dtype=self._dtype),
+            "dft_cos": jnp.asarray(self._dft_cos, dtype=self._dtype),
+            "dft_sin": jnp.asarray(self._dft_sin, dtype=self._dtype),
+        }
+        if self._precision in ("double", "accurate"):
+            # grouped digit-pair matrices for the exact-matmul tier
+            # (ops/stft.py digit_group_matrices) — also the XLA
+            # fallback for 'accurate' where the kernel gate fails
+            mats, gw, cs, ss, _ = _stft.digit_group_matrices(
+                self._dft_cos, self._dft_sin
+            )
+            self._device_params["dft_group_mats"] = jnp.asarray(
+                mats, dtype=jnp.bfloat16  # integer digits: exact
+            )
+            self._device_params["dft_group_weights"] = jnp.asarray(gw)
+            self._device_params["dft_cos_scale"] = jnp.float32(cs)
+            self._device_params["dft_sin_scale"] = jnp.float32(ss)
+            if self._dft_size % 4 == 0:
+                # layout for the fused Pallas digit kernel: the
+                # combined matrix needs the sin DC slot free and both
+                # lane blocks equal (half odd <=> dft % 4 == 0).
+                # Non-128-aligned nb lane splits compile and match
+                # the XLA digit path on real v5e hardware (dft 384:
+                # 2.5e-7) — the gate was dft % 256 until that was
+                # validated
+                pdk = _stft.digit_kernel_matrices(
+                    self._dft_cos,
+                    self._dft_sin,
+                    self._weights,
+                    ndig=(
+                        _stft._PAK_M_DIGITS
+                        if self._precision == "accurate"
+                        else _stft._PDK_M_DIGITS
+                    ),
+                )
+                self._device_params["pdk_cos_scale"] = pdk.pop(
+                    "cos_scale"
+                )  # host scalar: baked statically into the kernel
+                for name, arr in pdk.items():
+                    self._device_params["pdk_" + name] = jnp.asarray(arr)
+            self._device_params["weights_lo"] = jnp.asarray(
+                (
+                    self._weights
+                    - self._weights.astype(np.float32).astype(np.float64)
+                ).astype(np.float32)
+            )
 
     @property
     def _static_spec(self) -> dict:
@@ -913,15 +923,20 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         parts (see :func:`speech_tpu.ops.si.si_feats_from_signal`).
         """
         if self._device_params is None:
-            firs = self._kernel["firs"]
-            self._device_params = {
-                "firs_re": jnp.asarray(firs.real, dtype=self._dtype),
-                "window": jnp.asarray(self._kernel["window"], dtype=self._dtype),
-            }
-            if not self._kernel["is_real"]:
-                self._device_params["firs_im"] = jnp.asarray(
-                    firs.imag, dtype=self._dtype
-                )
+            # ensure_compile_time_eval: a first access inside someone
+            # else's jit must cache concrete arrays, not tracers
+            with jax.ensure_compile_time_eval():
+                firs = self._kernel["firs"]
+                self._device_params = {
+                    "firs_re": jnp.asarray(firs.real, dtype=self._dtype),
+                    "window": jnp.asarray(
+                        self._kernel["window"], dtype=self._dtype
+                    ),
+                }
+                if not self._kernel["is_real"]:
+                    self._device_params["firs_im"] = jnp.asarray(
+                        firs.imag, dtype=self._dtype
+                    )
         return self._device_params
 
     @property
@@ -935,6 +950,12 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         params = self.params
         if spec["conv_mode"] != "matmul":
             return params
+        if self._conv_block_params is None:
+            with jax.ensure_compile_time_eval():
+                return self._build_conv_block_params(params)
+        return {**params, **self._conv_block_params}
+
+    def _build_conv_block_params(self, params):
         if self._conv_block_params is None:
             firs = self._kernel["firs"]
             parts = [("conv_re", np.ascontiguousarray(firs.real))]

@@ -303,15 +303,17 @@ class _Session:
 
 
 class StreamPool:
-    """Fixed pool of concurrent streaming sessions on one device.
+    """Fixed pool of concurrent streaming sessions on one device or a mesh.
 
     Works with either computer (the STFT and SI streaming tiers share
     the explicit-carry contract).  All sessions advance together through
     one jitted ``vmap(process)`` call per :meth:`step`: a session with
     nothing pending contributes ``valid_len == 0`` (an exact no-op on
     its carry state), and partial chunks are consumed immediately as
-    masked chunks — no waiting for a full chunk.  Not thread-safe:
-    drive it from one serving loop.
+    masked chunks — no waiting for a full chunk.  With a ``mesh``, the
+    slot axis shards over ``data_axis`` — sessions are independent, so
+    the tick needs no collectives and throughput scales with the chip
+    count.  Not thread-safe: drive it from one serving loop.
 
     Typical loop::
 
@@ -326,7 +328,14 @@ class StreamPool:
             deliver(h2, feats)
     """
 
-    def __init__(self, computer, slots: int = 8, chunk_size: int = 1600):
+    def __init__(
+        self,
+        computer,
+        slots: int = 8,
+        chunk_size: int = 1600,
+        mesh=None,
+        data_axis: str = "data",
+    ):
         from .compute import ShortIntegrationFrameComputer
 
         cls = (
@@ -338,6 +347,11 @@ class StreamPool:
         self._slots = int(slots)
         self._chunk = int(chunk_size)
         self._dtype = np.dtype(self._stream._dtype)
+        if mesh is not None and self._slots % mesh.shape[data_axis]:
+            raise ValueError(
+                f"slots ({self._slots}) must be a multiple of the mesh's "
+                f"'{data_axis}' axis ({mesh.shape[data_axis]})"
+            )
         init = self._stream.init_state()
         self._states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (self._slots,) + x.shape), init
@@ -350,8 +364,28 @@ class StreamPool:
         # single (k*chunk_size,) process call, so all its frames batch
         # into one matmul instead of k sequential scan steps (measured
         # ~5x over the lax.scan formulation on v5e)
-        self._vstep = jax.jit(jax.vmap(self._stream._process_impl))
-        self._vfin = jax.jit(jax.vmap(self._stream._finalize_impl))
+        vstep = jax.vmap(self._stream._process_impl)
+        vfin = jax.vmap(self._stream._finalize_impl)
+        if mesh is None:
+            self._vstep = jax.jit(vstep)
+            self._vfin = jax.jit(vfin)
+        else:
+            from .parallel import named_sharding
+
+            # every array in play (states, chunks, valids, feats, counts)
+            # carries the slot axis first; a leading-axis spec shards it
+            # and leaves the rest replicated-per-shard
+            dp = named_sharding(mesh, data_axis)
+            state_sh = jax.tree_util.tree_map(lambda _: dp, self._states)
+            self._states = jax.device_put(self._states, state_sh)
+            self._vstep = jax.jit(
+                vstep,
+                in_shardings=(state_sh, dp, dp),
+                out_shardings=(state_sh, dp, dp),
+            )
+            self._vfin = jax.jit(
+                vfin, in_shardings=(state_sh,), out_shardings=(dp, dp)
+            )
 
     @property
     def capacity(self) -> int:

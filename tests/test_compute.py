@@ -424,3 +424,39 @@ def test_compute_batch_zero_length_rows(kind):
         want = computer.compute_full(sigs[i, : lengths[i]])
         assert counts[i] == want.shape[0]
         assert np.allclose(np.asarray(feats)[i, : counts[i]], want, atol=1e-8)
+
+
+@pytest.mark.parametrize("kind", ["stft", "si"])
+def test_params_first_touched_inside_jit_stays_concrete(kind):
+    import jax
+    import jax.numpy as jnp
+
+    """Regression: a computer whose lazy `params` cache is first
+    materialized INSIDE someone else's jit trace must cache concrete
+    arrays, not tracers — the poisoned cache used to leak
+    UnexpectedTracerError into every later program (found via the
+    multichip dryrun's jitted halo call followed by a StreamPool)."""
+    from speech_tpu.compute import SIFrameComputer, STFTFrameComputer
+
+    cls = STFTFrameComputer if kind == "stft" else SIFrameComputer
+    computer = cls(
+        {"name": "fbank", "num_filts": 6, "sampling_rate": 8000},
+        dtype="float64",
+    )
+
+    @jax.jit
+    def touch(x):
+        p = computer.params  # first access happens inside this trace
+        if kind == "si":
+            computer._params_for({"conv_mode": "matmul"})
+        return x * p["window"][0]
+
+    touch(jnp.ones(()))
+    for leaf in jax.tree_util.tree_leaves(computer.params):
+        assert isinstance(leaf, jax.Array) and not isinstance(
+            leaf, jax.core.Tracer
+        )
+    # and the params are actually usable in a later program
+    sig = np.random.RandomState(24).randn(2048)
+    feats = computer.compute_full(sig)
+    assert np.isfinite(feats).all()

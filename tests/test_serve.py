@@ -270,6 +270,43 @@ def test_stream_pool_warmup_is_noop_on_sessions():
     assert np.allclose(got, want, atol=1e-8)
 
 
+def test_stream_pool_on_mesh_matches_single_device():
+    """Sessions shard over the mesh's data axis; results identical to the
+    single-device pool (sessions are independent — no collectives)."""
+    from speech_tpu import parallel as par
+
+    computer = _computer()
+    mesh = par.make_mesh(("data",))
+    n = mesh.shape["data"]
+    rng = np.random.RandomState(64)
+    slots = 2 * n
+    sigs = [rng.randn(int(rng.randint(2000, 6000))) for _ in range(slots)]
+
+    def run(mesh_arg):
+        pool = StreamPool(
+            computer, slots=slots, chunk_size=800, mesh=mesh_arg
+        )
+        handles = [pool.open() for _ in sigs]
+        for h, s in zip(handles, sigs):
+            pool.feed(h, s)
+        got = {h: [] for h in handles}
+        for h, f in pool.step(max_chunks=8):
+            got[h].append(f)
+        for h, f in pool.close_many(handles):
+            got[h].append(f)
+        return {h: np.concatenate(fs) for h, fs in got.items()}
+
+    sharded = run(mesh)
+    for h, sig in zip(sorted(sharded), sigs):
+        want = computer.compute_full(sig)
+        assert sharded[h].shape == want.shape
+        assert np.allclose(sharded[h], want, atol=1e-8), np.abs(
+            sharded[h] - want
+        ).max()
+    with pytest.raises(ValueError):
+        StreamPool(computer, slots=n + 1, chunk_size=800, mesh=mesh)
+
+
 def test_feature_server_on_mesh():
     """The server's micro-batches shard over the data axis of a mesh."""
     from speech_tpu import parallel as par
