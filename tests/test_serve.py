@@ -307,6 +307,55 @@ def test_stream_pool_on_mesh_matches_single_device():
         StreamPool(computer, slots=n + 1, chunk_size=800, mesh=mesh)
 
 
+def test_stream_pool_randomized_session_lifecycles():
+    """Stateful fuzz: random opens/feeds/ticks/wide-drains/closes across
+    overlapping sessions; every completed session must equal
+    compute_full of exactly the samples it was fed."""
+    computer = _computer()
+    rng = np.random.RandomState(65)
+    pool = StreamPool(computer, slots=3, chunk_size=800)
+    live = {}  # handle -> {"sig": [...], "out": [...]}
+    completed = 0
+    for step_i in range(120):
+        op = rng.rand()
+        if op < 0.25 and pool.capacity:
+            h = pool.open()
+            live[h] = {"sig": [], "out": []}
+        elif op < 0.6 and live:
+            h = list(live)[rng.randint(len(live))]
+            n = int(rng.randint(1, 2000))
+            seg = rng.randn(n)
+            live[h]["sig"].append(seg)
+            pool.feed(h, seg)
+        elif op < 0.85:
+            k = int(rng.choice([1, 4, 16]))
+            for h, f in pool.step(max_chunks=k):
+                live[h]["out"].append(f)
+        elif live:
+            h = list(live)[rng.randint(len(live))]
+            for h2, f in pool.close(h):
+                live[h2]["out"].append(f)
+            sig = (
+                np.concatenate(live[h]["sig"])
+                if live[h]["sig"]
+                else np.zeros(0)
+            )
+            want = computer.compute_full(sig)
+            got = (
+                np.concatenate(live[h]["out"])
+                if live[h]["out"]
+                else np.zeros((0, computer.num_coeffs))
+            )
+            assert got.shape == want.shape, (step_i, got.shape, want.shape)
+            assert np.allclose(got, want, atol=1e-8), (
+                step_i,
+                np.abs(got - want).max(),
+            )
+            del live[h]
+            completed += 1
+    assert completed >= 10, completed  # the fuzz actually closed sessions
+
+
 def test_feature_server_on_mesh():
     """The server's micro-batches shard over the data axis of a mesh."""
     from speech_tpu import parallel as par
