@@ -20,6 +20,10 @@ pieces cover it:
   ``vmap(process)`` with per-slot valid lengths (idle slots pass 0 and
   are exact no-ops).  Opening, feeding, and closing sessions never
   recompiles.
+- :class:`StreamServer` — the thread-safe loop around a
+  :class:`StreamPool`: callers open/feed/close sessions from any thread;
+  a background loop coalesces feeds, ticks the pool, and delivers
+  feature blocks to per-session queues.
 """
 
 import queue
@@ -35,7 +39,7 @@ import jax.numpy as jnp
 from .parallel import ShardedExtractor
 from .streaming import StreamingSI, StreamingSTFT
 
-__all__ = ["FeatureServer", "StreamPool"]
+__all__ = ["FeatureServer", "StreamPool", "StreamServer"]
 
 
 class FeatureServer:
@@ -529,3 +533,200 @@ class StreamPool:
             self._states,
             state,
         )
+
+
+class StreamServer:
+    """Thread-safe streaming front end around a :class:`StreamPool`.
+
+    The pool itself is single-loop by design; this class owns that loop:
+    callers open, feed, and close sessions from any thread, a background
+    thread coalesces feeds for up to ``max_wait_ms``, ticks the pool
+    (backlogs drain as wide chunks, bounded by ``tick_chunks``), and
+    delivers feature blocks to per-session queues.
+
+    Typical use::
+
+        with StreamServer(computer, slots=16, chunk_size=1600) as server:
+            h = server.open_session()
+            server.feed(h, samples)          # from any thread
+            server.close_session(h)          # flush; marks the stream done
+            for feats in server.iter_results(h):
+                deliver(feats)
+
+    ``iter_results`` may also run concurrently with feeding (it blocks
+    until blocks arrive and stops after ``close_session``'s flush).
+
+    Parameters
+    ----------
+    computer, slots, chunk_size, mesh
+        Forwarded to :class:`StreamPool`.
+    tick_chunks
+        Largest per-session backlog consumed per device tick (wide
+        masked chunks; pads to power-of-two tiers).
+    max_wait_ms
+        How long the loop waits for more feeds before ticking with what
+        it has — the added latency ceiling under light load.
+    """
+
+    def __init__(
+        self,
+        computer,
+        slots: int = 8,
+        chunk_size: int = 1600,
+        mesh=None,
+        tick_chunks: int = 16,
+        max_wait_ms: float = 2.0,
+    ):
+        self._pool = StreamPool(
+            computer, slots=slots, chunk_size=chunk_size, mesh=mesh
+        )
+        self._tick_chunks = int(tick_chunks)
+        self._wait = float(max_wait_ms) / 1e3
+        self._cmds = queue.SimpleQueue()
+        self._results = {}
+        self._closed = False
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(
+            target=self._run, name="speech-tpu-stream-serve", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side (any thread) --------------------------------------
+
+    def open_session(self) -> int:
+        """Claim a pool slot; returns a session handle (blocking).
+
+        Raises RuntimeError when no slot is free — admission control is
+        the pool size.
+        """
+        fut = Future()
+        self._submit(("open", fut))
+        return fut.result()
+
+    def feed(self, handle: int, samples) -> None:
+        """Append samples to a session (returns immediately)."""
+        samples = np.asarray(samples)
+        if samples.ndim != 1:
+            raise ValueError(
+                f"samples must be 1-D, got shape {samples.shape}"
+            )
+        self._submit(("feed", handle, samples))
+
+    def close_session(self, handle: int) -> None:
+        """Drain + finalize a session (blocking until flushed); its
+        result queue then ends."""
+        fut = Future()
+        self._submit(("close", handle, fut))
+        fut.result()
+
+    def iter_results(self, handle: int):
+        """Yield feature blocks for a session until its close flush.
+
+        Safe to run concurrently with :meth:`feed`; re-raises any device
+        error that failed the session.
+        """
+        with self._lock:
+            q = self._results.get(handle)
+        if q is None:
+            raise KeyError(f"no session {handle}")
+        while True:
+            item = q.get()
+            if item is None:
+                with self._lock:
+                    self._results.pop(handle, None)
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self) -> None:
+        """Stop the loop; unclosed sessions' queues end with an error."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._cmds.put(None)
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- loop thread ---------------------------------------------------
+
+    def _submit(self, cmd) -> None:
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._cmds.put(cmd)
+
+    def _handle(self, cmd) -> None:
+        kind = cmd[0]
+        if kind == "open":
+            fut = cmd[1]
+            try:
+                handle = self._pool.open()
+            except Exception as e:  # noqa: BLE001 — to the caller
+                fut.set_exception(e)
+                return
+            with self._lock:
+                self._results[handle] = queue.SimpleQueue()
+            fut.set_result(handle)
+        elif kind == "feed":
+            _, handle, samples = cmd
+            try:
+                self._pool.feed(handle, samples)
+            except KeyError:
+                pass  # fed after close: drop (the stream already ended)
+        elif kind == "close":
+            _, handle, fut = cmd
+            try:
+                for h, feats in self._pool.close_many([handle]):
+                    self._results[h].put(feats)
+            except Exception as e:  # noqa: BLE001 — to the caller
+                self._results.get(handle, queue.SimpleQueue()).put(e)
+                fut.set_exception(e)
+                return
+            self._results[handle].put(None)
+            fut.set_result(None)
+
+    def _run(self) -> None:
+        pending_sessions = self._pool._sessions  # loop-thread only
+        while True:
+            have_pending = any(
+                len(s.pending) for s in pending_sessions.values()
+            )
+            try:
+                cmd = self._cmds.get(
+                    timeout=self._wait if have_pending else None
+                )
+            except queue.Empty:
+                cmd = False  # timeout: tick with what we have
+            if cmd is None:
+                for handle, q in list(self._results.items()):
+                    if handle in pending_sessions:
+                        q.put(RuntimeError("server is closed"))
+                return
+            if cmd is not False:
+                self._handle(cmd)
+                # drain any further queued commands before device work
+                while True:
+                    try:
+                        nxt = self._cmds.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._cmds.put(None)  # re-queue the stop
+                        break
+                    self._handle(nxt)
+            try:
+                outs = self._pool.step(max_chunks=self._tick_chunks)
+            except Exception as e:  # noqa: BLE001 — fail live sessions
+                for handle, q in list(self._results.items()):
+                    if handle in pending_sessions:
+                        q.put(e)
+                continue
+            for handle, feats in outs:
+                self._results[handle].put(feats)

@@ -417,3 +417,65 @@ def test_feature_server_close_resolves_stragglers():
     server.close()
     with pytest.raises(RuntimeError):
         straggler.result(timeout=30)
+
+
+def test_stream_server_threaded_sessions_match_compute_full():
+    """StreamServer: concurrent feeder threads; per-session results equal
+    compute_full of the fed samples."""
+    import threading
+
+    from speech_tpu.serve import StreamServer
+
+    computer = _computer()
+    rng = np.random.RandomState(66)
+    sigs = [rng.randn(int(rng.randint(3000, 9000))) for _ in range(4)]
+    results = {}
+    with StreamServer(
+        computer, slots=4, chunk_size=800, max_wait_ms=2.0
+    ) as server:
+        handles = [server.open_session() for _ in sigs]
+
+        def feeder(h, sig):
+            i = 0
+            r = np.random.RandomState(h)
+            while i < len(sig):
+                n = int(r.randint(200, 1500))
+                server.feed(h, sig[i : i + n])
+                i += n
+            server.close_session(h)
+
+        threads = [
+            threading.Thread(target=feeder, args=(h, s))
+            for h, s in zip(handles, sigs)
+        ]
+        for t in threads:
+            t.start()
+        # consume results concurrently with feeding
+        for h in handles:
+            results[h] = list(server.iter_results(h))
+        for t in threads:
+            t.join()
+    for h, sig in zip(handles, sigs):
+        got = np.concatenate(results[h])
+        want = computer.compute_full(sig)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        assert np.allclose(got, want, atol=1e-8), np.abs(got - want).max()
+
+
+def test_stream_server_lifecycle_errors():
+    from speech_tpu.serve import StreamServer
+
+    computer = _computer()
+    with StreamServer(computer, slots=1, chunk_size=800) as server:
+        h = server.open_session()
+        with pytest.raises(RuntimeError):  # pool full
+            server.open_session()
+        server.feed(h, np.random.RandomState(0).randn(1000))
+        server.close_session(h)
+        assert len(list(server.iter_results(h))) >= 1
+        h2 = server.open_session()  # slot reusable after close
+        server.close_session(h2)
+        with pytest.raises(ValueError):
+            server.feed(h2, np.zeros((2, 2)))
+    with pytest.raises(RuntimeError):
+        server.open_session()
