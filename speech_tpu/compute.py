@@ -806,9 +806,15 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         log-feature error vs float64 on any signal, where the plain f32
         conv's MXU rounding floor reaches ~2e-5 (gammatone) to ~2e-4
         (fbank) on real speech.  'accurate' is the base-256 variant with
-        contractions split into exact <=4-block chunks — the same
+        margin-bit digits (full contractions stay exact to ~1000-tap
+        supports; beyond that they split into chunked scans) — the same
         accuracy class (~6e-7 measured on hostile signals) at ~70% of
         the MXU block-passes (see ``speech_tpu.ops.stft`` ``_SAK_*``).
+        Caveat for both digit tiers: they force the matmul convolution,
+        whose banded digit planes scale with the support squared —
+        designed for gammatone/gabor-class supports (hundreds of taps);
+        fbank-class SI supports (~7000 taps) work but pay multi-GB
+        parameter planes and, for 'accurate', chunked contraction scans.
     """
 
     aliases = {"si"}
