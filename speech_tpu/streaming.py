@@ -384,8 +384,9 @@ class StreamingSI:
     Same contract as :class:`StreamingSTFT`: static chunk size, pytree
     state, ``process``/``finalize`` under jit, exact parity with the host
     ``compute_chunk``/``finalize`` path.  The carry holds the last
-    ``max_support - 1 + 2*frame_shift`` raw samples — enough history for
-    every convolution tap of any not-yet-emitted frame.
+    ``hist + 2*frame_shift`` raw samples (``hist = max(max_support - 1,
+    translation)``) — enough history for every convolution tap and energy
+    Dirac of any not-yet-emitted frame.
 
     The per-chunk emit convolution follows the computer's ``conv_mode``:
     banded-Toeplitz block matmuls (the batch path's MXU backend,
@@ -407,7 +408,12 @@ class StreamingSI:
         self.shift_eff = k["shift_eff"]
         self.translation = k["translation"]
         self.is_real = k["is_real"]
-        self.carry_len = self.T - 1 + 2 * self.shift
+        # aligned-emit history depth: the conv needs T-1 taps before
+        # counted position 0, the energy Dirac reads ``translation``
+        # samples back (== T-1 or less for every real bank; the max guards
+        # the degenerate fully-acausal case)
+        self.hist = max(self.T - 1, self.translation)
+        self.carry_len = self.hist + 2 * self.shift
         # per-chunk frames bound: unconsumed < 2*shift before the chunk
         self.max_frames = (2 * self.shift + self.chunk_size) // self.shift
         # finalize pads at most ~2*shift + shift_eff zeros
@@ -443,43 +449,35 @@ class StreamingSI:
 
     # ------------------------------------------------------------------
 
-    def _conv_parts_fft(self, stream, ny, y0):
-        """Per-part (re[, im]) conv values ``(F, ny)`` starting at stream
-        index ``y0``, via one real-FFT product over the whole buffer."""
+    def _conv_parts_fft(self, aligned, ny):
+        """Per-part (re[, im]) conv values ``(F, ny)`` at the aligned
+        buffer's static output window (counted position ``q`` sits at
+        input index ``hist + q``), via one real-FFT product."""
         params = self._params
-        buf_len = stream.shape[0]
-        # cover the linear convolution AND the extraction slice: y0 can
-        # reach buf_len - u_end with u_end as low as -|shift_eff|, and the
-        # slice below must never clamp for valid frames (it silently
-        # misaligned every emitted frame when T was small relative to the
-        # chunk, e.g. a 54-tap bank with 640-sample chunks)
-        need = max(buf_len + self.T - 1, buf_len + abs(self.shift_eff) + ny)
+        H0 = aligned.shape[0] - ny  # == self.hist
+        # linear conv over the aligned buffer; outputs [H0, H0+ny) read
+        # only in-buffer taps, so the fft just needs to avoid wrap-around
+        need = aligned.shape[0] + self.T - 1
         fft_size = 1 << max(0, int(need)).bit_length()
-        X = jnp.fft.rfft(stream, n=fft_size)
+        X = jnp.fft.rfft(aligned, n=fft_size)
 
         def conv_vals(f):
             H = jnp.fft.rfft(f, n=fft_size, axis=-1)
             conv = jnp.fft.irfft(X[None, :] * H, n=fft_size, axis=-1)
-            # extract ny values starting at y0 (clamped; OOB masked below)
-            start = jnp.clip(y0, 0, fft_size - ny).astype(jnp.int32)
-            vals = jax.lax.dynamic_slice(
-                conv, (jnp.zeros((), jnp.int32), start), (f.shape[0], ny)
-            )
-            # positions beyond the linear-conv validity are zero already
-            # (zero-padded fft buffer); positions before stream start only
-            # occur when y0 < 0, which cannot happen (carry covers T-1+2s)
-            return vals
+            return conv[:, H0 : H0 + ny]
 
         parts = [conv_vals(params["firs_re"])]
         if not self.is_real:
             parts.append(conv_vals(params["firs_im"]))
         return parts
 
-    def _conv_parts_matmul(self, stream, ny, y0):
+    def _conv_parts_matmul(self, aligned, ny):
         """Per-part conv values ``(F, ny)`` via the batch path's
-        banded-Toeplitz block matmuls (ops/si.py) over the whole buffer;
-        ``precision='double'`` runs the exact digit-decomposition passes,
-        so the stream inherits the batch tier's exactness."""
+        banded-Toeplitz block matmuls (ops/si.py) over the aligned buffer
+        (counted position ``q``'s conv value sits at linear-conv index
+        ``T-1+q`` — a STATIC output window); ``precision='double'`` runs
+        the exact digit-decomposition passes, so the stream inherits the
+        batch tier's exactness."""
         from .ops import si as _si
         from .ops.stft import (
             _DIGIT_BASE,
@@ -494,10 +492,9 @@ class StreamingSI:
 
         params = self._params
         V = _si.CONV_BLOCK
-        buf_len = stream.shape[0]
-        need = max(buf_len + self.T - 1, buf_len + abs(self.shift_eff) + ny)
-        nb = -(-need // V)
-        x_pad = jnp.pad(stream, (0, nb * V - buf_len))
+        H0 = aligned.shape[0] - ny  # == self.hist
+        nb = -(-aligned.shape[0] // V)
+        x_pad = jnp.pad(aligned, (0, nb * V - aligned.shape[0]))
         digit_tier = self.precision in ("double", "accurate")
         if digit_tier:
             Kk = params["conv_re_digits"].shape[1] - 1
@@ -514,12 +511,8 @@ class StreamingSI:
                 ]
             )
 
-        start = jnp.clip(y0, 0, nb * V - ny).astype(jnp.int32)
-
         def sliced(y_full):
-            return jax.lax.dynamic_slice(
-                y_full, (jnp.zeros((), jnp.int32), start), (y_full.shape[0], ny)
-            )
+            return jax.lax.slice_in_dim(y_full, H0, H0 + ny, axis=1)
 
         if not digit_tier:
             Xsh = shifted(x_pad)
@@ -612,15 +605,30 @@ class StreamingSI:
         s = self.shift
         buf_len = stream.shape[0]
         ny = (max_frames + 1) * s
-        # local y[0] sits at stream position buf_len - u_end... - ny offset:
-        # frame j reads y at counted positions [j*s, j*s + 2s); counted
-        # position q maps to the conv output at stream index
-        # (buf_len - u_end) + q  (u_end counts positions from y[0] to end)
-        y0 = buf_len - u_end  # traced
+        # Pre-align with ONE contiguous traced slice: counted position 0
+        # sits at stream index buf_len - u_end (frame j reads conv values
+        # at counted positions [j*s, j*s + 2s)); pulling its ``hist``
+        # history taps to the buffer front makes every downstream read —
+        # the conv output window, the energy Diracs — a STATIC slice, and
+        # the conv covers exactly hist+ny positions.  The old
+        # traced-extraction form needed a ~2x-wider conv to bound the
+        # slice, and its per-slot dynamic slices lowered to gathers under
+        # the pool's vmap.
+        # Left bound: carry_len = hist+2s and the invariant unconsumed
+        # < 2s keep start >= 1 (process: start = 2s + C - u_end, u_end <=
+        # 2s-1+C; finalize: start = 2s - unconsumed); the right overhang
+        # (u_end >= -|shift_eff|, plus tail frames past the signal) reads
+        # static zero pad — frames there are masked by ``nf``.
+        H = self.hist
+        rpad = ny + abs(self.shift_eff)
+        start = (buf_len - u_end - H).astype(jnp.int32)
+        aligned = jax.lax.dynamic_slice(
+            jnp.pad(stream, (0, rpad)), (start,), (H + ny,)
+        )
         if self.conv_mode == "matmul":
-            parts = self._conv_parts_matmul(stream, ny, y0)
+            parts = self._conv_parts_matmul(aligned, ny)
         else:
-            parts = self._conv_parts_fft(stream, ny, y0)
+            parts = self._conv_parts_fft(aligned, ny)
         if self.is_real:
             y = parts[0]
             y_mod = y * y if c._power else jnp.abs(y)
@@ -630,14 +638,12 @@ class StreamingSI:
             if not c._power:
                 y_mod = jnp.sqrt(y_mod)
         if c._include_energy:
-            # energy Dirac: x at stream position y0 - translation + q
-            # (can reach slightly before/after the buffer; pad covers it)
-            e0 = y0 - self.translation
-            xe = jax.lax.dynamic_slice(
-                jnp.pad(stream, (ny, ny)),
-                ((e0 + ny).astype(jnp.int32),),
-                (ny,),
-            )
+            # energy Dirac at counted position q reads raw x at stream
+            # index (buf_len - u_end) - translation + q = aligned index
+            # hist - translation + q — STATIC and in-bounds (hist >=
+            # translation by construction)
+            off = H - self.translation
+            xe = jax.lax.slice_in_dim(aligned, off, off + ny)
             e_mod = xe * xe if c._power else jnp.abs(xe)
             y_mod = jnp.concatenate([e_mod[None, :], y_mod])
         # the overlapping 2s-windows factor into non-overlapping s-blocks
