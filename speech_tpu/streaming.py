@@ -107,21 +107,23 @@ class StreamingSTFT:
         c = self.computer
         return _stft.stft_feats_from_frames(frames, c.params, **c._static_spec)
 
-    def _emit(self, stream, total, max_frames: int):
-        """Frames + count from a stream buffer whose last ``total`` samples
-        (ending at the buffer end) are valid."""
+    def _emit(self, stream, valid_end, total, max_frames: int):
+        """Frames + count from a stream buffer whose ``total`` samples
+        ending at index ``valid_end`` are valid."""
         from .ops.framing import frame_padded
 
         FL, FS = self.frame_length, self.frame_shift
         buf_len = stream.shape[0]
         nf = jnp.maximum(0, (total - FL) // FS + 1)
-        # frame k starts at (buf_len - total) + k*FS.  ONE contiguous
+        # frame k starts at (valid_end - total) + k*FS.  ONE contiguous
         # dynamic_slice aligns the valid region at a static origin, then
         # framing is static strided slices (frame_padded) — a per-frame
         # index gather here cost more than the rest of the chunk program
-        # combined (TPU gathers, the round-1 lesson)
+        # combined (TPU gathers, the round-1 lesson).  Positions past
+        # valid_end (chunk tail garbage, then the zero pad) are only read
+        # by frames >= nf, masked by contract.
         win_len = (max_frames - 1) * FS + FL
-        start = jnp.clip(buf_len - total, 0, buf_len).astype(jnp.int32)
+        start = jnp.clip(valid_end - total, 0, buf_len).astype(jnp.int32)
         window = jax.lax.dynamic_slice(
             jnp.concatenate(
                 [stream, jnp.zeros((win_len,), stream.dtype)]
@@ -165,25 +167,23 @@ class StreamingSTFT:
             head = state.head
         n_raw = state.n_raw + v
 
-        # tail-valid extension: rolling right by the masked tail keeps the
-        # newest valid sample at the buffer end (the wrapped garbage lands
-        # in front of the valid region, where the frame index math never
-        # reads).  The traced-shift roll runs as one contiguous
-        # dynamic_slice of the doubled buffer, not a gather.
-        cc = jnp.concatenate([state.carry, chunk])
-        L = cc.shape[0]
-        ext = jax.lax.dynamic_slice(
-            jnp.concatenate([cc, cc]), ((L - C + v).astype(jnp.int32),), (L,)
-        )
+        # no roll: the valid region ends at the traced index PL + CL + v
+        # and _emit aligns by it directly; the carry below is ONE small
+        # contiguous traced slice.  (The old tail-align roll's
+        # doubled-buffer dynamic_slice was a large per-slot copy under the
+        # pool's vmap.)
         total = state.n_carry + v
-        stream = jnp.concatenate([jnp.zeros((PL,), self._dtype), ext])
+        stream = jnp.concatenate(
+            [jnp.zeros((PL,), self._dtype), state.carry, chunk]
+        )
+        valid_end = (PL + CL + v).astype(jnp.int32)
         # apply the symmetric reflection of the stream head once it is
         # complete (reference: compute.py:497-517): insert flip(head)
         # immediately before the valid region
         apply_now = state.is_first & (n_raw >= PL) if PL else jnp.asarray(False)
         if PL:
             inserted = jax.lax.dynamic_update_slice(
-                stream, jnp.flip(head), ((PL + CL + C) - total - PL,)
+                stream, jnp.flip(head), (valid_end - total - PL,)
             )
             stream = jnp.where(apply_now, inserted, stream)
             total = total + jnp.where(apply_now, PL, 0)
@@ -195,10 +195,16 @@ class StreamingSTFT:
         # ONE call (wide chunks batch all their frames into one matmul,
         # the serving backlog fast path; see serve.StreamPool.step)
         max_frames = max(0, (CL + PL + C - self.frame_length) // FS + 1)
-        feats, nf = self._emit(stream, total, max_frames)
+        feats, nf = self._emit(stream, valid_end, total, max_frames)
         nf = jnp.where(is_first, 0, nf)
         rem = jnp.minimum(total - nf * FS, CL)
-        carry = stream[-CL:] if CL else stream[:0]
+        # the carry holds the CL virtual samples ending at the newest
+        # valid one (only the last ``rem`` are meaningful)
+        carry = (
+            jax.lax.dynamic_slice(stream, (valid_end - CL,), (CL,))
+            if CL
+            else stream[:0]
+        )
         return (
             StreamState(
                 carry=carry,
@@ -475,7 +481,7 @@ class StreamingSI:
         """Per-part conv values ``(F, ny)`` via the batch path's
         banded-Toeplitz block matmuls (ops/si.py) over the aligned buffer
         (counted position ``q``'s conv value sits at linear-conv index
-        ``T-1+q`` — a STATIC output window); ``precision='double'`` runs
+        ``hist+q`` — a STATIC output window); ``precision='double'`` runs
         the exact digit-decomposition passes, so the stream inherits the
         batch tier's exactness."""
         from .ops import si as _si
@@ -597,31 +603,32 @@ class StreamingSI:
             parts.append(part("conv_im"))
         return parts
 
-    def _emit(self, stream, u_end, nf, max_frames: int):
+    def _emit(self, stream, valid_end, u_end, nf, max_frames: int):
         """Features for up to ``max_frames`` frames ending ``u_end`` counted
-        samples before the buffer end (only the first ``nf`` rows valid)."""
+        samples before stream index ``valid_end`` (the position just past
+        the newest valid sample; only the first ``nf`` rows valid)."""
         c = self.computer
         params = self._params
         s = self.shift
-        buf_len = stream.shape[0]
         ny = (max_frames + 1) * s
         # Pre-align with ONE contiguous traced slice: counted position 0
-        # sits at stream index buf_len - u_end (frame j reads conv values
-        # at counted positions [j*s, j*s + 2s)); pulling its ``hist``
-        # history taps to the buffer front makes every downstream read —
-        # the conv output window, the energy Diracs — a STATIC slice, and
-        # the conv covers exactly hist+ny positions.  The old
+        # sits at stream index valid_end - u_end (frame j reads conv
+        # values at counted positions [j*s, j*s + 2s)); pulling its
+        # ``hist`` history taps to the buffer front makes every downstream
+        # read — the conv output window, the energy Diracs — a STATIC
+        # slice, and the conv covers exactly hist+ny positions.  The old
         # traced-extraction form needed a ~2x-wider conv to bound the
         # slice, and its per-slot dynamic slices lowered to gathers under
         # the pool's vmap.
         # Left bound: carry_len = hist+2s and the invariant unconsumed
-        # < 2s keep start >= 1 (process: start = 2s + C - u_end, u_end <=
-        # 2s-1+C; finalize: start = 2s - unconsumed); the right overhang
-        # (u_end >= -|shift_eff|, plus tail frames past the signal) reads
-        # static zero pad — frames there are masked by ``nf``.
+        # < 2s keep start = 2s - unconsumed >= 1 (process passes
+        # valid_end = CL + v, u_end = unconsumed + v; finalize passes the
+        # padded buffer end); the right overhang (u_end >= -|shift_eff|,
+        # plus tail frames past the signal) reads static zero pad —
+        # frames there are masked by ``nf``.
         H = self.hist
         rpad = ny + abs(self.shift_eff)
-        start = (buf_len - u_end - H).astype(jnp.int32)
+        start = (valid_end - u_end - H).astype(jnp.int32)
         aligned = jax.lax.dynamic_slice(
             jnp.pad(stream, (0, rpad)), (start,), (H + ny,)
         )
@@ -665,29 +672,28 @@ class StreamingSI:
         chunk = jnp.asarray(chunk, self._dtype)
         C = chunk.shape[0]
         s = self.shift
+        CL = self.carry_len
         v = jnp.clip(jnp.asarray(valid_len, jnp.int32), 0, C)
-        # zero the masked tail (the convolution reads raw samples — unlike
-        # the STFT stream, garbage cannot be masked by index math alone),
-        # then roll it to the front so the newest valid sample stays at the
-        # buffer end (zeros ahead of the signal are harmless to the conv).
-        # The traced-shift roll runs as one contiguous dynamic_slice of
-        # the doubled buffer, not a gather.
+        # zero the masked tail (defensive: valid frames never read past
+        # the newest valid sample — see _emit's alignment — but garbage
+        # should not survive into any arithmetic).  No roll: the emit
+        # aligns by the traced valid end directly, and the carry is ONE
+        # small contiguous traced slice — the old tail-align roll's
+        # doubled-buffer slice was the wide tick's second-largest cost
+        # under the pool's vmap.
         chunk = jnp.where(jnp.arange(C) < v, chunk, 0)
-        cc = jnp.concatenate([state.carry, chunk])
-        L = cc.shape[0]
-        stream = jax.lax.dynamic_slice(
-            jnp.concatenate([cc, cc]), ((L - C + v).astype(jnp.int32),), (L,)
-        )
+        stream = jnp.concatenate([state.carry, chunk])
         u = state.unconsumed + v
         nf = jnp.maximum(0, u // s - 1)
         # per-call frame capacity scales with the chunk length (wide
         # chunks run as one call — the serving backlog fast path)
         max_frames = (2 * s + C) // s
         nf = jnp.minimum(nf, max_frames)
-        feats = self._emit(stream, u, nf, max_frames)
+        feats = self._emit(stream, CL + v, u, nf, max_frames)
+        carry = jax.lax.dynamic_slice(stream, (v.astype(jnp.int32),), (CL,))
         return (
             SIStreamState(
-                carry=stream[-self.carry_len :],
+                carry=carry,
                 unconsumed=(u - nf * s).astype(jnp.int32),
                 seen=state.seen + v,
             ),
@@ -720,7 +726,7 @@ class StreamingSI:
             [state.carry, jnp.zeros((self.fin_pad,), self._dtype)]
         )
         u = state.unconsumed + self.fin_pad
-        feats = self._emit(stream, u, remaining, self.fin_max)
+        feats = self._emit(stream, stream.shape[0], u, remaining, self.fin_max)
         return feats, remaining
 
     # public entry points --------------------------------------------------
