@@ -603,10 +603,11 @@ class StreamingSI:
             parts.append(part("conv_im"))
         return parts
 
-    def _emit(self, stream, valid_end, u_end, nf, max_frames: int):
-        """Features for up to ``max_frames`` frames ending ``u_end`` counted
+    def _emit(self, stream, valid_end, u_end, max_frames: int):
+        """Features for ``max_frames`` frames ending ``u_end`` counted
         samples before stream index ``valid_end`` (the position just past
-        the newest valid sample; only the first ``nf`` rows valid)."""
+        the newest valid sample).  Computes every row; the caller masks
+        rows past its frame count."""
         c = self.computer
         params = self._params
         s = self.shift
@@ -625,7 +626,7 @@ class StreamingSI:
         # valid_end = CL + v, u_end = unconsumed + v; finalize passes the
         # padded buffer end); the right overhang (u_end >= -|shift_eff|,
         # plus tail frames past the signal) reads static zero pad —
-        # frames there are masked by ``nf``.
+        # frames there fall past the caller's valid frame count.
         H = self.hist
         rpad = ny + abs(self.shift_eff)
         start = (valid_end - u_end - H).astype(jnp.int32)
@@ -646,7 +647,7 @@ class StreamingSI:
                 y_mod = jnp.sqrt(y_mod)
         if c._include_energy:
             # energy Dirac at counted position q reads raw x at stream
-            # index (buf_len - u_end) - translation + q = aligned index
+            # index (valid_end - u_end) - translation + q = aligned index
             # hist - translation + q — STATIC and in-bounds (hist >=
             # translation by construction)
             off = H - self.translation
@@ -689,7 +690,7 @@ class StreamingSI:
         # chunks run as one call — the serving backlog fast path)
         max_frames = (2 * s + C) // s
         nf = jnp.minimum(nf, max_frames)
-        feats = self._emit(stream, CL + v, u, nf, max_frames)
+        feats = self._emit(stream, CL + v, u, max_frames)
         carry = jax.lax.dynamic_slice(stream, (v.astype(jnp.int32),), (CL,))
         return (
             SIStreamState(
@@ -726,7 +727,7 @@ class StreamingSI:
             [state.carry, jnp.zeros((self.fin_pad,), self._dtype)]
         )
         u = state.unconsumed + self.fin_pad
-        feats = self._emit(stream, stream.shape[0], u, remaining, self.fin_max)
+        feats = self._emit(stream, stream.shape[0], u, self.fin_max)
         return feats, remaining
 
     # public entry points --------------------------------------------------

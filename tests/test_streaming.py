@@ -460,3 +460,47 @@ def test_si_streaming_small_support_chunk_sweep():
         assert np.allclose(got, want, atol=1e-10), (
             cs, np.abs(got - want).max(),
         )
+
+
+@pytest.mark.parametrize("kind", ["stft", "si"])
+def test_streaming_garbage_in_masked_tails(kind):
+    """Valid rows must be bit-identical whether masked chunk tails hold
+    zeros or hostile garbage (NaN/inf/huge).  The roll-free chunk programs
+    leave tail garbage in place and exclude it purely by index math —
+    this pins that invariant against off-by-one regressions in the
+    valid-region bounds (no other test feeds non-zero masked tails)."""
+    if kind == "stft":
+        computer = _computer()
+        stream = StreamingSTFT(computer, 400)
+    else:
+        computer = _si_computer()
+        stream = StreamingSI(computer, 400)
+    rng = np.random.RandomState(95)
+    signal = rng.randn(2000)
+    splits = [250, 400, 17, 0, 333, 400, 400, 200]
+
+    def run(tail_fill):
+        state = stream.init_state()
+        outs = []
+        off = 0
+        for v in splits:
+            chunk = np.full(400, tail_fill)
+            if tail_fill == tail_fill and np.isfinite(tail_fill):
+                # vary finite garbage per chunk to catch value reuse
+                chunk *= 1 + off
+            chunk[:v] = signal[off : off + v]
+            off += v
+            state, feats, nf = stream.process(state, jnp.asarray(chunk), v)
+            outs.append(np.asarray(feats)[: int(nf)])
+        feats, nf = stream.finalize(state)
+        outs.append(np.asarray(feats)[: int(nf)])
+        return np.concatenate(outs)
+
+    want = run(0.0)
+    assert want.shape[0] == computer.compute_full(signal).shape[0]
+    for fill in (np.nan, np.inf, 1e30):
+        got = run(fill)
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), (
+            kind, fill, np.nanmax(np.abs(got - want)),
+        )
