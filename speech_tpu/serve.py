@@ -310,14 +310,18 @@ class StreamPool:
     """Fixed pool of concurrent streaming sessions on one device or a mesh.
 
     Works with either computer (the STFT and SI streaming tiers share
-    the explicit-carry contract).  All sessions advance together through
-    one jitted ``vmap(process)`` call per :meth:`step`: a session with
-    nothing pending contributes ``valid_len == 0`` (an exact no-op on
-    its carry state), and partial chunks are consumed immediately as
-    masked chunks — no waiting for a full chunk.  With a ``mesh``, the
-    slot axis shards over ``data_axis`` — sessions are independent, so
-    the tick needs no collectives and throughput scales with the chip
-    count.  Not thread-safe: drive it from one serving loop.
+    the explicit-carry contract).  Sessions advance together through
+    one jitted ``vmap(process)`` call per :meth:`step`; partial chunks
+    are consumed immediately as masked chunks — no waiting for a full
+    chunk.  On a single device the tick is **occupancy-tiered**: only
+    the slots with pending samples are gathered into a power-of-two
+    sub-batch, stepped, and scattered back (all in one program), so tick
+    cost follows the number of active sessions, not the pool capacity.
+    With a ``mesh``, the slot axis shards over ``data_axis`` — sessions
+    are independent, so the tick needs no collectives and throughput
+    scales with the chip count (every slot computes; an idle slot's
+    ``valid_len == 0`` step is an exact no-op on its carry state).
+    Not thread-safe: drive it from one serving loop.
 
     Typical loop::
 
@@ -373,6 +377,25 @@ class StreamPool:
         if mesh is None:
             self._vstep = jax.jit(vstep)
             self._vfin = jax.jit(vfin)
+
+            # slot-tiered tick: when only m of the slots have pending
+            # samples, gather those m states into a pow2-sized sub-batch,
+            # step it, and scatter the states back — all inside ONE
+            # jitted program, so tick cost follows OCCUPANCY rather than
+            # pool capacity (a mostly-idle 256-slot pool would otherwise
+            # pay the full 256-slot program every tick).  The state
+            # gather/scatter moves only the small carry pytree.
+            # Single-device only: on a mesh the slot axis is sharded and
+            # a compacting gather would need collectives.
+            def tiered_step(states, idx, chunks_sub, valids_sub):
+                sub = jax.tree_util.tree_map(lambda a: a[idx], states)
+                sub, feats, nfs = vstep(sub, chunks_sub, valids_sub)
+                states = jax.tree_util.tree_map(
+                    lambda full, s: full.at[idx].set(s), states, sub
+                )
+                return states, feats, nfs
+
+            self._tiered_step = jax.jit(tiered_step)
         else:
             from .parallel import named_sharding
 
@@ -390,21 +413,38 @@ class StreamPool:
             self._vfin = jax.jit(
                 vfin, in_shardings=(state_sh,), out_shardings=(dp, dp)
             )
+            self._tiered_step = None
 
     @property
     def capacity(self) -> int:
         return len(self._free)
 
-    def warmup(self, depths: Sequence[int] = (1,)) -> None:
+    def warmup(
+        self, depths: Sequence[int] = (1,), occupancies: Sequence[int] = ()
+    ) -> None:
         """Pre-compile the vmapped tick programs for the given chunk
         depths (each pads to its power-of-two tier) plus the finalize
-        program, before any session opens.  The warm-up ticks carry
-        ``valid_len 0`` everywhere — exact no-ops on the slot states."""
+        program, before any session opens.  ``occupancies`` additionally
+        pre-compiles the occupancy-tiered programs for those active-slot
+        counts (each pads to its power-of-two tier; ignored on a mesh).
+        The warm-up ticks carry ``valid_len 0`` everywhere — exact
+        no-ops on the slot states."""
         for d in depths:
             k = 1 << max(0, int(d) - 1).bit_length()
             chunks = jnp.zeros((self._slots, k * self._chunk), self._dtype)
             valids = jnp.zeros((self._slots,), jnp.int32)
             self._vstep(self._states, chunks, valids)
+            if self._tiered_step is not None:
+                for occ in occupancies:
+                    tier = 1 << max(0, int(occ) - 1).bit_length()
+                    if tier >= self._slots:
+                        continue
+                    self._tiered_step(
+                        self._states,
+                        jnp.zeros((tier,), jnp.int32),
+                        jnp.zeros((tier, k * self._chunk), self._dtype),
+                        jnp.zeros((tier,), jnp.int32),
+                    )
         self._vfin(self._states)
 
     # -- session management --------------------------------------------
@@ -458,24 +498,51 @@ class StreamPool:
         if not plan:
             return []
         k = 1 << max(0, kmax - 1).bit_length()  # pow2 width tiers
-        chunks = np.zeros((self._slots, k * C), self._dtype)
-        valids = np.zeros((self._slots,), np.int32)
-        for handle, take in plan.items():
-            s = self._sessions[handle]
-            chunks[s.slot, :take] = s.pending[:take]
-            valids[s.slot] = take
-        self._states, feats, nfs = self._vstep(
-            self._states, jnp.asarray(chunks), jnp.asarray(valids)
-        )
+        m = len(plan)
+        tier = 1 << max(0, m - 1).bit_length()  # pow2 slot tiers
+        if self._tiered_step is not None and tier < self._slots:
+            # occupancy-tiered tick: gather only the active slots (plus
+            # pad duplicates of ONE idle slot — its valid-0 step writes
+            # back bitwise exactly the value already there, so duplicate
+            # scatter rows cannot disagree), step the sub-batch, scatter
+            # the states back.  Compiles once per (tier, depth) pair.
+            active = [self._sessions[h].slot for h in plan]
+            active_set = set(active)
+            pad = next(i for i in range(self._slots) if i not in active_set)
+            idx = np.asarray(active + [pad] * (tier - m), np.int32)
+            chunks = np.zeros((tier, k * C), self._dtype)
+            valids = np.zeros((tier,), np.int32)
+            for pos, (handle, take) in enumerate(plan.items()):
+                chunks[pos, :take] = self._sessions[handle].pending[:take]
+                valids[pos] = take
+            self._states, feats, nfs = self._tiered_step(
+                self._states,
+                jnp.asarray(idx),
+                jnp.asarray(chunks),
+                jnp.asarray(valids),
+            )
+            rows = {h: pos for pos, h in enumerate(plan)}
+        else:
+            chunks = np.zeros((self._slots, k * C), self._dtype)
+            valids = np.zeros((self._slots,), np.int32)
+            for handle, take in plan.items():
+                s = self._sessions[handle]
+                chunks[s.slot, :take] = s.pending[:take]
+                valids[s.slot] = take
+            self._states, feats, nfs = self._vstep(
+                self._states, jnp.asarray(chunks), jnp.asarray(valids)
+            )
+            rows = {h: self._sessions[h].slot for h in plan}
         feats = np.asarray(feats)
         nfs = np.asarray(nfs)
         out = []
         for handle, take in plan.items():
             s = self._sessions[handle]
             s.pending = s.pending[take:]
-            nf = int(nfs[s.slot])
+            row = rows[handle]
+            nf = int(nfs[row])
             if nf:
-                out.append((handle, feats[s.slot, :nf]))
+                out.append((handle, feats[row, :nf]))
         return out
 
     def close(self, handle: int):

@@ -479,3 +479,69 @@ def test_stream_server_lifecycle_errors():
             server.feed(h2, np.zeros((2, 2)))
     with pytest.raises(RuntimeError):
         server.open_session()
+
+
+def test_stream_pool_occupancy_tiered_ticks():
+    """Partial-occupancy ticks (the slot-tiered gather/scatter path) must
+    match compute_full, leave idle open sessions' states bitwise
+    untouched, and compile one program per (slot-tier, depth) pair."""
+    import jax
+
+    computer = _computer()
+    rng = np.random.RandomState(57)
+    pool = StreamPool(computer, slots=16, chunk_size=800)
+    assert pool._tiered_step is not None
+
+    # an idle open session whose state must never drift while others tick
+    idle = pool.open()
+    idle_sig = rng.randn(1500)
+    idle_frames = 0
+    pool.feed(idle, idle_sig)
+    while len(pool._sessions[idle].pending):
+        for _, feats in pool.step():
+            idle_frames += feats.shape[0]
+    idle_state = jax.tree_util.tree_map(
+        lambda a: np.asarray(a[pool._sessions[idle].slot]), pool._states
+    )
+
+    signals = {}
+    got = {}
+    for m in (1, 2, 3, 5):  # tiers 1, 2, 4, 8 — all below slots=16
+        handles = [pool.open() for _ in range(m)]
+        for h in handles:
+            signals[h] = rng.randn(int(rng.randint(2000, 5000)))
+            got[h] = []
+        cursors = {h: 0 for h in handles}
+        while any(cursors[h] < len(signals[h]) for h in handles):
+            for h in handles:
+                n = int(rng.randint(1, 1100))
+                pool.feed(h, signals[h][cursors[h] : cursors[h] + n])
+                cursors[h] += n
+            for h2, feats in pool.step():
+                assert h2 != idle
+                got[h2].append(feats)
+        for h2, feats in pool.close_many(handles):
+            got[h2].append(feats)
+
+    for h, s in signals.items():
+        out = np.concatenate(got[h]) if got[h] else np.zeros((0, 10))
+        want = computer.compute_full(s)
+        assert out.shape == want.shape, (out.shape, want.shape)
+        assert np.allclose(out, want, atol=1e-8), np.abs(out - want).max()
+
+    # the idle session's state is bitwise what it was before the ticks
+    after = jax.tree_util.tree_map(
+        lambda a: np.asarray(a[pool._sessions[idle].slot]), pool._states
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(idle_state), jax.tree_util.tree_leaves(after)
+    ):
+        assert np.array_equal(a, b)
+    # and it still finishes correctly afterwards (drained + flushed
+    # frames total the full-signal frame count)
+    idle_frames += sum(f.shape[0] for _, f in pool.close(idle))
+    assert idle_frames == computer.compute_full(idle_sig).shape[0]
+
+    # program count: tiers {1, 2, 4, 8} x depths seen, not per active-set
+    steps = pool._tiered_step._cache_size()
+    assert steps <= 12, steps
