@@ -59,11 +59,15 @@ class FeatureServer:
         pending request before running a partial one.  The latency floor
         for a lone request is roughly this plus one device dispatch.
     pad_batches
-        Pad every micro-batch to ``max_batch`` rows so each length
-        bucket compiles exactly ONE program regardless of load level
-        (default).  The padding rows are free when the device is
-        otherwise idle; disable only if partial-batch device time
-        matters more than compile stalls.
+        ``True`` (default): pad every micro-batch to ``max_batch`` rows
+        so each length bucket compiles exactly ONE program regardless of
+        load level — the right choice when compiles are expensive (on
+        tunneled runtimes they take minutes) and the device is otherwise
+        idle.  ``"pow2"``: pad to the next power of two instead, so
+        device time follows the load level at the cost of up to
+        ``log2(max_batch)+1`` programs per bucket (pre-build them with
+        :meth:`warmup`).  ``False``: no padding — every distinct batch
+        size compiles its own program.
     max_pending
         Admission control: with more than this many requests enqueued,
         ``submit`` raises RuntimeError instead of growing the queue
@@ -90,7 +94,12 @@ class FeatureServer:
     ):
         self._extractor = ShardedExtractor(computer, mesh)
         self._max_batch = int(max_batch)
-        self._pad_batches = bool(pad_batches)
+        if pad_batches not in (True, False, "pow2"):
+            raise ValueError(
+                f"pad_batches must be True, False, or 'pow2'; "
+                f"got {pad_batches!r}"
+            )
+        self._pad_batches = pad_batches
         self._max_wait = float(max_wait_ms) / 1e3
         self._max_pending = None if max_pending is None else int(max_pending)
         self._pending = 0  # requests submitted but not yet resolved
@@ -159,12 +168,25 @@ class FeatureServer:
         Device compiles can take minutes on tunneled runtimes and would
         otherwise land on the first unlucky request.  Runs a zero batch
         through each distinct power-of-two bucket covering ``lengths``,
-        blocking until the programs are built.  With ``pad_batches``
+        blocking until the programs are built.  With ``pad_batches=True``
         (the default) every micro-batch shares one program per bucket,
-        so a single warm-up signal per bucket covers all load levels.
+        so a single warm-up signal per bucket covers all load levels;
+        under ``"pow2"`` every power-of-two batch tier per bucket is
+        warmed.
         """
-        if batch is None:
-            batch = 1 if self._pad_batches else self._max_batch
+        if batch is not None:
+            tiers = [int(batch)]
+        elif self._pad_batches == "pow2":
+            tiers = []
+            t = 1
+            while t < self._max_batch:
+                tiers.append(t)
+                t <<= 1
+            tiers.append(self._max_batch)
+        elif self._pad_batches:
+            tiers = [1]
+        else:
+            tiers = [self._max_batch]
         done = set()
         for n in lengths:
             n = max(int(n), 1)
@@ -172,7 +194,8 @@ class FeatureServer:
             if key in done:
                 continue
             done.add(key)
-            self.extract_many([np.zeros(n, np.float32)] * batch)
+            for t in tiers:
+                self.extract_many([np.zeros(n, np.float32)] * t)
 
     def close(self) -> None:
         """Drain pending requests and stop the dispatcher.
@@ -251,10 +274,15 @@ class FeatureServer:
     def _dispatch(self, batch):
         """Asynchronously dispatch one micro-batch; None on failure (the
         batch's futures are then already resolved via individual retry)."""
+        if self._pad_batches == "pow2":
+            min_batch = min(
+                self._max_batch, 1 << max(0, len(batch) - 1).bit_length()
+            )
+        else:
+            min_batch = self._max_batch if self._pad_batches else 0
         try:
             disp = self._extractor._dispatch(
-                [s for s, _ in batch],
-                min_batch=self._max_batch if self._pad_batches else 0,
+                [s for s, _ in batch], min_batch=min_batch
             )
         except Exception:  # noqa: BLE001 — isolate the bad request(s)
             self._retry_individually(batch)

@@ -545,3 +545,31 @@ def test_stream_pool_occupancy_tiered_ticks():
     # program count: tiers {1, 2, 4, 8} x depths seen, not per active-set
     steps = pool._tiered_step._cache_size()
     assert steps <= 12, steps
+
+
+def test_feature_server_pow2_batch_tiers():
+    """pad_batches='pow2' pads micro-batches to the next power of two:
+    device time follows load, warmup([..]) pre-builds every tier, and
+    varied load levels afterwards compile nothing new."""
+    computer = _computer()
+    rng = np.random.RandomState(67)
+    with FeatureServer(
+        computer, max_batch=8, max_wait_ms=5.0, pad_batches="pow2"
+    ) as server:
+        server.warmup([3000])  # one bucket, tiers 1/2/4/8
+        n_programs = len(server._extractor._fns)
+        outs = server.extract_many([rng.randn(3200)])
+        outs += server.extract_many([rng.randn(2100) for _ in range(3)])
+        outs += server.extract_many([rng.randn(2500) for _ in range(8)])
+        assert len(server._extractor._fns) == n_programs
+    for got, n in zip(outs, [3200] + [2100] * 3 + [2500] * 8):
+        assert got.shape[1] == computer.num_coeffs
+    # numeric parity at one load level
+    sig = rng.randn(3000)
+    with FeatureServer(
+        computer, max_batch=8, pad_batches="pow2"
+    ) as server:
+        out = server.extract(sig)
+    assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
+    with pytest.raises(ValueError):
+        FeatureServer(computer, pad_batches="nope")
