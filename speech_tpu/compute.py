@@ -958,36 +958,34 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             return params
         if self._conv_block_params is None:
             with jax.ensure_compile_time_eval():
-                return self._build_conv_block_params(params)
+                self._build_conv_block_params()
         return {**params, **self._conv_block_params}
 
-    def _build_conv_block_params(self, params):
-        if self._conv_block_params is None:
-            firs = self._kernel["firs"]
-            parts = [("conv_re", np.ascontiguousarray(firs.real))]
-            if not self._kernel["is_real"]:
-                parts.append(("conv_im", np.ascontiguousarray(firs.imag)))
-            blocks = {}
-            for name, part in parts:
-                band = _si.toeplitz_conv_blocks(part)
-                if self._precision in ("double", "accurate"):
-                    if self._precision == "accurate":
-                        planes, scale = _stft.digitize_matrix(
-                            band,
-                            _stft._SAK_M_DIGITS,
-                            _stft._SAK_BASE,
-                            margin=True,
-                        )
-                    else:
-                        planes, scale = _stft.digitize_matrix(band)
-                    blocks[name + "_digits"] = jnp.asarray(planes)
-                    blocks[name + "_scale"] = jnp.float32(scale)
-                else:
-                    blocks[name + "_blocks"] = jnp.asarray(
-                        band, dtype=self._dtype
+    def _build_conv_block_params(self):
+        firs = self._kernel["firs"]
+        parts = [("conv_re", np.ascontiguousarray(firs.real))]
+        if not self._kernel["is_real"]:
+            parts.append(("conv_im", np.ascontiguousarray(firs.imag)))
+        blocks = {}
+        for name, part in parts:
+            band = _si.toeplitz_conv_blocks(part)
+            if self._precision in ("double", "accurate"):
+                if self._precision == "accurate":
+                    planes, scale = _stft.digitize_matrix(
+                        band,
+                        _stft._SAK_M_DIGITS,
+                        _stft._SAK_BASE,
+                        margin=True,
                     )
-            self._conv_block_params = blocks
-        return {**params, **self._conv_block_params}
+                else:
+                    planes, scale = _stft.digitize_matrix(band)
+                blocks[name + "_digits"] = jnp.asarray(planes)
+                blocks[name + "_scale"] = jnp.float32(scale)
+            else:
+                blocks[name + "_blocks"] = jnp.asarray(
+                    band, dtype=self._dtype
+                )
+        self._conv_block_params = blocks
 
     def _spec(self, fft_size: int) -> dict:
         conv_mode = self._conv_mode

@@ -404,9 +404,12 @@ def stft_feats_pallas_double(
     """Fused Pallas digit-tier kernel for padded signals.
 
     Default plane config is the exact ``precision="double"`` tier
-    (4 x-planes, 13 pair dots); ``n_x``/``cutoff`` select reduced-plane
-    variants — ``precision="accurate"`` passes (3, 2) for 6 dots at
-    <=1e-5.  Same contract as :func:`stft_feats_pallas`; falls back to
+    (4 x-planes, 13 pair dots); ``n_x``/``cutoff`` select reduced-pair
+    variants — ``precision="accurate"`` passes (4, 3) for 10 dots at
+    <=1e-5 (plane DEPTH is not reducible: 3-plane configs measured
+    2.9e-3 on tone pairs — see ops/stft.py's sweep notes; only the pair
+    CUTOFF trims).  Same contract as :func:`stft_feats_pallas`; falls
+    back to
     XLA framing + the XLA (exact) digit path when overlapping blocks are
     unavailable, the shift is not sublane-aligned, the DFT size is not
     lane-aligned (params carry no kernel layout), or the frame is too

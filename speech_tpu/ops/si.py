@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from .xmath import xlog
 
 __all__ = [
+    "block_conv_parts",
     "build_si_kernel",
     "si_feats_from_signal",
     "toeplitz_conv_blocks",
@@ -140,6 +141,133 @@ def toeplitz_conv_blocks(firs: np.ndarray, V: int = CONV_BLOCK) -> np.ndarray:
     return blocks
 
 
+def block_conv_parts(x_pad, nb: int, V: int, Kk: int, precision: str):
+    """Shared banded-Toeplitz conv core for the batch AND streaming tiers.
+
+    Returns ``part(params, name) -> (F, nb*V)``: the full linear-conv
+    outputs of one FIR part (``name`` in ``conv_re``/``conv_im``) over
+    the flat padded signal ``x_pad`` (length ``>= nb*V``), sharing the
+    signal-side work (shifted input blocks, or the digit planes + scale
+    under the digit precisions) across parts.  Exactness-critical: both
+    `si_feats_from_signal` and `streaming.StreamingSI` call THIS, so the
+    stream == batch accuracy contract can never desynchronize.
+    """
+    def shifted(flat, lo: int = 0, hi: int = None):
+        Xb = flat[: nb * V].reshape(nb, V)
+        # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
+        return jnp.stack(
+            [
+                jnp.pad(Xb, ((k, 0), (0, 0)))[:nb]
+                for k in range(lo, Kk + 1 if hi is None else hi)
+            ]
+        )
+
+    if precision not in ("double", "accurate"):
+        Xsh = shifted(x_pad)
+        prec = jax.lax.Precision(precision)
+
+        def part(params, name):
+            Y = jnp.einsum(
+                "kbv,kfvw->fbw",
+                Xsh,
+                params[name + "_blocks"],
+                precision=prec,
+            )
+            return Y.reshape(Y.shape[0], nb * V)
+
+        return part
+
+    # digit tiers (see ops/stft.py): the signal splits under one
+    # per-signal power-of-two scale into integer digit planes, the band
+    # matrices likewise; every einsum pass then multiplies and
+    # accumulates integers below 2^24 — exact in f32.  'double':
+    # base-64, 6 x-planes (36 bits below the signal peak), 21 pairs,
+    # whole-support contractions.  'accurate': base-256, 5x5 planes
+    # with one-bit scale margins on both operands (so contractions up
+    # to 8 blocks stay exact with no splitting; beyond that, <=8-block
+    # chunks), 15 pairs — ~70% of 'double's MXU block-passes at the
+    # same measured accuracy class (see ops/stft.py _SAK_*).
+    from .stft import (
+        _DIGIT_BASE,
+        _SAK_BASE,
+        _SAK_CUTOFF,
+        _SAK_KCHUNK,
+        _SAK_X_DIGITS,
+        _SI_PAIR_CUTOFF,
+        _SI_X_DIGITS,
+        digit_pair_schedule,
+    )
+
+    if precision == "accurate":
+        base_f, n_x, kchunk = _SAK_BASE, _SAK_X_DIGITS, _SAK_KCHUNK
+        cutoff = _SAK_CUTOFF
+    else:
+        base_f, n_x, kchunk = _DIGIT_BASE, _SI_X_DIGITS, None
+        cutoff = _SI_PAIR_CUTOFF
+
+    m = jnp.max(jnp.abs(x_pad))
+    _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
+    # 'accurate' carries a one-bit margin so |digits| <= base/2 on every
+    # plane (matches the A-digit margin; see ops/stft.py)
+    x_scale = jnp.ldexp(
+        jnp.ones_like(m), e + (1 if precision == "accurate" else 0)
+    )
+    v = x_pad / x_scale
+    base = np.float32(base_f)
+    planes = []
+    for _ in range(n_x):
+        d = jnp.round(v * base)
+        v = v * base - d
+        planes.append(d)
+    plane_stack = jnp.stack(planes)  # (XD, L)
+
+    def part(params, name):
+        A_digits = params[name + "_digits"]
+        A_scale = params[name + "_scale"]
+        # lax.scan forces one pair in flight: the schedule's pair
+        # einsums (one per (i, j) under the cutoff) are independent, and
+        # letting XLA schedule them freely keeps too many
+        # (batch, F, nb, V) buffers live at once (OOM on a 16 GB chip
+        # at production batch sizes)
+        pairs = digit_pair_schedule(n_x, A_digits.shape[0], cutoff)
+        ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
+        jj = jnp.asarray([j for _, j in pairs], jnp.int32)
+        ww = jnp.asarray(
+            [base_f ** -(i + j + 2) for i, j in pairs],
+            jnp.float32,
+        )
+        nF = A_digits.shape[2]
+        if kchunk is None or Kk + 1 <= kchunk:
+            chunks = [(0, Kk + 1)]
+        else:
+            chunks = [
+                (lo, min(lo + kchunk, Kk + 1))
+                for lo in range(0, Kk + 1, kchunk)
+            ]
+
+        acc = jnp.zeros((nF, nb, V), jnp.float32)
+        for lo, hi in chunks:
+            def step(acc, t, lo=lo, hi=hi):
+                xd = shifted(
+                    jax.lax.dynamic_index_in_dim(
+                        plane_stack, ii[t], 0, keepdims=False
+                    ),
+                    lo,
+                    hi,
+                )
+                ad = jax.lax.dynamic_index_in_dim(
+                    A_digits, jj[t], 0, keepdims=False
+                )[lo:hi]
+                p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
+                return acc + p * ww[t], None
+
+            acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
+        y = acc * (x_scale * A_scale)
+        return y.reshape(nF, nb * V)
+
+    return part
+
+
 def si_feats_from_signal(
     signal,
     sig_len,
@@ -208,7 +336,10 @@ def si_feats_from_signal(
         # linear convolution as banded-Toeplitz block matmuls (see
         # toeplitz_conv_blocks): pure MXU work, no FFT.  Output block i of
         # width V sums shifted input blocks against the (K+1, F, V, V)
-        # band matrices in params.
+        # band matrices in params.  The conv core — plain einsum, or the
+        # exact digit-decomposition passes under the digit precisions —
+        # is `block_conv_parts`, SHARED with the streaming tier so the
+        # stream == batch accuracy contract cannot desynchronize.
         if precision in ("double", "accurate"):
             V = params["conv_re_digits"].shape[-1]
             Kk = params["conv_re_digits"].shape[1] - 1
@@ -219,127 +350,16 @@ def si_feats_from_signal(
         pl = max(0, -shift_eff)
         nb = max(1, -(-max(m_hi, 1) // V))
         sig_pad = jnp.pad(signal, (0, max(0, nb * V - signal.shape[0])))
+        _part_fn = block_conv_parts(sig_pad, nb, V, Kk, precision)
 
-        def _shifted_blocks(flat, lo: int = 0, hi: int = None):
-            Xb = flat[: nb * V].reshape(nb, V)
-            # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
-            return jnp.stack(
-                [
-                    jnp.pad(Xb, ((k, 0), (0, 0)))[:nb]
-                    for k in range(lo, Kk + 1 if hi is None else hi)
-                ]
-            )
-
-        def _finish_conv(Y):
-            y = Y.reshape(Y.shape[0], nb * V)
+        def _conv_part_matmul(name):
+            y = _part_fn(params, name)  # (F, nb*V) full conv outputs
             if pl:
                 y = jnp.pad(y, ((0, 0), (pl, 0)))
             part = jax.lax.slice_in_dim(
                 y, shift_eff + pl, shift_eff + pl + ny, axis=1
             )
             return jnp.where(valid[None, :], part, 0)
-
-        if precision in ("double", "accurate"):
-            # digit tiers (see ops/stft.py): the signal splits under one
-            # per-signal power-of-two scale into integer digit planes, the
-            # band matrices likewise; every einsum pass then multiplies
-            # and accumulates integers below 2^24 — exact in f32.
-            # 'double': base-64, 6 x-planes (36 bits below the signal
-            # peak), 21 pairs, whole-support contractions.  'accurate':
-            # base-256, 5x5 planes with one-bit scale margins on both
-            # operands (so contractions up to 8 blocks stay exact with
-            # no splitting; beyond that, <=8-block chunks), 15 pairs —
-            # ~70% of 'double's MXU block-passes at the same measured
-            # accuracy class (see ops/stft.py _SAK_*).
-            from .stft import (
-                _DIGIT_BASE,
-                _SAK_BASE,
-                _SAK_CUTOFF,
-                _SAK_KCHUNK,
-                _SAK_X_DIGITS,
-                _SI_PAIR_CUTOFF,
-                _SI_X_DIGITS,
-                digit_pair_schedule,
-            )
-
-            if precision == "accurate":
-                base_f, n_x, kchunk = _SAK_BASE, _SAK_X_DIGITS, _SAK_KCHUNK
-                cutoff = _SAK_CUTOFF
-            else:
-                base_f, n_x, kchunk = _DIGIT_BASE, _SI_X_DIGITS, None
-                cutoff = _SI_PAIR_CUTOFF
-
-            m = jnp.max(jnp.abs(sig_pad))
-            _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
-            # 'accurate' carries a one-bit margin so |digits| <= base/2
-            # on every plane (matches the A-digit margin; see ops/stft.py)
-            x_scale = jnp.ldexp(
-                jnp.ones_like(m), e + (1 if precision == "accurate" else 0)
-            )
-            v = sig_pad / x_scale
-            base = np.float32(base_f)
-            planes = []
-            for _ in range(n_x):
-                d = jnp.round(v * base)
-                v = v * base - d
-                planes.append(d)
-            Xsh_stack = jnp.stack(planes)  # (XD, L)
-
-            def _conv_part_digits(A_digits, A_scale):
-                # lax.scan forces one pair in flight: the schedule's pair
-                # einsums (one per (i, j) under the cutoff) are
-                # independent, and letting XLA schedule them freely keeps
-                # too many (batch, F, nb, V) buffers live at once (OOM on
-                # a 16 GB chip at production batch sizes)
-                pairs = digit_pair_schedule(n_x, A_digits.shape[0], cutoff)
-                ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
-                jj = jnp.asarray([j for _, j in pairs], jnp.int32)
-                ww = jnp.asarray(
-                    [base_f ** -(i + j + 2) for i, j in pairs],
-                    jnp.float32,
-                )
-                nF = A_digits.shape[2]
-                if kchunk is None or Kk + 1 <= kchunk:
-                    chunks = [(0, Kk + 1)]
-                else:
-                    chunks = [
-                        (lo, min(lo + kchunk, Kk + 1))
-                        for lo in range(0, Kk + 1, kchunk)
-                    ]
-
-                acc = jnp.zeros((nF, nb, V), jnp.float32)
-                for lo, hi in chunks:
-                    def step(acc, t, lo=lo, hi=hi):
-                        xd = _shifted_blocks(
-                            jax.lax.dynamic_index_in_dim(
-                                Xsh_stack, ii[t], 0, keepdims=False
-                            ),
-                            lo,
-                            hi,
-                        )
-                        ad = jax.lax.dynamic_index_in_dim(
-                            A_digits, jj[t], 0, keepdims=False
-                        )[lo:hi]
-                        p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
-                        return acc + p * ww[t], None
-
-                    acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
-                return _finish_conv(acc * (x_scale * A_scale))
-
-        else:
-            # "double" never reaches this branch (it implies the digit
-            # path above), so the tier string maps directly.
-            Xsh = _shifted_blocks(sig_pad)
-            conv_prec = jax.lax.Precision(precision)
-
-            def _conv_part_blocks(A):
-                Y = jnp.einsum(
-                    "kbv,kfvw->fbw",
-                    Xsh,
-                    A,
-                    precision=conv_prec,
-                )
-                return _finish_conv(Y)
 
     elif conv_mode == "fft" and fft_size >= 4 * _next_pow2(2 * max_support):
         # blocked overlap-save: batched medium-size real FFTs run far more
@@ -380,16 +400,9 @@ def si_feats_from_signal(
             part = jax.lax.slice_in_dim(conv, shift_eff + pl, shift_eff + pl + ny, axis=1)
             return jnp.where(valid[None, :], part, 0)
 
-    if conv_mode == "matmul" and precision in ("double", "accurate"):
-        conv_re = lambda: _conv_part_digits(
-            params["conv_re_digits"], params["conv_re_scale"]
-        )
-        conv_im = lambda: _conv_part_digits(
-            params["conv_im_digits"], params["conv_im_scale"]
-        )
-    elif conv_mode == "matmul":
-        conv_re = lambda: _conv_part_blocks(params["conv_re_blocks"])
-        conv_im = lambda: _conv_part_blocks(params["conv_im_blocks"])
+    if conv_mode == "matmul":
+        conv_re = lambda: _conv_part_matmul("conv_re")
+        conv_im = lambda: _conv_part_matmul("conv_im")
     else:
         conv_re = lambda: _conv_part(firs_re)
         conv_im = lambda: _conv_part(params["firs_im"])

@@ -172,7 +172,10 @@ class FeatureServer:
         (the default) every micro-batch shares one program per bucket,
         so a single warm-up signal per bucket covers all load levels;
         under ``"pow2"`` every power-of-two batch tier per bucket is
-        warmed.
+        warmed.  Warm-up batches go straight to the extractor (not
+        through the dispatcher queue), so each tier's program is built
+        deterministically — the dispatcher might otherwise split a
+        warm-up burst across micro-batches and skip a tier.
         """
         if batch is not None:
             tiers = [int(batch)]
@@ -195,7 +198,16 @@ class FeatureServer:
                 continue
             done.add(key)
             for t in tiers:
-                self.extract_many([np.zeros(n, np.float32)] * t)
+                self._extractor.extract(
+                    [np.zeros(n, np.float32)] * t,
+                    min_batch=self._min_batch(t),
+                )
+
+    def _min_batch(self, n: int) -> int:
+        """Batch-dim padding target for an ``n``-request micro-batch."""
+        if self._pad_batches == "pow2":
+            return min(self._max_batch, 1 << max(0, n - 1).bit_length())
+        return self._max_batch if self._pad_batches else 0
 
     def close(self) -> None:
         """Drain pending requests and stop the dispatcher.
@@ -274,15 +286,9 @@ class FeatureServer:
     def _dispatch(self, batch):
         """Asynchronously dispatch one micro-batch; None on failure (the
         batch's futures are then already resolved via individual retry)."""
-        if self._pad_batches == "pow2":
-            min_batch = min(
-                self._max_batch, 1 << max(0, len(batch) - 1).bit_length()
-            )
-        else:
-            min_batch = self._max_batch if self._pad_batches else 0
         try:
             disp = self._extractor._dispatch(
-                [s for s, _ in batch], min_batch=min_batch
+                [s for s, _ in batch], min_batch=self._min_batch(len(batch))
             )
         except Exception:  # noqa: BLE001 — isolate the bad request(s)
             self._retry_individually(batch)
@@ -699,11 +705,21 @@ class StreamServer:
         return fut.result()
 
     def feed(self, handle: int, samples) -> None:
-        """Append samples to a session (returns immediately)."""
+        """Append samples to a session (returns immediately).
+
+        Malformed input raises *here*, to the caller — it must never
+        reach the loop thread (a dead loop would hang every session).
+        """
         samples = np.asarray(samples)
         if samples.ndim != 1:
             raise ValueError(
                 f"samples must be 1-D, got shape {samples.shape}"
+            )
+        if not np.issubdtype(samples.dtype, np.number) or np.issubdtype(
+            samples.dtype, np.complexfloating
+        ):
+            raise TypeError(
+                f"samples must be real numeric, got {samples.dtype}"
             )
         self._submit(("feed", handle, samples))
 
@@ -731,6 +747,11 @@ class StreamServer:
                     self._results.pop(handle, None)
                 return
             if isinstance(item, BaseException):
+                # an error ends this result stream: drop the queue so a
+                # retry raises KeyError instead of blocking forever on a
+                # queue nothing will feed again
+                with self._lock:
+                    self._results.pop(handle, None)
                 raise item
             yield item
 
@@ -775,16 +796,32 @@ class StreamServer:
                 self._pool.feed(handle, samples)
             except KeyError:
                 pass  # fed after close: drop (the stream already ended)
+            except Exception as e:  # noqa: BLE001 — fail the one session
+                # feed() pre-validates, so this is unexpected — but it
+                # must never kill the loop thread (every other session
+                # would hang); deliver it to the session instead
+                q = self._results.get(handle)
+                if q is not None:
+                    q.put(e)
         elif kind == "close":
+            # queues may already be gone (iter_results drops a session's
+            # queue on a delivered error) — never index unconditionally
+            # in the loop thread
             _, handle, fut = cmd
             try:
                 for h, feats in self._pool.close_many([handle]):
-                    self._results[h].put(feats)
+                    q = self._results.get(h)
+                    if q is not None:
+                        q.put(feats)
             except Exception as e:  # noqa: BLE001 — to the caller
-                self._results.get(handle, queue.SimpleQueue()).put(e)
+                q = self._results.get(handle)
+                if q is not None:
+                    q.put(e)
                 fut.set_exception(e)
                 return
-            self._results[handle].put(None)
+            q = self._results.get(handle)
+            if q is not None:
+                q.put(None)
             fut.set_result(None)
 
     def _run(self) -> None:
@@ -819,9 +856,21 @@ class StreamServer:
             try:
                 outs = self._pool.step(max_chunks=self._tick_chunks)
             except Exception as e:  # noqa: BLE001 — fail live sessions
-                for handle, q in list(self._results.items()):
-                    if handle in pending_sessions:
+                # a failed tick fails the sessions involved TERMINALLY:
+                # deliver the exception once and drop their backlogs —
+                # retrying the same backlog would re-raise every
+                # max_wait_ms forever (an unbounded queue flood).  The
+                # sessions stay open: close_session still finalizes from
+                # the last good state.
+                for handle, sess in list(pending_sessions.items()):
+                    if not len(sess.pending):
+                        continue
+                    sess.pending = sess.pending[:0]
+                    q = self._results.get(handle)
+                    if q is not None:
                         q.put(e)
                 continue
             for handle, feats in outs:
-                self._results[handle].put(feats)
+                q = self._results.get(handle)
+                if q is not None:
+                    q.put(feats)

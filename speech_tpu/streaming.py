@@ -479,128 +479,32 @@ class StreamingSI:
 
     def _conv_parts_matmul(self, aligned, ny):
         """Per-part conv values ``(F, ny)`` via the batch path's
-        banded-Toeplitz block matmuls (ops/si.py) over the aligned buffer
-        (counted position ``q``'s conv value sits at linear-conv index
-        ``hist+q`` — a STATIC output window); ``precision='double'`` runs
-        the exact digit-decomposition passes, so the stream inherits the
-        batch tier's exactness."""
+        banded-Toeplitz block matmuls over the aligned buffer (counted
+        position ``q``'s conv value sits at linear-conv index ``hist+q``
+        — a STATIC output window).  The conv core — including the exact
+        digit-decomposition passes under the digit precisions — is
+        :func:`speech_tpu.ops.si.block_conv_parts`, SHARED with
+        ``compute_batch``, so the stream inherits the batch tier's
+        exactness by construction."""
         from .ops import si as _si
-        from .ops.stft import (
-            _DIGIT_BASE,
-            _SAK_BASE,
-            _SAK_CUTOFF,
-            _SAK_KCHUNK,
-            _SAK_X_DIGITS,
-            _SI_PAIR_CUTOFF,
-            _SI_X_DIGITS,
-            digit_pair_schedule,
-        )
 
         params = self._params
         V = _si.CONV_BLOCK
         H0 = aligned.shape[0] - ny  # == self.hist
         nb = -(-aligned.shape[0] // V)
         x_pad = jnp.pad(aligned, (0, nb * V - aligned.shape[0]))
-        digit_tier = self.precision in ("double", "accurate")
-        if digit_tier:
+        if self.precision in ("double", "accurate"):
             Kk = params["conv_re_digits"].shape[1] - 1
         else:
             Kk = params["conv_re_blocks"].shape[0] - 1
-
-        def shifted(flat, lo=0, hi=None):
-            Xb = flat.reshape(nb, V)
-            # Xsh[k] = input blocks shifted down k rows (block i reads i-k)
-            return jnp.stack(
-                [
-                    jnp.pad(Xb, ((k, 0), (0, 0)))[:nb]
-                    for k in range(lo, Kk + 1 if hi is None else hi)
-                ]
-            )
+        part = _si.block_conv_parts(x_pad, nb, V, Kk, self.precision)
 
         def sliced(y_full):
             return jax.lax.slice_in_dim(y_full, H0, H0 + ny, axis=1)
 
-        if not digit_tier:
-            Xsh = shifted(x_pad)
-            prec = jax.lax.Precision(self.precision)
-
-            def part(name):
-                Y = jnp.einsum(
-                    "kbv,kfvw->fbw",
-                    Xsh,
-                    params[name + "_blocks"],
-                    precision=prec,
-                )
-                return sliced(Y.reshape(Y.shape[0], nb * V))
-
-        else:
-            # digit tiers: per-buffer power-of-two scale, integer digit
-            # planes, pair-scheduled exact matmuls (< 2^24 per pass); the
-            # 'accurate' config splits long contractions into <=4-block
-            # chunks — see ops/si.py's digit conv
-            if self.precision == "accurate":
-                base_f, n_x, kchunk = _SAK_BASE, _SAK_X_DIGITS, _SAK_KCHUNK
-                cutoff = _SAK_CUTOFF
-            else:
-                base_f, n_x, kchunk = _DIGIT_BASE, _SI_X_DIGITS, None
-                cutoff = _SI_PAIR_CUTOFF
-            m = jnp.max(jnp.abs(x_pad))
-            _, e = jnp.frexp(jnp.maximum(m, np.float32(1e-30)))
-            # one-bit margin under 'accurate' (see ops/si.py)
-            x_scale = jnp.ldexp(
-                jnp.ones_like(m),
-                e + (1 if self.precision == "accurate" else 0),
-            )
-            v = x_pad / x_scale
-            base = np.float32(base_f)
-            planes = []
-            for _ in range(n_x):
-                d = jnp.round(v * base)
-                v = v * base - d
-                planes.append(d)
-            plane_stack = jnp.stack(planes)  # (XD, nb*V)
-
-            def part(name):
-                A_digits = params[name + "_digits"]
-                pairs = digit_pair_schedule(n_x, A_digits.shape[0], cutoff)
-                ii = jnp.asarray([i for i, _ in pairs], jnp.int32)
-                jj = jnp.asarray([j for _, j in pairs], jnp.int32)
-                ww = jnp.asarray(
-                    [base_f ** -(i + j + 2) for i, j in pairs],
-                    jnp.float32,
-                )
-                nF = A_digits.shape[2]
-                if kchunk is None or Kk + 1 <= kchunk:
-                    chunks = [(0, Kk + 1)]
-                else:
-                    chunks = [
-                        (lo, min(lo + kchunk, Kk + 1))
-                        for lo in range(0, Kk + 1, kchunk)
-                    ]
-
-                acc = jnp.zeros((nF, nb, V), jnp.float32)
-                for lo, hi in chunks:
-                    def step(acc, t, lo=lo, hi=hi):
-                        xd = shifted(
-                            jax.lax.dynamic_index_in_dim(
-                                plane_stack, ii[t], 0, keepdims=False
-                            ),
-                            lo,
-                            hi,
-                        )
-                        ad = jax.lax.dynamic_index_in_dim(
-                            A_digits, jj[t], 0, keepdims=False
-                        )[lo:hi]
-                        p = jnp.einsum("kbv,kfvw->fbw", xd, ad)
-                        return acc + p * ww[t], None
-
-                    acc, _ = jax.lax.scan(step, acc, jnp.arange(len(pairs)))
-                y = acc * (x_scale * params[name + "_scale"])
-                return sliced(y.reshape(nF, nb * V))
-
-        parts = [part("conv_re")]
+        parts = [sliced(part(params, "conv_re"))]
         if not self.is_real:
-            parts.append(part("conv_im"))
+            parts.append(sliced(part(params, "conv_im")))
         return parts
 
     def _emit(self, stream, valid_end, u_end, max_frames: int):

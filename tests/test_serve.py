@@ -573,3 +573,57 @@ def test_feature_server_pow2_batch_tiers():
     assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
     with pytest.raises(ValueError):
         FeatureServer(computer, pad_batches="nope")
+
+
+def test_stream_server_step_error_fails_sessions_terminally():
+    """A failing device tick must deliver ONE exception per involved
+    session, drop those backlogs (no retry flood), keep the loop alive
+    for other work, and leave close_session functional."""
+    import time
+
+    from speech_tpu.serve import StreamServer
+
+    computer = _computer()
+    with StreamServer(
+        computer, slots=2, chunk_size=800, max_wait_ms=1.0
+    ) as server:
+        h = server.open_session()
+        boom = RuntimeError("device exploded")
+        orig_step = server._pool.step
+        server._pool.step = lambda **kw: (_ for _ in ()).throw(boom)
+        server.feed(h, np.random.RandomState(0).randn(4000))
+        with pytest.raises(RuntimeError, match="device exploded"):
+            for _ in server.iter_results(h):
+                pass
+        # retry raises KeyError (the stream ended), never blocks
+        with pytest.raises(KeyError):
+            next(iter(server.iter_results(h)))
+        # the backlog was dropped: no repeated ticks fail once restored
+        time.sleep(0.05)
+        server._pool.step = orig_step
+        assert len(server._pool._sessions[h].pending) == 0
+        server.close_session(h)  # finalizes from the last good state
+        # loop thread still alive: a fresh session works end to end
+        sig = np.random.RandomState(1).randn(3000)
+        h2 = server.open_session()
+        server.feed(h2, sig)
+        server.close_session(h2)
+        out = np.concatenate(list(server.iter_results(h2)))
+        assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
+
+
+def test_stream_server_feed_validates_at_caller():
+    from speech_tpu.serve import StreamServer
+
+    computer = _computer()
+    with StreamServer(computer, slots=1, chunk_size=800) as server:
+        h = server.open_session()
+        with pytest.raises(TypeError):
+            server.feed(h, np.array(["a", "b"]))
+        with pytest.raises(TypeError):
+            server.feed(h, np.zeros(4, np.complex64))
+        sig = np.random.RandomState(2).randn(2000)
+        server.feed(h, sig)
+        server.close_session(h)
+        out = np.concatenate(list(server.iter_results(h)))
+        assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
