@@ -694,6 +694,25 @@ class StreamServer:
 
     # -- client side (any thread) --------------------------------------
 
+    def warmup(self, depths=None, occupancies=()) -> None:
+        """Pre-compile the tick programs before traffic arrives
+        (blocking; runs inside the loop thread — the pool is not
+        thread-safe).  ``depths`` defaults to the power-of-two tiers up
+        to ``tick_chunks``; ``occupancies`` forwards to
+        :meth:`StreamPool.warmup` (device compiles can take minutes on
+        tunneled runtimes, and the occupancy-tiered ticks compile one
+        program per (slot-tier, depth) pair)."""
+        if depths is None:
+            depths = []
+            d = 1
+            while d < self._tick_chunks:
+                depths.append(d)
+                d <<= 1
+            depths.append(self._tick_chunks)
+        fut = Future()
+        self._submit(("warmup", tuple(depths), tuple(occupancies), fut))
+        fut.result()
+
     def open_session(self) -> int:
         """Claim a pool slot; returns a session handle (blocking).
 
@@ -780,7 +799,15 @@ class StreamServer:
 
     def _handle(self, cmd) -> None:
         kind = cmd[0]
-        if kind == "open":
+        if kind == "warmup":
+            _, depths, occupancies, fut = cmd
+            try:
+                self._pool.warmup(depths, occupancies)
+            except Exception as e:  # noqa: BLE001 — to the caller
+                fut.set_exception(e)
+                return
+            fut.set_result(None)
+        elif kind == "open":
             fut = cmd[1]
             try:
                 handle = self._pool.open()

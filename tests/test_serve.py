@@ -627,3 +627,21 @@ def test_stream_server_feed_validates_at_caller():
         server.close_session(h)
         out = np.concatenate(list(server.iter_results(h)))
         assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
+
+
+def test_stream_server_warmup():
+    """warmup() pre-builds tick programs through the loop thread and a
+    warmed server still streams correctly."""
+    from speech_tpu.serve import StreamServer
+
+    computer = _computer()
+    with StreamServer(
+        computer, slots=4, chunk_size=800, tick_chunks=4
+    ) as server:
+        server.warmup(occupancies=(1, 2))  # depths default to 1/2/4
+        sig = np.random.RandomState(7).randn(3000)
+        h = server.open_session()
+        server.feed(h, sig)
+        server.close_session(h)
+        out = np.concatenate(list(server.iter_results(h)))
+        assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
