@@ -176,6 +176,24 @@ def _signals_to_torch_feat_dir_parse_args(args):
         help="Utterances per device batch (0: one at a time on host)",
     )
     parser.add_argument(
+        "--sort-window",
+        type=_nonneg_int_type,
+        default=8,
+        help="Length-sort utterances within a window of this many device "
+        "batches before bucketing them, so a batch pads to the length of "
+        "similar-length neighbors rather than the corpus-wide straggler "
+        "(host memory holds one window of audio; 1 keeps map-order batch "
+        "composition). Per-utterance outputs and --seed noise are "
+        "unaffected; only the write order changes.",
+    )
+    parser.add_argument(
+        "--fine-buckets",
+        action="store_true",
+        help="Pad batches to {2^k, 3*2^(k-1)} length buckets instead of "
+        "powers of two (less padding waste, up to twice the compiled "
+        "programs)",
+    )
+    parser.add_argument(
         "--profile",
         nargs="?",
         const="",
@@ -190,7 +208,28 @@ def _signals_to_torch_feat_dir_parse_args(args):
 _PRE_LOCK = threading.Lock()
 
 
-def _load_utt(item, preprocessors, channel, force_as, seed):
+def _compact_pcm(signal: np.ndarray) -> np.ndarray:
+    """Downcast a float signal holding exact int16 PCM values to int16.
+
+    Integer-PCM audio read as float (the common wav case) round-trips
+    exactly; the batch paths then ship it to the device at half the
+    float32 transfer width and upcast in-program (see
+    :func:`speech_tpu.compute._as_transfer_array`).  Signals with
+    fractional, out-of-range, or non-finite values pass through
+    unchanged.
+    """
+    if signal.dtype.kind != "f" or signal.size == 0:
+        return signal
+    lo, hi = signal.min(), signal.max()
+    # NaN propagates into lo/hi and fails these comparisons
+    if not (lo >= np.iinfo(np.int16).min and hi <= np.iinfo(np.int16).max):
+        return signal
+    if np.any(signal != np.trunc(signal)):
+        return signal
+    return signal.astype(np.int16)
+
+
+def _load_utt(item, preprocessors, channel, force_as, seed, compact=False):
     idx, (utt_id, path) = item
     try:
         signal = read_signal(path, dtype=np.float64, force_as=force_as, key=utt_id)
@@ -210,6 +249,8 @@ def _load_utt(item, preprocessors, channel, force_as, seed):
                     signal = p.apply(signal, in_place=True)
             finally:
                 np.random.set_state(orig)
+    elif compact:
+        signal = _compact_pcm(signal)
     return utt_id, signal
 
 
@@ -326,7 +367,9 @@ def _signals_to_torch_feat_dir(options) -> int:
             mesh = make_mesh(("data",)) if len(jax.devices()) > 1 else None
         except Exception:
             mesh = None
-        extractor = ShardedExtractor(computer, mesh)
+        extractor = ShardedExtractor(
+            computer, mesh, bucket="fine" if options.fine_buckets else "pow2"
+        )
 
     from .profiling import StageTimer, trace
 
@@ -335,7 +378,15 @@ def _signals_to_torch_feat_dir(options) -> int:
     def loader():
         it = mapper(
             lambda item: _load_utt(
-                item, preprocessors, options.channel, options.force_as, seed
+                item,
+                preprocessors,
+                options.channel,
+                options.force_as,
+                seed,
+                # device-batched path: ship exact-int16 PCM compactly
+                # (compute_full would type its *output* off the input
+                # dtype, so only the extractor path downcasts)
+                compact=extractor is not None,
             ),
             items,
         )
@@ -356,30 +407,59 @@ def _signals_to_torch_feat_dir(options) -> int:
                 for utt_id, signal in loader():
                     save_timed(utt_id, postprocess(signal[:, None]))
             elif extractor is not None:
-                batch_utts, batch_sigs = [], []
+                # one dispatched batch stays in flight so host read/pad of
+                # batch i+1 overlaps device compute of batch i ("dispatch"
+                # stage = host padding + async enqueue; "collect" = wait
+                # for device results + readback)
+                pending = None  # (utt_ids, dispatch handle)
 
-                def flush():
-                    if not batch_utts:
+                def emit_pending():
+                    nonlocal pending
+                    if pending is None:
                         return
-                    with timer.stage("compute"):
-                        # min_batch: the trailing partial batch reuses the
-                        # full batches' compiled program
-                        batch_feats = extractor.extract(
-                            batch_sigs, min_batch=options.batch_size
-                        )
-                    for utt_id, feats in zip(batch_utts, batch_feats):
+                    utts, disp = pending
+                    pending = None
+                    with timer.stage("collect"):
+                        batch_feats = extractor._collect(*disp)
+                    for utt_id, feats in zip(utts, batch_feats):
                         save_timed(
                             utt_id, postprocess(np.asarray(feats, np.float64))
                         )
-                    batch_utts.clear()
-                    batch_sigs.clear()
+
+                def flush(utts, sigs):
+                    nonlocal pending
+                    with timer.stage("dispatch"):
+                        # min_batch: the trailing partial batch reuses the
+                        # full batches' compiled program
+                        disp = extractor._dispatch(
+                            sigs, min_batch=options.batch_size
+                        )
+                    emit_pending()
+                    pending = (utts, disp)
+
+                window = max(1, options.sort_window) * options.batch_size
+                wutts, wsigs = [], []
+
+                def drain_window():
+                    # batch similar-length neighbors together: each batch
+                    # then pads (and transfers) to its own bucket rather
+                    # than the window-wide maximum
+                    order = sorted(
+                        range(len(wsigs)), key=lambda i: len(wsigs[i])
+                    )
+                    for s in range(0, len(order), options.batch_size):
+                        idxs = order[s : s + options.batch_size]
+                        flush([wutts[i] for i in idxs], [wsigs[i] for i in idxs])
+                    wutts.clear()
+                    wsigs.clear()
 
                 for utt_id, signal in loader():
-                    batch_utts.append(utt_id)
-                    batch_sigs.append(signal)
-                    if len(batch_utts) >= options.batch_size:
-                        flush()
-                flush()
+                    wutts.append(utt_id)
+                    wsigs.append(signal)
+                    if len(wutts) >= window:
+                        drain_window()
+                drain_window()
+                emit_pending()
             else:
                 for utt_id, signal in loader():
                     with timer.stage("compute"):
@@ -417,6 +497,16 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         type=_nonneg_int_type,
         default=64,
         help="Utterances per device batch (0: one at a time on host)",
+    )
+    parser.add_argument(
+        "--sort-window",
+        type=_nonneg_int_type,
+        default=1,
+        help="Length-sort utterances within a window of this many device "
+        "batches before bucketing them (cuts padding/transfer waste for "
+        "mixed-length tables). Features are still written in table order "
+        "— one window of audio+results is buffered on host, so the "
+        "default of 1 keeps the strict O(batch) streaming footprint.",
     )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
@@ -510,6 +600,10 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             buff = buff[cur_chan].astype(np.float64, copy=False)
             for preprocessor in preprocessors:
                 buff = preprocessor.apply(buff, in_place=True)
+            if not preprocessors and use_batched:
+                # exact-int16 PCM ships to the device at half width
+                # (use_batched is bound before this generator first runs)
+                buff = _compact_pcm(buff)
             yield utt_id, buff
 
     def emit(utt_id, feats):
@@ -541,29 +635,53 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             mesh = make_mesh(("data",)) if len(jax.devices()) > 1 else None
         except Exception:
             mesh = None
-        extractor = ShardedExtractor(computer, mesh)
-        id_batches = []
+        extractor = ShardedExtractor(
+            computer, mesh, bucket="fine" if options.fine_buckets else "pow2"
+        )
+        bsz = options.batch_size
+        window = max(1, options.sort_window) * bsz
 
-        def signal_batches():
+        def windows():
             utts, sigs = [], []
             for utt_id, buff in valid_signals():
                 utts.append(utt_id)
                 sigs.append(buff)
-                if len(sigs) >= options.batch_size:
-                    id_batches.append(utts)
-                    yield sigs
+                if len(utts) >= window:
+                    yield utts, sigs
                     utts, sigs = [], []
-            if sigs:
-                id_batches.append(utts)
-                yield sigs
+            if utts:
+                yield utts, sigs
+
+        # batches are length-sorted within each window so every batch pads
+        # (and transfers) to its own bucket; results buffer per window and
+        # are written back in exact table order (reference write-order
+        # semantics: command_line.py:345-351)
+        meta = []  # per dispatched batch: (window_idx, window positions)
+        pending = {}  # window_idx -> [table-order utts, feats, batches left]
+
+        def batch_stream():
+            for widx, (utts, sigs) in enumerate(windows()):
+                order = sorted(range(len(sigs)), key=lambda i: len(sigs[i]))
+                groups = [
+                    order[s : s + bsz] for s in range(0, len(order), bsz)
+                ]
+                pending[widx] = [utts, [None] * len(sigs), len(groups)]
+                for g in groups:
+                    meta.append((widx, g))
+                    yield [sigs[i] for i in g]
 
         for done, feats_list in enumerate(
-            extractor.extract_iter(
-                signal_batches(), min_batch=options.batch_size
-            )
+            extractor.extract_iter(batch_stream(), min_batch=bsz)
         ):
-            for utt_id, feats in zip(id_batches[done], feats_list):
-                emit(utt_id, np.asarray(feats, np.float64))
+            widx, positions = meta[done]
+            w = pending[widx]
+            for pos, feats in zip(positions, feats_list):
+                w[1][pos] = np.asarray(feats, np.float64)
+            w[2] -= 1
+            if w[2] == 0:
+                for utt_id, feats in zip(w[0], w[1]):
+                    emit(utt_id, feats)
+                del pending[widx]
     else:
         for utt_id, buff in valid_signals():
             emit(utt_id, computer.compute_full(buff))

@@ -47,6 +47,33 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
 
 
+def _compact_transfer(dtype) -> bool:
+    """Whether an input dtype should cross host->device as-is.
+
+    Small-integer PCM (int16/int8/uint8) transfers at half (or quarter)
+    the float32 width and upcasts exactly inside the jitted program — on
+    tunneled/bandwidth-bound runtimes the ingress copy is the dominant
+    cost of the batch path, so this halves it for the common
+    integer-audio case.  Everything else is cast to the compute dtype on
+    host (float64 would otherwise transfer at double width).
+    """
+    dt = np.dtype(dtype)
+    return (dt.kind == "i" and dt.itemsize <= 2) or (
+        dt.kind == "u" and dt.itemsize == 1
+    )
+
+
+def _as_transfer_array(signals, dtype):
+    """Device-ready signals: host-cast to ``dtype``, except compact
+    integer arrays, which ship as-is (the batch programs upcast them as
+    their first traced op — exact, and fused for free by XLA)."""
+    if not isinstance(signals, jax.Array):
+        signals = np.asarray(signals)
+    if _compact_transfer(signals.dtype):
+        return jnp.asarray(signals)
+    return jnp.asarray(signals, dtype=dtype)
+
+
 class FrameComputer(AliasedFactory):
     """Construct features from a signal in fixed-length frames.
 
@@ -588,7 +615,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             valid frame counts; rows at or beyond a signal's count are
             garbage and must be masked by the caller.
         """
-        signals = jnp.asarray(signals, dtype=self._dtype)
+        signals = _as_transfer_array(signals, self._dtype)
         max_len = signals.shape[-1]
         max_frames = _framing.frame_count_np(
             max_len, self._frame_length, self._frame_shift
@@ -617,6 +644,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             frame_shift = self._frame_shift
             pad_left = self._pad_left
             use_pallas = self._use_pallas()
+            dtype = self._dtype
 
             def one(signal):
                 padded = _framing.pad_signal_full(
@@ -630,7 +658,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 return _stft.stft_feats_from_frames(frames, params, **spec)
 
             def run(signals):
-                feats = jax.vmap(one)(signals)
+                feats = jax.vmap(one)(signals.astype(dtype))
                 if use_pallas:
                     feats = self._pallas_feats(feats, max_frames)
                 return feats
@@ -650,6 +678,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             pad_left = self._pad_left
 
             use_pallas = self._use_pallas()
+            dtype = self._dtype
 
             def one(signal, length):
                 padded = _framing.pad_signal(
@@ -663,7 +692,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 return _stft.stft_feats_from_frames(frames, params, **spec)
 
             def run(signals, lengths):
-                feats = jax.vmap(one)(signals, lengths)
+                feats = jax.vmap(one)(signals.astype(dtype), lengths)
                 if use_pallas:
                     feats = self._pallas_feats(feats, max_frames)
                 counts = _framing.frame_count(
@@ -1070,7 +1099,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         are garbage to be masked.  Padding values in ``signals`` must be
         zero (they are traversed by the convolution).
         """
-        signals = jnp.asarray(signals, dtype=self._dtype)
+        signals = _as_transfer_array(signals, self._dtype)
         batch, max_len = signals.shape
         shift = self._frame_shift
         max_frames = (max_len + shift // 2) // shift
@@ -1095,6 +1124,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             params = self._params_for(spec)
             T = self._kernel["max_support"]
             shift_eff = self._shift_eff
+            dtype = self._dtype
 
             def run(signals, lengths):
                 def one(signal, length):
@@ -1102,7 +1132,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                         signal, length, max_frames, params, **spec
                     )
 
-                feats = jax.vmap(one)(signals, lengths)
+                feats = jax.vmap(one)(signals.astype(dtype), lengths)
                 # traced twin of frame_counts_np — keeping the whole call
                 # on device means no per-call host sync (a single tunnel
                 # readback costs ~26 ms, dwarfing the compute)
@@ -1122,13 +1152,14 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
             fft_size = _next_pow2(max_len + self._kernel["max_support"])
             spec = self._spec(fft_size)
             params = self._params_for(spec)
+            dtype = self._dtype
 
             def run(signals):
                 return jax.vmap(
                     lambda s: _si.si_feats_from_signal(
                         s, max_len, max_frames, params, **spec
                     )
-                )(signals)
+                )(signals.astype(dtype))
 
             fn = jax.jit(run)
             self._fns[key] = fn

@@ -74,6 +74,12 @@ class FeatureServer:
         without bound (a stalled device would otherwise buffer every
         caller's audio in host memory).  None (default) disables the
         limit.
+    bucket
+        Signal-length bucket granularity, forwarded to
+        :class:`~speech_tpu.parallel.ShardedExtractor`: ``"pow2"``
+        (default) or ``"fine"`` (``{2**k, 3*2**(k-1)}`` buckets — less
+        pad waste, up to 2x the programs; ``warmup`` covers whichever
+        grid is active).
 
     Attributes
     ----------
@@ -91,8 +97,9 @@ class FeatureServer:
         max_wait_ms: float = 2.0,
         pad_batches: bool = True,
         max_pending: int = None,
+        bucket: str = "pow2",
     ):
-        self._extractor = ShardedExtractor(computer, mesh)
+        self._extractor = ShardedExtractor(computer, mesh, bucket=bucket)
         self._max_batch = int(max_batch)
         if pad_batches not in (True, False, "pow2"):
             raise ValueError(
@@ -162,7 +169,9 @@ class FeatureServer:
         futs = [self.submit(s) for s in signals]
         return [f.result() for f in futs]
 
-    def warmup(self, lengths: Sequence[int], batch: int = None) -> None:
+    def warmup(
+        self, lengths: Sequence[int], batch: int = None, dtype=np.float32
+    ) -> None:
         """Pre-compile the bucket programs for expected signal lengths.
 
         Device compiles can take minutes on tunneled runtimes and would
@@ -176,6 +185,11 @@ class FeatureServer:
         through the dispatcher queue), so each tier's program is built
         deterministically — the dispatcher might otherwise split a
         warm-up burst across micro-batches and skip a tier.
+
+        ``dtype`` must match what clients will submit: programs
+        specialize on the input dtype (``np.int16`` signals ship to the
+        device at half width and upcast in-program — warm that dtype if
+        clients send integer PCM).
         """
         if batch is not None:
             tiers = [int(batch)]
@@ -192,14 +206,13 @@ class FeatureServer:
             tiers = [self._max_batch]
         done = set()
         for n in lengths:
-            n = max(int(n), 1)
-            key = 1 << (n - 1).bit_length()
+            key = self._extractor.bucket_len(n)
             if key in done:
                 continue
             done.add(key)
             for t in tiers:
                 self._extractor.extract(
-                    [np.zeros(n, np.float32)] * t,
+                    [np.zeros(n, dtype)] * t,
                     min_batch=self._min_batch(t),
                 )
 

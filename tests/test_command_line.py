@@ -207,7 +207,8 @@ def test_profile_flag(wav_dir, temp_dir, capsys):
         == 0
     )
     err = capsys.readouterr().err
-    assert "stages" in err and "compute" in err
+    # batched path stages: async enqueue + device wait/readback
+    assert "stages" in err and "dispatch" in err and "collect" in err
 
 
 def test_config_type_yaml(temp_dir):
@@ -246,3 +247,63 @@ def test_cli_accepts_yaml_computer_config(wav_dir, temp_dir):
 
     t = torch.load(os.path.join(out, "utt00.pt"))
     assert t.shape[-1] == 6
+
+
+def test_compact_pcm_decision():
+    from speech_tpu.command_line import _compact_pcm
+
+    exact = np.array([0.0, 1.0, -32768.0, 32767.0])
+    assert _compact_pcm(exact).dtype == np.int16
+    for bad in (
+        np.array([0.5]),
+        np.array([40000.0]),
+        np.array([-40000.0]),
+        np.array([np.nan]),
+        np.array([np.inf]),
+    ):
+        assert _compact_pcm(bad).dtype == bad.dtype
+    empty = np.zeros(0)
+    assert _compact_pcm(empty).dtype == empty.dtype
+
+
+def test_load_utt_compact_downcast(wav_dir):
+    """The batched CLI loader ships exact-int16 wav PCM compactly; the
+    float and compact loads hold identical sample values."""
+    with open(wav_dir) as f:
+        utt, path = f.readline().split()
+    item = (0, (utt, path))
+    _, sig_c = command_line._load_utt(item, [], -1, None, None, compact=True)
+    _, sig_f = command_line._load_utt(item, [], -1, None, None, compact=False)
+    assert sig_c.dtype == np.int16
+    assert sig_f.dtype == np.float64
+    assert np.array_equal(sig_c, sig_f)
+
+
+def test_sort_window_invariant_outputs(wav_dir, temp_dir):
+    """Windowed length-sorting changes batch composition, never the
+    per-utterance features."""
+    torch = pytest.importorskip("torch")
+    outs = {}
+    for win in ("1", "4"):
+        out_dir = os.path.join(temp_dir, f"sw{win}")
+        assert (
+            command_line.signals_to_torch_feat_dir(
+                [
+                    wav_dir,
+                    COMPUTER_JSON,
+                    out_dir,
+                    "--batch-size",
+                    "4",
+                    "--sort-window",
+                    win,
+                ]
+            )
+            == 0
+        )
+        outs[win] = {
+            f: torch.load(os.path.join(out_dir, f))
+            for f in os.listdir(out_dir)
+        }
+    assert outs["1"].keys() == outs["4"].keys()
+    for f in outs["1"]:
+        assert torch.equal(outs["1"][f], outs["4"][f]), f

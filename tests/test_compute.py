@@ -460,3 +460,28 @@ def test_params_first_touched_inside_jit_stays_concrete(kind):
     sig = np.random.RandomState(24).randn(2048)
     feats = computer.compute_full(sig)
     assert np.isfinite(feats).all()
+
+
+def test_compute_batch_int16_ingress(frame_style):
+    """Compact int16 batches upcast in-program and match the float path
+    bitwise (both the traced-lengths and the all-full static programs)."""
+    comp = compute.STFTFrameComputer(
+        {"name": "fbank", "num_filts": 10},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        frame_style=frame_style,
+        dtype="float64",
+    )
+    rng = np.random.RandomState(77)
+    batch_i = (rng.randn(3, 2048) * 1000).astype(np.int16)
+    batch_f = batch_i.astype(np.float64)
+    for lengths in (np.array([2048, 1500, 800]), np.full(3, 2048)):
+        f_i, c_i = comp.compute_batch(batch_i, lengths)
+        f_f, c_f = comp.compute_batch(batch_f, lengths)
+        assert np.array_equal(np.asarray(c_i), np.asarray(c_f))
+        for i in range(3):
+            n = int(np.asarray(c_i)[i])
+            assert np.array_equal(
+                np.asarray(f_i)[i, :n], np.asarray(f_f)[i, :n]
+            )

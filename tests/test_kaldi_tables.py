@@ -272,3 +272,41 @@ def test_kaldi_tables_preprocess_seed_determinism(fake_kaldi):
         # dither mutates in place; restore the source for the second run
         tables["ark:wav.ark"] = {"u": _wave_entry(np.random.RandomState(19))}
     assert np.array_equal(outs[0], outs[1])
+
+
+def test_kaldi_tables_sort_window_preserves_table_order(fake_kaldi):
+    """--sort-window N batches similar-length utterances together but
+    still writes in exact table order, matching the per-utterance oracle;
+    decode stays bounded by the window."""
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(23)
+    n_utts = 96
+    table = {}
+    for i in range(n_utts):
+        table[f"utt{i:03d}"] = _wave_entry(
+            rng, seconds=float(rng.uniform(0.3, 1.1))
+        )
+    tables["ark:mixed.ark"] = table
+    cfg = str(COMPUTER_CONFIG).replace("'", '"')
+    rc = cli.compute_feats_from_kaldi_tables(
+        [
+            "ark:mixed.ark",
+            "ark:sorted.ark",
+            cfg,
+            "--batch-size",
+            "8",
+            "--sort-window",
+            "3",
+        ]
+    )
+    assert rc == 0
+    out = written["ark:sorted.ark"]
+    assert list(out) == list(table)  # exact table order despite sorting
+    # decode bounded by window + dispatch lookahead, not the whole table
+    first = fake_kaldi.writers[0].decoded_at_first_write
+    assert first is not None and first <= (2 * 3 + 2) * 8, first
+    computer = alias_factory_subclass_from_arg(FrameComputer, COMPUTER_CONFIG)
+    for utt in list(table)[:2] + list(table)[47:49] + list(table)[-2:]:
+        want = computer.compute_full(table[utt][0][0]).astype(np.float32)
+        assert out[utt].shape == want.shape, utt
+        assert np.allclose(out[utt], want, atol=1e-5), utt

@@ -305,3 +305,50 @@ def test_sharded_si_feats_validates_span():
     mesh = par.make_mesh(("t",))
     with pytest.raises(ValueError):
         par.sharded_si_feats(c, jnp.zeros(mesh.shape["t"] * 8), mesh, "t")
+
+
+def test_sharded_extractor_int16_ingress(computer):
+    """Exact-int16 PCM lists ship compactly (int16 device buffers) and
+    produce bitwise the same features as the float path."""
+    mesh = par.make_mesh(("data",))
+    ex = par.ShardedExtractor(computer, mesh)
+    rng = np.random.RandomState(11)
+    sigs_i = [
+        (rng.randn(n) * 1000).astype(np.int16) for n in (900, 2048, 3001)
+    ]
+    sigs_f = [s.astype(np.float64) for s in sigs_i]
+    got_i = ex.extract(sigs_i)
+    got_f = ex.extract(sigs_f)
+    for a, b in zip(got_i, got_f):
+        assert a.dtype == b.dtype
+        assert np.array_equal(a, b)
+    # mixed-dtype batches fall back to the float transfer path
+    disp = ex._dispatch([sigs_i[0], sigs_f[1]])
+    assert len(ex._collect(*disp)) == 2
+
+
+def test_fine_bucket_lengths(computer):
+    """'fine' buckets hit {2^k, 3*2^(k-1)} and never shrink a signal."""
+    ex = par.ShardedExtractor(computer, bucket="fine")
+    exp = par.ShardedExtractor(computer)  # pow2
+    fl = computer.frame_length
+    assert ex.bucket_len(1) >= fl
+    for n in (fl, 1000, 1024, 1025, 1536, 1537, 2047, 2048, 100000):
+        b, p = ex.bucket_len(n), exp.bucket_len(n)
+        assert b >= max(n, fl) and p >= max(n, fl)
+        assert b <= p
+        assert b == p or b * 4 == p * 3  # 3*2^(k-1) grid
+    assert ex.bucket_len(1025) == 1536 and exp.bucket_len(1025) == 2048
+    with pytest.raises(ValueError):
+        par.ShardedExtractor(computer, bucket="powers-of-ten")
+
+
+def test_fine_buckets_match_pow2_results(computer):
+    exf = par.ShardedExtractor(computer, bucket="fine")
+    rng = np.random.RandomState(12)
+    signals = [rng.randn(n) for n in (1100, 2500, 3100)]
+    got = exf.extract(signals)
+    for sig, feats in zip(signals, got):
+        want = computer.compute_full(sig)
+        assert feats.shape == want.shape
+        assert np.allclose(feats, want, atol=1e-8)

@@ -645,3 +645,22 @@ def test_stream_server_warmup():
         server.close_session(h)
         out = np.concatenate(list(server.iter_results(h)))
         assert np.allclose(out, computer.compute_full(sig), atol=1e-8)
+
+
+def test_feature_server_int16_submissions_match_float():
+    """int16 PCM submissions ship compactly through the micro-batcher and
+    match float submissions bitwise (warmup can pre-build the int16-input
+    programs)."""
+    computer = _computer()
+    rng = np.random.RandomState(13)
+    sigs_i = [
+        (rng.randn(int(rng.randint(3000, 9000))) * 1000).astype(np.int16)
+        for _ in range(6)
+    ]
+    with FeatureServer(computer, max_batch=4, max_wait_ms=5.0) as server:
+        server.warmup([4096, 8192], dtype=np.int16)
+        got_i = server.extract_many(sigs_i)
+        got_f = server.extract_many([s.astype(np.float64) for s in sigs_i])
+    for a, b in zip(got_i, got_f):
+        assert a.dtype == b.dtype
+        assert np.array_equal(a, b)

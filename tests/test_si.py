@@ -327,3 +327,21 @@ def test_si_double_precision_guards():
         SIFrameComputer(dict(bank), dtype="float64", precision="accurate")
     with pytest.raises(ValueError):
         SIFrameComputer(dict(bank), conv_mode="direct", precision="accurate")
+
+
+def test_si_compute_batch_int16_ingress():
+    """Compact int16 SI batches match the float path bitwise."""
+    computer = SIFrameComputer(dict(BANKS[0]), include_energy=True, dtype="float64")
+    rng = np.random.RandomState(78)
+    buf_i = (rng.randn(3, 2048) * 1000).astype(np.int16)
+    buf_i[1, 1500:] = 0
+    buf_f = buf_i.astype(np.float64)
+    for lengths in (np.array([2048, 1500, 2048]), np.full(3, 2048)):
+        f_i, c_i = computer.compute_batch(buf_i, lengths)
+        f_f, c_f = computer.compute_batch(buf_f, lengths)
+        assert np.array_equal(np.asarray(c_i), np.asarray(c_f))
+        for i in range(3):
+            n = int(np.asarray(c_i)[i])
+            assert np.array_equal(
+                np.asarray(f_i)[i, :n], np.asarray(f_f)[i, :n]
+            )
