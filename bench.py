@@ -49,8 +49,8 @@ def _wait_for_backend(attempts: int = 5, delay_s: float = 60.0):
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-_wait_for_backend()
-enable_persistent_compilation_cache()
+# NOTE: called from __main__ only — importing bench must not init the
+# backend, sleep, or re-exec the importing process.
 
 
 def _throughput(computer, batch: int, seconds: int, rate: int = 16000):
@@ -293,4 +293,6 @@ def _full_chain_throughput(computer, batch: int, seconds: int, rate=16000):
 
 
 if __name__ == "__main__":
+    _wait_for_backend()
+    enable_persistent_compilation_cache()
     main()

@@ -407,59 +407,47 @@ def _signals_to_torch_feat_dir(options) -> int:
                 for utt_id, signal in loader():
                     save_timed(utt_id, postprocess(signal[:, None]))
             elif extractor is not None:
-                # one dispatched batch stays in flight so host read/pad of
-                # batch i+1 overlaps device compute of batch i ("dispatch"
-                # stage = host padding + async enqueue; "collect" = wait
-                # for device results + readback)
-                pending = None  # (utt_ids, dispatch handle)
+                # extract_iter keeps one dispatched batch in flight so
+                # host read/pad of batch i+1 overlaps device compute of
+                # batch i; batches are length-sorted within a bounded
+                # window so each pads (and transfers) to its own bucket
+                # rather than the window-wide maximum
+                bsz = options.batch_size
+                window = max(1, options.sort_window) * bsz
+                batch_utts = []  # utt lists, in dispatch order
 
-                def emit_pending():
-                    nonlocal pending
-                    if pending is None:
-                        return
-                    utts, disp = pending
-                    pending = None
-                    with timer.stage("collect"):
-                        batch_feats = extractor._collect(*disp)
-                    for utt_id, feats in zip(utts, batch_feats):
+                def batch_stream():
+                    wutts, wsigs = [], []
+
+                    def drain():
+                        order = sorted(
+                            range(len(wsigs)), key=lambda i: len(wsigs[i])
+                        )
+                        for s in range(0, len(order), bsz):
+                            idxs = order[s : s + bsz]
+                            batch_utts.append([wutts[i] for i in idxs])
+                            yield [wsigs[i] for i in idxs]
+                        wutts.clear()
+                        wsigs.clear()
+
+                    for utt_id, signal in loader():
+                        wutts.append(utt_id)
+                        wsigs.append(signal)
+                        if len(wutts) >= window:
+                            yield from drain()
+                    yield from drain()
+
+                for done, batch_feats in enumerate(
+                    extractor.extract_iter(
+                        # min_batch: trailing partial batches reuse the
+                        # full batches' compiled program
+                        batch_stream(), min_batch=bsz, timer=timer
+                    )
+                ):
+                    for utt_id, feats in zip(batch_utts[done], batch_feats):
                         save_timed(
                             utt_id, postprocess(np.asarray(feats, np.float64))
                         )
-
-                def flush(utts, sigs):
-                    nonlocal pending
-                    with timer.stage("dispatch"):
-                        # min_batch: the trailing partial batch reuses the
-                        # full batches' compiled program
-                        disp = extractor._dispatch(
-                            sigs, min_batch=options.batch_size
-                        )
-                    emit_pending()
-                    pending = (utts, disp)
-
-                window = max(1, options.sort_window) * options.batch_size
-                wutts, wsigs = [], []
-
-                def drain_window():
-                    # batch similar-length neighbors together: each batch
-                    # then pads (and transfers) to its own bucket rather
-                    # than the window-wide maximum
-                    order = sorted(
-                        range(len(wsigs)), key=lambda i: len(wsigs[i])
-                    )
-                    for s in range(0, len(order), options.batch_size):
-                        idxs = order[s : s + options.batch_size]
-                        flush([wutts[i] for i in idxs], [wsigs[i] for i in idxs])
-                    wutts.clear()
-                    wsigs.clear()
-
-                for utt_id, signal in loader():
-                    wutts.append(utt_id)
-                    wsigs.append(signal)
-                    if len(wutts) >= window:
-                        drain_window()
-                drain_window()
-                emit_pending()
             else:
                 for utt_id, signal in loader():
                     with timer.stage("compute"):
@@ -507,6 +495,13 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "mixed-length tables). Features are still written in table order "
         "— one window of audio+results is buffered on host, so the "
         "default of 1 keeps the strict O(batch) streaming footprint.",
+    )
+    parser.add_argument(
+        "--fine-buckets",
+        action="store_true",
+        help="Pad batches to {2^k, 3*2^(k-1)} length buckets instead of "
+        "powers of two (less padding waste, up to twice the compiled "
+        "programs)",
     )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)

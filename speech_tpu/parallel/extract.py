@@ -230,7 +230,7 @@ class ShardedExtractor:
             )
         return self._fn(batch, max_len, full)(signals, lengths)
 
-    def extract_iter(self, batches, min_batch: int = 0):
+    def extract_iter(self, batches, min_batch: int = 0, timer=None):
         """Double-buffered extraction over an iterable of signal lists.
 
         Dispatches batch ``i+1``'s (asynchronous) device computation before
@@ -238,15 +238,30 @@ class ShardedExtractor:
         device compute.  Yields one ``[(num_frames_j, num_coeffs)]`` list
         per input batch.  ``min_batch`` pads the batch dimension so a
         trailing partial batch reuses the full batches' compiled program.
+        ``timer`` (anything with a ``stage(name)`` context manager, e.g.
+        :class:`speech_tpu.profiling.StageTimer`) attributes host
+        padding + async enqueue to ``"dispatch"`` and the device wait +
+        readback to ``"collect"``.
         """
+        import contextlib
+
+        stage = (
+            timer.stage if timer is not None
+            else (lambda name: contextlib.nullcontext())
+        )
         pending = None  # (feats, counts, n)
         for signals in batches:
-            nxt = self._dispatch(signals, min_batch)
+            with stage("dispatch"):
+                nxt = self._dispatch(signals, min_batch)
             if pending is not None:
-                yield self._collect(*pending)
+                with stage("collect"):
+                    out = self._collect(*pending)
+                yield out
             pending = nxt
         if pending is not None:
-            yield self._collect(*pending)
+            with stage("collect"):
+                out = self._collect(*pending)
+            yield out
 
     def _dispatch(self, signals: Sequence[np.ndarray], min_batch: int = 0):
         """Start a batch asynchronously; ``min_batch`` pads the batch

@@ -206,6 +206,7 @@ class FeatureServer:
             tiers = [self._max_batch]
         done = set()
         for n in lengths:
+            n = max(int(n), 1)
             key = self._extractor.bucket_len(n)
             if key in done:
                 continue

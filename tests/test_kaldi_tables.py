@@ -310,3 +310,23 @@ def test_kaldi_tables_sort_window_preserves_table_order(fake_kaldi):
         want = computer.compute_full(table[utt][0][0]).astype(np.float32)
         assert out[utt].shape == want.shape, utt
         assert np.allclose(out[utt], want, atol=1e-5), utt
+
+
+def test_kaldi_tables_fine_buckets(fake_kaldi):
+    """--fine-buckets parses and the batched path still matches the
+    oracle (regression: the flag was once wired but unparsed here)."""
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(24)
+    tables["ark:wav.ark"] = {
+        "a": _wave_entry(rng, seconds=0.62),
+        "b": _wave_entry(rng, seconds=0.9),
+    }
+    cfg = str(COMPUTER_CONFIG).replace("'", '"')
+    rc = cli.compute_feats_from_kaldi_tables(
+        ["ark:wav.ark", "ark:f.ark", cfg, "--fine-buckets"]
+    )
+    assert rc == 0
+    computer = alias_factory_subclass_from_arg(FrameComputer, COMPUTER_CONFIG)
+    for utt, (buff, _, _) in tables["ark:wav.ark"].items():
+        want = computer.compute_full(buff[0]).astype(np.float32)
+        assert np.allclose(written["ark:f.ark"][utt], want, atol=1e-5), utt
