@@ -110,6 +110,9 @@ class FeatureCorpus:
         Host read window, in batches: utterances are loaded, length-sorted,
         and dispatched ``window_batches * batch_size`` at a time, so host
         memory is bounded by the window rather than the corpus size.
+    bucket
+        Length-bucket granularity (``"pow2"`` or ``"fine"``), forwarded
+        to :class:`~speech_tpu.parallel.ShardedExtractor`.
     """
 
     def __init__(
@@ -124,6 +127,7 @@ class FeatureCorpus:
         seed: Optional[int] = None,
         sort_by_length: bool = True,
         window_batches: int = 16,
+        bucket: str = "pow2",
     ):
         from .compute import FrameComputer
         from .parallel import ShardedExtractor
@@ -131,7 +135,7 @@ class FeatureCorpus:
 
         computer = alias_factory_subclass_from_arg(FrameComputer, computer)
         self.computer = computer
-        self.extractor = ShardedExtractor(computer, mesh)
+        self.extractor = ShardedExtractor(computer, mesh, bucket=bucket)
         if hasattr(utt2path, "items"):
             utt2path = list(utt2path.items())
         self.utt2path = list(utt2path)
@@ -152,7 +156,16 @@ class FeatureCorpus:
     def _load(self, item) -> Tuple[str, np.ndarray]:
         from .command_line import _load_utt
 
-        return _load_utt(item, self.preprocessors, -1, None, self.seed)
+        # compact: exact-int16 PCM ships to the device at half width when
+        # no host preprocessor touches the samples
+        return _load_utt(
+            item,
+            self.preprocessors,
+            -1,
+            None,
+            self.seed,
+            compact=not self.preprocessors,
+        )
 
     def __len__(self) -> int:
         return (len(self.utt2path) + self.batch_size - 1) // self.batch_size
