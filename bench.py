@@ -118,6 +118,8 @@ def main():
 
     chain_rt = _full_chain_throughput(stft, batch=128, seconds=15)
 
+    served_rt = _served_throughput(stft, n=256, batch=64, seconds=15)
+
     lat_ms, chunk_ms, pool_rt, pool_device_rt = _streaming_bench(stft)
 
     # the exact tier (<=1e-5 vs float64 on any signal; ~7e-7 measured)
@@ -153,6 +155,12 @@ def main():
                 "si_gammatone_rt_factor": round(si_rt, 1),
                 "si_gabor_rt_factor": round(si_gabor_rt, 1),
                 "full_chain_rt_factor": round(chain_rt, 1),
+                # FeatureServer sustained throughput: a 256-request burst
+                # of int16 PCM through the micro-batching, double-buffered
+                # dispatcher (host padding of batch i+1 overlaps device
+                # compute of batch i); results are host arrays, so every
+                # readback is included
+                "served_rt_factor": round(served_rt, 1),
                 # single-stream request-response latency per 100 ms chunk
                 # (readback-timed: includes the tunnel round trip) and the
                 # dispatch-amortized per-chunk cost (in-order queue, one
@@ -174,6 +182,29 @@ def main():
             }
         )
     )
+
+
+def _served_throughput(
+    computer, n: int, batch: int, seconds: int, rate: int = 16000
+):
+    """Sustained FeatureServer throughput (audio-sec/sec) on a burst of
+    ``n`` int16-PCM requests: micro-batching + the double-buffered
+    dispatcher + compact integer ingress, timed submit-to-last-result so
+    host padding, transfers, and result readbacks are all included."""
+    from speech_tpu.serve import FeatureServer
+
+    rng = np.random.RandomState(3)
+    length = seconds * rate
+    signals = [
+        (rng.randn(length) * 4096).astype(np.int16) for _ in range(n)
+    ]
+    with FeatureServer(computer, max_batch=batch, max_wait_ms=5.0) as srv:
+        srv.warmup([length], dtype=np.int16)
+        srv.extract_many(signals)  # warm pass (drop first-batch jitter)
+        start = time.perf_counter()
+        srv.extract_many(signals)
+        elapsed = time.perf_counter() - start
+    return n * seconds / elapsed
 
 
 def _streaming_bench(computer, rate: int = 16000):

@@ -169,3 +169,16 @@ def wds_read_signal(key, data):
     from .io import wds_read_signal as _wds
 
     return _wds(key, data)
+
+
+def alias_factory_subclass_from_arg(factory_class, arg):
+    """Compatibility re-export of
+    :func:`speech_tpu.alias.alias_factory_subclass_from_arg`.
+
+    The reference re-exports the alias-factory helper from its util module
+    (reference: util.py:28-34); the canonical home here is
+    :mod:`speech_tpu.alias`.
+    """
+    from .alias import alias_factory_subclass_from_arg as _impl
+
+    return _impl(factory_class, arg)

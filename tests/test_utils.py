@@ -112,3 +112,15 @@ def test_log32_accuracy():
     # xlog dispatches by dtype: float64 goes through jnp.log untouched
     v64 = np.asarray([0.5, 1.0, 3e10])
     assert np.allclose(np.asarray(xlog(v64)), np.log(v64), atol=1e-14)
+
+
+def test_utils_compat_reexports():
+    """The reference exposes the alias helper + signal readers from util
+    (reference: util.py:28-34, 362, 513); ours forward to their canonical
+    homes."""
+    from speech_tpu import utils
+    from speech_tpu.filters import LinearFilterBank
+
+    bank = utils.alias_factory_subclass_from_arg(LinearFilterBank, "fbank")
+    assert bank.num_filts == 40
+    assert utils.read_signal is not None and utils.wds_read_signal is not None
