@@ -15,7 +15,7 @@ short-integration computer is a bona fide vectorized torch implementation
 This module requires :mod:`torch`; import it lazily.
 """
 
-from typing import Optional
+from typing import Collection, Optional
 
 import numpy as np
 import torch
@@ -26,6 +26,8 @@ from .post import PostProcessor
 from .pre import Dither, Preemphasize
 
 __all__ = [
+    "check_in",
+    "check_positive",
     "pytorch_dither",
     "pytorch_preemphasize",
     "pytorch_si_frame_computer",
@@ -38,6 +40,28 @@ __all__ = [
     "PyTorchSTFTFrameComputer",
     "PyTorchSIFrameComputer",
 ]
+
+
+def check_in(name: str, val: str, choices: Collection[str]) -> None:
+    """Raise :class:`ValueError` unless ``val`` is one of ``choices``.
+
+    Public argument-validation helper mirroring the reference's torch
+    surface (reference: torch.py:61-64).
+    """
+    if val not in choices:
+        allowed = ", ".join(repr(c) for c in sorted(choices))
+        raise ValueError(f"{name} must be one of {allowed}; got {val!r}")
+
+
+def check_positive(name: str, val, nonnegative: bool = False) -> None:
+    """Raise :class:`ValueError` unless ``val`` > 0 (>= 0 if nonnegative).
+
+    Public argument-validation helper mirroring the reference's torch
+    surface (reference: torch.py:67-70).
+    """
+    if val < 0 or (val == 0 and not nonnegative):
+        kind = "non-negative" if nonnegative else "positive"
+        raise ValueError(f"{name} must be {kind}; got {val}")
 
 
 def pytorch_preemphasize(sig: torch.Tensor, coeff: float = 0.97) -> torch.Tensor:

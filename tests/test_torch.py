@@ -164,3 +164,16 @@ def test_stft_torch_empty():
     mod = stpu_torch.PyTorchSTFTFrameComputer.from_stft_frame_computer(computer)
     out = mod(torch.zeros(3))
     assert out.shape == (0, computer.num_coeffs)
+
+
+def test_check_helpers():
+    """Public validators on the torch surface (reference: torch.py:61-70)."""
+    stpu_torch.check_in("mode", "a", ("a", "b"))
+    with pytest.raises(ValueError, match="mode"):
+        stpu_torch.check_in("mode", "c", ("a", "b"))
+    stpu_torch.check_positive("n", 3)
+    stpu_torch.check_positive("n", 0, nonnegative=True)
+    with pytest.raises(ValueError, match="positive"):
+        stpu_torch.check_positive("n", 0)
+    with pytest.raises(ValueError, match="non-negative"):
+        stpu_torch.check_positive("n", -1, nonnegative=True)
