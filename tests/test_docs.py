@@ -57,7 +57,13 @@ def test_api_reference_resolves(module, name):
 
 
 def test_docs_files_exist():
-    for fname in ("overview.md", "api.md", "config.md", "tutorial.md"):
+    for fname in (
+        "overview.md",
+        "api.md",
+        "config.md",
+        "tutorial.md",
+        "migration.md",
+    ):
         assert os.path.exists(os.path.join(DOCS, fname)), fname
 
 
