@@ -127,7 +127,7 @@ def _vs_oracle(rows, oracle, prefix):
     )
 
 
-def tpu_main(smoke: bool = False) -> int:
+def tpu_main(smoke: bool = False, full: bool = False) -> int:
     # Launch the CPU-backend float64 oracle first so it overlaps with the
     # device compiles below.
     oracle_path = os.path.join(tempfile.mkdtemp(), "oracle.npz")
@@ -222,10 +222,51 @@ def tpu_main(smoke: bool = False) -> int:
         rows = _batch_valid(si, si16.astype(np.float32))
         battery.check(name, _vs_oracle(rows, oracle, "si"), tol, time.time() - t0)
 
+    n_checks = 9
+    if full:
+        n_checks += 2
+        from speech_tpu.serve import FeatureServer, StreamPool
+
+        # Serving-path results are separately compiled f32 programs (the
+        # bucket padding changes the frame count, hence reduction
+        # orders), so they carry the same error budget vs the float64
+        # oracle as the batch "highest" check — not bitwise equality
+        # with compute_full.
+        t0 = time.time()
+        computer = STFTFrameComputer(dict(BANK_STFT), **_stft_kwargs())
+        with FeatureServer(computer, max_batch=4) as srv:
+            served = srv.extract_many(list(sigs16))
+        battery.check(
+            "FeatureServer vs f64 oracle",
+            _vs_oracle(served, oracle, "stft"),
+            hi_tol,
+            time.time() - t0,
+        )
+
+        # StreamPool: concurrent vmapped sessions drain to batch parity
+        t0 = time.time()
+        pool = StreamPool(computer, slots=4, chunk_size=1600)
+        handles = [pool.open() for _ in range(4)]
+        for h, sig in zip(handles, sigs32):
+            pool.feed(h, sig)
+        outs = {h: [] for h in handles}
+        for _ in range(STFT_SECONDS * RATE // 1600 + 2):
+            for h, feats in pool.step(max_chunks=4):
+                outs[h].append(feats)
+        for h, feats in pool.close_many(handles):
+            outs[h].append(feats)
+        drained = [np.concatenate(outs[h]) for h in handles]
+        battery.check(
+            "StreamPool vs f64 oracle",
+            _vs_oracle(drained, oracle, "stft"),
+            hi_tol,
+            time.time() - t0,
+        )
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
-        f"({9 - n_fail}/9 passed)"
+        f"({n_checks - n_fail}/{n_checks} passed)"
         + (f" failures: {battery.failures}" if n_fail else ""),
         flush=True,
     )
@@ -241,11 +282,17 @@ def main():
         help="logic-validation run off-device: relax the 'highest' "
         "tolerances (CPU f32 matmuls have no HIGHEST accumulation tier)",
     )
+    parser.add_argument(
+        "--full",
+        action="store_true",
+        help="also validate the serving tier (FeatureServer, StreamPool) "
+        "against compute_full on the device",
+    )
     args = parser.parse_args()
     if args.oracle:
         oracle_main(args.oracle)
         return 0
-    return tpu_main(smoke=args.smoke)
+    return tpu_main(smoke=args.smoke, full=args.full)
 
 
 if __name__ == "__main__":
