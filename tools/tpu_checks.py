@@ -100,9 +100,11 @@ def oracle_main(out_path: str) -> None:
 class Battery:
     def __init__(self):
         self.failures = []
+        self.total = 0
 
     def check(self, name, err, tol, secs):
         ok = bool(err <= tol)
+        self.total += 1
         print(
             f"[{'PASS' if ok else 'FAIL'}] {name:34s} "
             f"max_err={err:.3e} tol={tol:.0e} ({secs:.1f}s)",
@@ -128,14 +130,19 @@ def _vs_oracle(rows, oracle, prefix):
 
 
 def tpu_main(smoke: bool = False, full: bool = False) -> int:
-    # Launch the CPU-backend float64 oracle first so it overlaps with the
-    # device compiles below.
+    # Launch the CPU-backend float64 oracle first; it overlaps with this
+    # process's jax import and device/backend initialization.
     oracle_path = os.path.join(tempfile.mkdtemp(), "oracle.npz")
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--oracle", oracle_path]
     )
 
     import jax
+
+    if smoke:
+        # force the CPU backend before any device/backend init (the
+        # JAX_PLATFORMS env var is ignored once a TPU plugin registers)
+        jax.config.update("jax_platforms", "cpu")
 
     from speech_tpu.compute import SIFrameComputer, STFTFrameComputer
     from speech_tpu.streaming import StreamingSTFT
@@ -168,18 +175,25 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         ),
     }
     results = {}
-    proc.wait()
-    if proc.returncode:
-        print("FATAL: float64 oracle subprocess failed", flush=True)
-        return 1
-    oracle = np.load(oracle_path)
+    oracle_box = {}
+
+    def oracle():
+        # Lazy wait: the oracle's CPU float64 compute overlaps this
+        # process's first (multi-minute, on tunneled runtimes) device
+        # compile, since every check reads its device rows back first.
+        if "o" not in oracle_box:
+            proc.wait()
+            if proc.returncode:
+                raise RuntimeError("float64 oracle subprocess failed")
+            oracle_box["o"] = np.load(oracle_path)
+        return oracle_box["o"]
 
     for name, (kw, tol) in tiers.items():
         t0 = time.time()
         computer = STFTFrameComputer(dict(BANK_STFT), **_stft_kwargs(**kw))
         rows = _batch_valid(computer, sigs32)
         results[name] = rows
-        battery.check(name, _vs_oracle(rows, oracle, "stft"), tol, time.time() - t0)
+        battery.check(name, _vs_oracle(rows, oracle(), "stft"), tol, time.time() - t0)
 
     # Pallas fused kernel vs the XLA digit path: same exact tier, two
     # independent realizations (measured 9.5e-7 apart on real v5e)
@@ -220,11 +234,9 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         t0 = time.time()
         si = SIFrameComputer(dict(BANK_SI), frame_shift_ms=10, **kw)
         rows = _batch_valid(si, si16.astype(np.float32))
-        battery.check(name, _vs_oracle(rows, oracle, "si"), tol, time.time() - t0)
+        battery.check(name, _vs_oracle(rows, oracle(), "si"), tol, time.time() - t0)
 
-    n_checks = 9
     if full:
-        n_checks += 2
         from speech_tpu.serve import FeatureServer, StreamPool
 
         # Serving-path results are separately compiled f32 programs (the
@@ -238,7 +250,7 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             served = srv.extract_many(list(sigs16))
         battery.check(
             "FeatureServer vs f64 oracle",
-            _vs_oracle(served, oracle, "stft"),
+            _vs_oracle(served, oracle(), "stft"),
             hi_tol,
             time.time() - t0,
         )
@@ -258,7 +270,7 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         drained = [np.concatenate(outs[h]) for h in handles]
         battery.check(
             "StreamPool vs f64 oracle",
-            _vs_oracle(drained, oracle, "stft"),
+            _vs_oracle(drained, oracle(), "stft"),
             hi_tol,
             time.time() - t0,
         )
@@ -266,7 +278,7 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
-        f"({n_checks - n_fail}/{n_checks} passed)"
+        f"({battery.total - n_fail}/{battery.total} passed)"
         + (f" failures: {battery.failures}" if n_fail else ""),
         flush=True,
     )
