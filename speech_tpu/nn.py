@@ -29,6 +29,7 @@ from .compute import STFTFrameComputer
 from .ops import framing as _framing
 
 __all__ = [
+    "PCEN",
     "STFTFrontend",
 ]
 
@@ -177,3 +178,84 @@ class STFTFrontend:
             return {
                 k: jnp.asarray(data[k], dtype=self.dtype) for k in data.files
             }
+
+
+class PCEN:
+    """Learnable per-channel energy normalization (Wang et al. 2017).
+
+    The trainable form of :func:`speech_tpu.ops.postops.pcen`: ``alpha``,
+    ``delta``, and ``power`` are per-channel leaves learned through their
+    logs (so they stay positive under gradient steps, the paper's
+    parameterization), and the smoother coefficient optionally through a
+    logit.  Compose after an :class:`STFTFrontend` built with
+    ``use_log=False`` — PCEN replaces log compression.
+
+    Functional module: ``params = PCEN(C).init()``;
+    ``out = layer.apply(params, feats)`` (or
+    ``out, state = layer.apply(params, feats, init_state=state,
+    return_state=True)`` when streaming).
+    """
+
+    def __init__(
+        self,
+        num_channels: int,
+        smooth: float = 0.025,
+        alpha: float = 0.98,
+        delta: float = 2.0,
+        power: float = 0.5,
+        eps: float = 1e-6,
+        learn_smooth: bool = False,
+        dtype=jnp.float32,
+    ):
+        if not 0.0 < smooth <= 1.0:
+            raise ValueError(f"Expected smooth in (0, 1], got {smooth}")
+        self.num_channels = int(num_channels)
+        self._smooth = float(smooth)
+        self._alpha = float(alpha)
+        self._delta = float(delta)
+        self._power = float(power)
+        self.eps = float(eps)
+        self.learn_smooth = bool(learn_smooth)
+        self.dtype = dtype
+
+    def init(self) -> dict:
+        """Per-channel parameter pytree at the configured initial values."""
+        full = lambda v: jnp.full((self.num_channels,), v, dtype=self.dtype)
+        params = {
+            "log_alpha": full(np.log(self._alpha)),
+            "log_delta": full(np.log(self._delta)),
+            "log_power": full(np.log(self._power)),
+        }
+        if self.learn_smooth:
+            params["smooth_logit"] = full(
+                np.log(self._smooth) - np.log1p(-self._smooth)
+            )
+        return params
+
+    def apply(
+        self,
+        params: dict,
+        features,
+        init_state=None,
+        time_axis: int = -2,
+        return_state: bool = False,
+    ):
+        """PCEN of linear features ``(..., time, num_channels)``."""
+        from .ops.postops import pcen
+
+        smooth = (
+            jax.nn.sigmoid(params["smooth_logit"])
+            if "smooth_logit" in params
+            else self._smooth
+        )
+        return pcen(
+            features,
+            smooth=smooth,
+            alpha=jnp.exp(params["log_alpha"]),
+            delta=jnp.exp(params["log_delta"]),
+            power=jnp.exp(params["log_power"]),
+            eps=self.eps,
+            init_state=init_state,
+            time_axis=time_axis,
+            return_state=return_state,
+        )

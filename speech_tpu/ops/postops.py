@@ -14,8 +14,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .xmath import xlog
+
 __all__ = [
     "delta_filters",
+    "pcen",
     "deltas",
     "stack",
     "standardize",
@@ -147,3 +150,76 @@ def standardize_with_stats(
     scales = scales.reshape(shape)
     means = means.reshape(shape)
     return features * scales - means * scales
+
+
+def pcen(
+    features,
+    smooth=0.025,
+    alpha=0.98,
+    delta=2.0,
+    power=0.5,
+    eps: float = 1e-6,
+    init_state=None,
+    time_axis: int = -2,
+    return_state: bool = False,
+):
+    """Per-channel energy normalization (PCEN, Wang et al. 2017).
+
+    ``PCEN = (E / (eps + M)^alpha + delta)^power - delta^power`` where
+    ``M`` is the first-order IIR smoother ``M_t = (1-s) M_{t-1} + s E_t``.
+    Applies to *linear* (magnitude or power) features — PCEN replaces log
+    compression, so build the computer with ``use_log=False``.
+
+    TPU-first formulation: the smoother is a first-order linear
+    recurrence, realized as a :func:`jax.lax.associative_scan` over the
+    time axis (log-depth parallel prefix instead of a sequential frame
+    loop), so the whole op stays a handful of fused elementwise passes.
+
+    ``smooth``/``alpha``/``delta``/``power`` may be scalars or per-channel
+    arrays broadcastable against the feature (last) axis; all are
+    differentiable.  ``init_state`` is the smoother carry ``M_{-1}``
+    (per-channel, broadcastable): ``None`` starts the smoother at the
+    first frame's energy (no attack transient).  With ``return_state``
+    the final smoother state is returned too — thread it through
+    successive chunks to stream PCEN exactly:
+    ``out_k, state = pcen(chunk_k, ..., init_state=state,
+    return_state=True)`` equals one call over the concatenation.
+    """
+    features = jnp.asarray(features)
+    time_axis = time_axis % features.ndim
+    smooth = jnp.asarray(smooth, dtype=features.dtype)
+    decay = 1.0 - smooth
+    b = smooth * features
+    # fold the initial state into the first element so the prefix scan
+    # directly yields M_t; M_{-1} = E_0 by default (steady start)
+    first = jax.lax.index_in_dim(features, 0, axis=time_axis)
+    if init_state is None:
+        m0 = first
+    else:
+        m0 = jnp.asarray(init_state, features.dtype)
+        if m0.ndim == features.ndim - 1:  # the return_state convention
+            m0 = jnp.expand_dims(m0, time_axis)
+    b0 = decay * jnp.broadcast_to(m0, first.shape) + smooth * first
+    b = jax.lax.concatenate(
+        [b0, jax.lax.slice_in_dim(b, 1, None, axis=time_axis)], time_axis
+    )
+    a = jnp.broadcast_to(decay, features.shape)
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, b_l * a_r + b_r
+
+    _, m = jax.lax.associative_scan(combine, (a, b), axis=time_axis)
+    alpha = jnp.asarray(alpha, features.dtype)
+    delta = jnp.asarray(delta, features.dtype)
+    power = jnp.asarray(power, features.dtype)
+    # (eps + M)^-alpha via exp/log: M >= 0, and the faithful xlog keeps
+    # the gain accurate on f32 TPU paths
+    gain = jnp.exp(-alpha * xlog(eps + m))
+    out = (features * gain + delta) ** power - delta ** power
+    if return_state:
+        return out, jax.lax.index_in_dim(
+            m, m.shape[time_axis] - 1, axis=time_axis, keepdims=False
+        )
+    return out

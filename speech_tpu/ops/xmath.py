@@ -38,8 +38,16 @@ _C7 = np.float32(1 / 7)
 _C9 = np.float32(1 / 9)
 
 
+@jax.custom_jvp
 def log32(x):
-    """Natural log of positive normal float32 values to ~2 ulp."""
+    """Natural log of positive normal float32 values to ~2 ulp.
+
+    Differentiable: the bit-level exponent/mantissa split below blocks
+    autodiff (``bitcast_convert_type`` has no gradient), so the exact
+    derivative ``1/x`` is attached as a custom JVP — without it every
+    gradient flowing through an f32 feature log (trainable frontends,
+    PCEN) is silently zero.
+    """
     x = jnp.asarray(x, jnp.float32)
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     e = (bits >> 23) - 127
@@ -57,6 +65,13 @@ def log32(x):
     poly = _C3 + t * (_C5 + t * (_C7 + t * _C9))
     log_m = two_s + two_s * t * poly
     return e * _LN2_HI + (log_m + e * _LN2_LO)
+
+
+@log32.defjvp
+def _log32_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    x = jnp.asarray(x, jnp.float32)
+    return log32(x), jnp.asarray(dx, jnp.float32) / x
 
 
 def xlog(x):

@@ -20,6 +20,7 @@ from .alias import AliasedFactory
 __all__ = [
     "CMVN",
     "Deltas",
+    "PCEN",
     "PostProcessor",
     "Stack",
     "Standardize",
@@ -407,3 +408,77 @@ class Stack(PostProcessor):
             feat_slice[time_axis] = slice(i, T, self.num_vectors)
             buffs.append(features[tuple(feat_slice)])
         return np.concatenate(buffs, axis)
+
+
+class PCEN(PostProcessor):
+    """Per-channel energy normalization (Wang et al. 2017).
+
+    ``PCEN = (E / (eps + M)^alpha + delta)^power - delta^power`` with the
+    per-channel IIR smoother ``M_t = (1 - smooth) M_{t-1} + smooth E_t``
+    (started at the first frame's energy).  A trainable-frontend-era
+    alternative to log compression + CMVN: apply it to *linear*
+    (magnitude or power) features, i.e. computers built with
+    ``use_log=False``.  No reference counterpart; the jittable device
+    twin is :func:`speech_tpu.ops.postops.pcen` (an associative-scan
+    formulation), and the learnable form is
+    :class:`speech_tpu.nn.PCEN`.
+
+    Parameters
+    ----------
+    smooth
+        Smoother coefficient in (0, 1].
+    alpha
+        Gain exponent (scalar or per-channel array).
+    delta
+        Stabilized-root bias.
+    power
+        Compression exponent.
+    eps
+        Smoother floor.
+    time_axis
+        Axis the smoother runs along.
+    """
+
+    aliases = {"pcen"}
+
+    def __init__(
+        self,
+        smooth: float = 0.025,
+        alpha=0.98,
+        delta=2.0,
+        power=0.5,
+        eps: float = 1e-6,
+        time_axis: int = 0,
+    ):
+        if not 0.0 < smooth <= 1.0:
+            raise ValueError(f"Expected smooth in (0, 1], got {smooth}")
+        self.smooth = float(smooth)
+        self.alpha = np.asarray(alpha, dtype=np.float64)
+        self.delta = np.asarray(delta, dtype=np.float64)
+        self.power = np.asarray(power, dtype=np.float64)
+        self.eps = float(eps)
+        self.time_axis = time_axis
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        features = np.asarray(features, dtype=np.float64)
+        axis = axis % features.ndim
+        time_axis = self.time_axis % features.ndim
+        if axis == time_axis:
+            raise RuntimeError(f"feature and time axes are the same ({axis})")
+        # broadcast per-channel parameters along the feature axis
+        shape = [1] * features.ndim
+        shape[axis] = -1
+        alpha = self.alpha.reshape(shape) if self.alpha.ndim else self.alpha
+        delta = self.delta.reshape(shape) if self.delta.ndim else self.delta
+        power = self.power.reshape(shape) if self.power.ndim else self.power
+        mov = np.moveaxis(features, time_axis, 0)
+        m = mov[0].copy()
+        smoothed = np.empty_like(mov)
+        for t in range(mov.shape[0]):
+            m += self.smooth * (mov[t] - m)
+            smoothed[t] = m
+        m = np.moveaxis(smoothed, 0, time_axis)
+        gain = np.exp(-alpha * np.log(self.eps + m))
+        return (features * gain + delta) ** power - delta ** power

@@ -160,6 +160,31 @@ def test_frontend_gradients_finite(computer):
         assert np.abs(np.asarray(leaf)).max() > 0
 
 
+def test_frontend_f32_gradients_flow(computer):
+    """float32 frontend gradients must be nonzero AND track the float64
+    ones: the production f32 log (ops/xmath.log32) splits bits with
+    bitcast ops that block autodiff, so without its custom JVP every
+    gradient through the feature log was silently zero (regression)."""
+    rng = np.random.RandomState(12)
+    signals = rng.randn(2, 1600)
+    grads = {}
+    for dtype in (jnp.float32, jnp.float64):
+        frontend = stpu_nn.STFTFrontend(computer, dtype=dtype)
+        params, consts = frontend.init()
+
+        def loss(p):
+            return jnp.mean(
+                frontend.apply(p, consts, jnp.asarray(signals, dtype)) ** 2
+            )
+
+        grads[dtype] = jax.grad(loss)(params)
+    for key in grads[jnp.float64]:
+        g32 = np.asarray(grads[jnp.float32][key], np.float64)
+        g64 = np.asarray(grads[jnp.float64][key])
+        scale = max(np.abs(g64).max(), 1e-30)
+        assert np.abs(g32 - g64).max() < 1e-3 * scale, key
+
+
 def test_frontend_sharded_train_step(computer):
     """A dp x filt sharded gradient step compiles and runs on the mesh."""
     mesh = par.make_mesh(("data", "filt"), shape=(-1, 2))

@@ -124,3 +124,23 @@ def test_utils_compat_reexports():
     bank = utils.alias_factory_subclass_from_arg(LinearFilterBank, "fbank")
     assert bank.num_filts == 40
     assert utils.read_signal is not None and utils.wds_read_signal is not None
+
+
+def test_log32_gradient_exact():
+    """log32's bit-split blocks autodiff, so it carries a custom JVP with
+    the exact derivative 1/x — both AD directions must produce it
+    (regression: gradients through every f32 feature log were silently
+    zero without it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_tpu.ops.xmath import log32, xlog
+
+    x = np.asarray([1e-4, 0.3, 1.0, 42.0, 3e5], np.float32)
+    grad = np.asarray(jax.vmap(jax.grad(log32))(x))
+    assert np.allclose(grad, 1.0 / x, rtol=1e-6)
+    _, jvp = jax.jvp(log32, (x,), (np.ones_like(x),))
+    assert np.allclose(np.asarray(jvp), 1.0 / x, rtol=1e-6)
+    # the f32 xlog dispatch path is the one production code hits
+    gx = np.asarray(jax.grad(lambda v: jnp.sum(xlog(v)))(x))
+    assert np.allclose(gx, 1.0 / x, rtol=1e-6)
