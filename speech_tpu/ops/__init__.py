@@ -6,4 +6,12 @@ config, safe to ``jax.jit``/``vmap``/``shard_map``.  Host-side precompute
 two together live in :mod:`speech_tpu.compute`.
 """
 
-from . import framing, pallas_stft, postops, si, stft, xmath  # noqa: F401
+from . import (  # noqa: F401
+    augment,
+    framing,
+    pallas_stft,
+    postops,
+    si,
+    stft,
+    xmath,
+)
