@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     framing,
     pallas_stft,
     postops,
+    resample,
     si,
     stft,
     xmath,

@@ -1,0 +1,102 @@
+"""Rational-ratio polyphase resampling as slice-framing + one matmul.
+
+No reference counterpart (pydrobert-speech requires the caller to match
+``sampling_rate``); sample-rate mismatch is the most common ingestion
+problem, so the framework ships a resampler built the way everything
+else here is built: the polyphase decomposition turns
+upsample-filter-downsample into *gather-free slice framing at stride M
+plus a single ``(W, L)`` MXU matmul*.
+
+Derivation: with reduced ratio ``L/M`` and a centered odd FIR ``h`` of
+half-width ``K``, output ``i = j*L + p`` is
+``y[i] = sum_k h[p*M + K - L*k] x[j*M + k]`` — block ``j`` reads one
+window of the input at stride ``M``, and phase ``p`` dots it with a
+fixed row of the phase matrix.  So ``Y = frames @ Phi^T`` with
+``frames`` from :func:`speech_tpu.ops.framing.frame_padded` (static
+strided slices) and ``Phi[p, k] = h[p*M + K - L*(k + k_min)]``.
+
+The anti-alias/anti-image FIR is the classic Kaiser-windowed sinc at
+cutoff ``1/max(L, M)`` — the same design (half-width ``10*max(L, M)``,
+beta 5.0) scipy's ``resample_poly`` defaults to, so float64 outputs
+match scipy to roundoff (tested).
+"""
+
+from math import gcd
+from typing import Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import framing as _framing
+
+__all__ = ["resample", "resample_matrices"]
+
+
+def resample_matrices(up: int, down: int, half_width: int = 10, beta: float = 5.0):
+    """Host precompute: ``(Phi, k_min)`` for a reduced ``up/down`` ratio.
+
+    ``Phi`` is the float64 ``(up, W)`` phase-filter matrix; window ``j``
+    of the input (``W`` samples starting at ``j*down + k_min``) maps to
+    output block ``j`` (phases ``0..up-1``) via ``window @ Phi.T``.
+    """
+    L, M = int(up), int(down)
+    K = half_width * max(L, M)
+    n = np.arange(-K, K + 1, dtype=np.float64)
+    cutoff = 1.0 / max(L, M)
+    h = cutoff * np.sinc(cutoff * n) * np.kaiser(2 * K + 1, beta)
+    h *= L / h.sum()  # unit DC gain, then the interpolation gain L
+    # phase p of output block j reads input samples j*M + k for
+    # k in [k_min, k_max]; taps outside h's support are zero
+    k_min = -(K // L) - 1
+    k_max = ((L - 1) * M + K) // L
+    W = k_max - k_min + 1
+    phi = np.zeros((L, W), dtype=np.float64)
+    for p in range(L):
+        idx = p * M + K - L * (np.arange(k_min, k_max + 1))
+        valid = (idx >= 0) & (idx <= 2 * K)
+        phi[p, valid] = h[idx[valid]]
+    return phi, k_min
+
+
+def resample(
+    signal,
+    up: int,
+    down: int,
+    half_width: int = 10,
+    beta: float = 5.0,
+    precision: Union[str, jax.lax.Precision] = jax.lax.Precision.HIGHEST,
+):
+    """Resample ``(..., N)`` signals by the rational factor ``up/down``.
+
+    Jittable for static shapes; batched over leading axes (the framing
+    vmaps as batched static slices).  Returns ``(..., ceil(N*up/down))``
+    in the input's (floating) dtype; the signal is treated as zero
+    outside its extent (scipy ``resample_poly`` semantics).
+    """
+    g = gcd(int(up), int(down))
+    L, M = int(up) // g, int(down) // g
+    signal = jnp.asarray(signal)
+    if not jnp.issubdtype(signal.dtype, jnp.floating):
+        signal = signal.astype(jnp.float32)
+    N = signal.shape[-1]
+    if L == 1 and M == 1:
+        return signal
+    n_out = -(-N * L // M)
+    n_blocks = -(-n_out // L)
+    phi, k_min = resample_matrices(L, M, half_width, beta)
+    W = phi.shape[1]
+    phi = jnp.asarray(phi.T, dtype=signal.dtype)  # (W, L)
+    pad_left = -k_min
+    pad_right = max((n_blocks - 1) * M + k_min + W - N, 0)
+
+    def one(sig):
+        padded = jnp.pad(sig, (pad_left, pad_right))
+        frames = _framing.frame_padded(padded, n_blocks, W, M)
+        out = jnp.matmul(frames, phi, precision=precision)
+        return out.reshape(n_blocks * L)[:n_out]
+
+    for _ in range(signal.ndim - 1):
+        one = jax.vmap(one)
+    return one(signal)
