@@ -202,6 +202,16 @@ def _signals_to_torch_feat_dir_parse_args(args):
         help="Log per-stage timings; with a directory argument, also "
         "capture a TensorBoard device trace there",
     )
+    parser.add_argument(
+        "--resample-from",
+        type=_nonneg_int_type,
+        default=None,
+        metavar="HZ",
+        help="Treat every mapped signal as sampled at this rate and "
+        "polyphase-resample it to the computer's sampling rate on load "
+        "(requires a computer config; raw sources like npy carry no "
+        "rate of their own)",
+    )
     return parser.parse_args(args)
 
 
@@ -229,13 +239,21 @@ def _compact_pcm(signal: np.ndarray) -> np.ndarray:
     return signal.astype(np.int16)
 
 
-def _load_utt(item, preprocessors, channel, force_as, seed, compact=False):
+def _load_utt(
+    item, preprocessors, channel, force_as, seed, compact=False, resample=None
+):
     idx, (utt_id, path) = item
     try:
         signal = read_signal(path, dtype=np.float64, force_as=force_as, key=utt_id)
     except Exception as e:
         raise IOError(f"Utterance {utt_id}: {e}") from e
     signal = _select_channel(signal, channel, utt_id)
+    if resample is not None:
+        # (target, source) rates; before preprocessors so e.g. dither
+        # noise is drawn at the rate the computer will see
+        from .ops.resample import resample_np
+
+        signal = resample_np(signal, resample[0], resample[1])
     if preprocessors:
         # the host preprocessors draw from numpy's global RNG (reference
         # parity); serialize the seeded region so worker threads stay
@@ -322,6 +340,25 @@ def _signals_to_torch_feat_dir(options) -> int:
         computer = alias_factory_subclass_from_arg(
             FrameComputer, options.computer_config
         )
+    resample_rates = None
+    if options.resample_from is not None:
+        if computer is None:
+            print(
+                "--resample-from requires a computer config (the target "
+                "rate is the computer's sampling rate)",
+                file=sys.stderr,
+            )
+            return 1
+        target = int(computer.bank.sampling_rate)
+        if target != computer.bank.sampling_rate:
+            print(
+                "--resample-from requires an integer computer sampling "
+                f"rate, got {computer.bank.sampling_rate}",
+                file=sys.stderr,
+            )
+            return 1
+        if target != options.resample_from:
+            resample_rates = (target, options.resample_from)
     preprocessors, postprocessors = _build_processors(options)
     os.makedirs(options.dir, exist_ok=True)
     if computer is not None:
@@ -387,6 +424,7 @@ def _signals_to_torch_feat_dir(options) -> int:
                 # (compute_full would type its *output* off the input
                 # dtype, so only the extractor path downcasts)
                 compact=extractor is not None,
+                resample=resample_rates,
             ),
             items,
         )
@@ -503,6 +541,13 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "powers of two (less padding waste, up to twice the compiled "
         "programs)",
     )
+    parser.add_argument(
+        "--resample",
+        action="store_true",
+        help="Polyphase-resample utterances whose table sample rate "
+        "differs from the computer's instead of skipping them (the "
+        "default mirrors the reference: warn and produce no output)",
+    )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -566,7 +611,13 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
                     duration,
                 )
                 continue
-            elif samp_freq != computer.bank.sampling_rate:
+            needs_resample = samp_freq != computer.bank.sampling_rate
+            if needs_resample and not (
+                options.resample
+                and samp_freq == int(samp_freq)
+                and computer.bank.sampling_rate
+                == int(computer.bank.sampling_rate)
+            ):
                 logger.warning(
                     "Sample frequency mismatch for file %s: you specified "
                     "%.2f but data has %.2f: producing no output",
@@ -593,6 +644,12 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
                 )
                 continue
             buff = buff[cur_chan].astype(np.float64, copy=False)
+            if needs_resample:
+                from .ops.resample import resample_np
+
+                buff = resample_np(
+                    buff, int(computer.bank.sampling_rate), int(samp_freq)
+                )
             for preprocessor in preprocessors:
                 buff = preprocessor.apply(buff, in_place=True)
             if not preprocessors and use_batched:

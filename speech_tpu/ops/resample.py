@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from . import framing as _framing
 
-__all__ = ["resample", "resample_matrices"]
+__all__ = ["resample", "resample_matrices", "resample_np"]
 
 
 def resample_matrices(up: int, down: int, half_width: int = 10, beta: float = 5.0):
@@ -100,3 +100,29 @@ def resample(
     for _ in range(signal.ndim - 1):
         one = jax.vmap(one)
     return one(signal)
+
+
+def resample_np(signal, up: int, down: int, half_width: int = 10, beta: float = 5.0):
+    """Host (numpy, float64) twin of :func:`resample` for ingestion paths.
+
+    The CLIs resample per utterance while decoding on the host — a
+    device round trip per utterance would serialize the pipeline on
+    tunneled runtimes — so this runs the same phase-matrix product with
+    a strided numpy view.  1-D in, 1-D out; exact to :func:`resample`'s
+    float64 path (same matrices, same framing).
+    """
+    g = gcd(int(up), int(down))
+    L, M = int(up) // g, int(down) // g
+    signal = np.asarray(signal, dtype=np.float64)
+    N = signal.shape[-1]
+    if L == 1 and M == 1:
+        return signal
+    n_out = -(-N * L // M)
+    n_blocks = -(-n_out // L)
+    phi, k_min = resample_matrices(L, M, half_width, beta)
+    W = phi.shape[1]
+    pad_left = -k_min
+    pad_right = max((n_blocks - 1) * M + k_min + W - N, 0)
+    padded = np.pad(signal, (pad_left, pad_right))
+    frames = np.lib.stride_tricks.sliding_window_view(padded, W)[::M]
+    return (frames[:n_blocks] @ phi.T).reshape(n_blocks * L)[:n_out]

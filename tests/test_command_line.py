@@ -307,3 +307,40 @@ def test_sort_window_invariant_outputs(wav_dir, temp_dir):
     assert outs["1"].keys() == outs["4"].keys()
     for f in outs["1"]:
         assert torch.equal(outs["1"][f], outs["4"][f]), f
+
+
+def test_signals_resample_from(wav_dir, temp_dir):
+    """--resample-from 8000 with a 16 kHz computer: outputs equal
+    directly computing on host-resampled audio."""
+    torch = pytest.importorskip("torch")
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.io import read_signal
+    from speech_tpu.ops.resample import resample_np
+
+    cfg = json.loads(COMPUTER_JSON)
+    cfg["bank"]["sampling_rate"] = 16000
+    out_dir = os.path.join(temp_dir, "feats_rs")
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, json.dumps(cfg), out_dir, "--resample-from", "8000",
+         "--batch-size", "4"]
+    )
+    assert rc == 0
+    computer = alias_factory_subclass_from_arg(FrameComputer, cfg)
+    with open(wav_dir) as f:
+        utt2path = dict(line.split() for line in f)
+    for utt, path in sorted(utt2path.items())[:5]:
+        sig = resample_np(read_signal(path, dtype=np.float64), 16000, 8000)
+        want = np.asarray(computer.compute_full(sig))
+        got = torch.load(os.path.join(out_dir, utt + ".pt")).numpy()
+        assert got.shape == want.shape, utt
+        assert np.allclose(got, want, atol=1e-4), utt
+
+
+def test_signals_resample_from_requires_computer(wav_dir, temp_dir, capsys):
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, os.path.join(temp_dir, "feats_rs2"), "--resample-from",
+         "8000"]
+    )
+    assert rc == 1
+    assert "computer config" in capsys.readouterr().err

@@ -330,3 +330,35 @@ def test_kaldi_tables_fine_buckets(fake_kaldi):
     for utt, (buff, _, _) in tables["ark:wav.ark"].items():
         want = computer.compute_full(buff[0]).astype(np.float32)
         assert np.allclose(written["ark:f.ark"][utt], want, atol=1e-5), utt
+
+
+def test_kaldi_tables_resample_flag(fake_kaldi):
+    """A rate-mismatched utterance is skipped by default (reference
+    semantics) but resampled to the computer's rate under --resample."""
+    from speech_tpu.ops.resample import resample_np
+
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(23)
+    tables["ark:wav.ark"] = {
+        "ok": _wave_entry(rng),
+        "fast": _wave_entry(rng, rate=16000),
+    }
+    cfg = str(COMPUTER_CONFIG).replace("'", '"')
+    rc = cli.compute_feats_from_kaldi_tables(
+        ["ark:wav.ark", "ark:skip.ark", cfg]
+    )
+    assert rc == 0
+    assert set(written["ark:skip.ark"]) == {"ok"}
+
+    rc = cli.compute_feats_from_kaldi_tables(
+        ["ark:wav.ark", "ark:rs.ark", cfg, "--resample", "--batch-size", "2"]
+    )
+    assert rc == 0
+    out = written["ark:rs.ark"]
+    assert set(out) == {"ok", "fast"}
+    computer = alias_factory_subclass_from_arg(FrameComputer, COMPUTER_CONFIG)
+    buff = tables["ark:wav.ark"]["fast"][0][0]
+    want = computer.compute_full(resample_np(buff, 8000, 16000))
+    assert np.allclose(out["fast"], want, atol=1e-4)
+    want_ok = computer.compute_full(tables["ark:wav.ark"]["ok"][0][0])
+    assert np.allclose(out["ok"], want_ok, atol=1e-4)
