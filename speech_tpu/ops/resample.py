@@ -84,6 +84,29 @@ def resample(
     if L == 1 and M == 1:
         return signal
     n_out = -(-N * L // M)
+    if L == 1:
+        # pure decimation: a strided conv materializes nothing, while
+        # the framing path writes W~(2K/L+M)-times-inflated frames to
+        # HBM — measured 8.7 vs 24 ms on a v5e 128x15 s batch at 1/2.
+        # (The L>1 analog, lhs_dilation, lowers poorly on TPU: 61 vs
+        # 17 ms at 3/2 — upsampling keeps the framing+matmul form.)
+        K = half_width * M
+        n = np.arange(-K, K + 1, dtype=np.float64)
+        cutoff = 1.0 / M
+        h = cutoff * np.sinc(cutoff * n) * np.kaiser(2 * K + 1, beta)
+        h /= h.sum()
+        kernel = jnp.asarray(h[::-1].copy(), signal.dtype).reshape(1, 1, -1)
+        batch_shape = signal.shape[:-1]
+        lhs = signal.reshape((-1, 1, N))
+        pad_right = (n_out - 1) * M + K + 1 - N
+        out = jax.lax.conv_general_dilated(
+            lhs,
+            kernel,
+            window_strides=(M,),
+            padding=[(K, max(pad_right, 0))],
+            precision=precision,
+        )
+        return out[:, 0, :n_out].reshape(batch_shape + (n_out,))
     n_blocks = -(-n_out // L)
     phi, k_min = resample_matrices(L, M, half_width, beta)
     W = phi.shape[1]
