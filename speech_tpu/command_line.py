@@ -342,6 +342,13 @@ def _signals_to_torch_feat_dir(options) -> int:
         )
     resample_rates = None
     if options.resample_from is not None:
+        if options.resample_from <= 0:
+            print(
+                "--resample-from must be a positive rate, got "
+                f"{options.resample_from}",
+                file=sys.stderr,
+            )
+            return 1
         if computer is None:
             print(
                 "--resample-from requires a computer config (the target "

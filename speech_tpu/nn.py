@@ -209,6 +209,12 @@ class PCEN:
     ):
         if not 0.0 < smooth <= 1.0:
             raise ValueError(f"Expected smooth in (0, 1], got {smooth}")
+        if learn_smooth and smooth >= 1.0:
+            # the logit parameterization needs an interior point
+            raise ValueError(
+                "learn_smooth requires smooth < 1 (the initial logit of "
+                "1.0 is infinite)"
+            )
         self.num_channels = int(num_channels)
         self._smooth = float(smooth)
         self._alpha = float(alpha)

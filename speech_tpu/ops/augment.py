@@ -115,6 +115,13 @@ def spec_augment(
     T, F = features.shape[-2], features.shape[-1]
     kf, kt = jax.random.split(jnp.asarray(key))
     masked = jnp.zeros(features.shape, bool)
+    valid = None
+    if lengths is not None:
+        # (batch..., T, 1) validity mask for the frames inside each
+        # example's true length
+        valid = jnp.arange(T).reshape(
+            (1,) * len(batch_shape) + (T, 1)
+        ) < jnp.asarray(lengths).reshape(tuple(batch_shape) + (1, 1))
     if num_freq_masks and freq_mask_param:
         fmask = _axis_mask(kf, F, num_freq_masks, freq_mask_param, batch_shape, None)
         masked = masked | fmask[..., None, :]
@@ -123,23 +130,16 @@ def spec_augment(
             kt, T, num_time_masks, time_mask_param, batch_shape, lengths
         )
         masked = masked | tmask[..., :, None]
-    if lengths is not None:
+    if valid is not None:
         # padded frames pass through untouched (frequency masks too): a
         # bucketed batch's padding stays bit-identical to its input
-        valid = jnp.arange(T).reshape(
-            (1,) * len(batch_shape) + (T, 1)
-        ) < jnp.asarray(lengths).reshape(tuple(batch_shape) + (1, 1))
         masked = masked & valid
     if isinstance(mask_value, str):
         if mask_value != "mean":
             raise ValueError(f"mask_value must be a float or 'mean', got {mask_value!r}")
-        if lengths is None:
+        if valid is None:
             fill = features.mean(axis=(-2, -1), keepdims=True)
         else:
-            valid = (
-                jnp.arange(T).reshape((1,) * len(batch_shape) + (T, 1))
-                < jnp.asarray(lengths).reshape(tuple(batch_shape) + (1, 1))
-            )
             denom = jnp.maximum(
                 valid.sum(axis=(-2, -1), keepdims=True) * F, 1
             )

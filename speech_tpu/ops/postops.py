@@ -214,10 +214,14 @@ def pcen(
     alpha = jnp.asarray(alpha, features.dtype)
     delta = jnp.asarray(delta, features.dtype)
     power = jnp.asarray(power, features.dtype)
-    # (eps + M)^-alpha via exp/log: M >= 0, and the faithful xlog keeps
-    # the gain accurate on f32 TPU paths
+    # every power lowers via exp/xlog rather than lax.pow: non-integer
+    # pow expands through the TPU's hardware f32 log (~1e-4 abs error —
+    # the exact term log32 exists to remove); all bases here are >= 0,
+    # and log32(0) -> ~-88 so exp(p * .) underflows gracefully to 0
     gain = jnp.exp(-alpha * xlog(eps + m))
-    out = (features * gain + delta) ** power - delta ** power
+    out = jnp.exp(power * xlog(features * gain + delta)) - jnp.exp(
+        power * xlog(delta)
+    )
     if return_state:
         return out, jax.lax.index_in_dim(
             m, m.shape[time_axis] - 1, axis=time_axis, keepdims=False

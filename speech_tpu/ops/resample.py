@@ -21,6 +21,7 @@ beta 5.0) scipy's ``resample_poly`` defaults to, so float64 outputs
 match scipy to roundoff (tested).
 """
 
+from functools import lru_cache
 from math import gcd
 from typing import Union
 
@@ -34,14 +35,19 @@ from . import framing as _framing
 __all__ = ["resample", "resample_matrices", "resample_np"]
 
 
+@lru_cache(maxsize=32)
 def resample_matrices(up: int, down: int, half_width: int = 10, beta: float = 5.0):
     """Host precompute: ``(Phi, k_min)`` for a reduced ``up/down`` ratio.
 
     ``Phi`` is the float64 ``(up, W)`` phase-filter matrix; window ``j``
     of the input (``W`` samples starting at ``j*down + k_min``) maps to
     output block ``j`` (phases ``0..up-1``) via ``window @ Phi.T``.
+    Cached per ratio: the CLI ingestion paths call :func:`resample_np`
+    once per utterance, and a corpus run's ratios are fixed.
     """
     L, M = int(up), int(down)
+    if L < 1 or M < 1:
+        raise ValueError(f"up/down must be positive, got {up}/{down}")
     K = half_width * max(L, M)
     n = np.arange(-K, K + 1, dtype=np.float64)
     cutoff = 1.0 / max(L, M)
@@ -57,6 +63,7 @@ def resample_matrices(up: int, down: int, half_width: int = 10, beta: float = 5.
         idx = p * M + K - L * (np.arange(k_min, k_max + 1))
         valid = (idx >= 0) & (idx <= 2 * K)
         phi[p, valid] = h[idx[valid]]
+    phi.setflags(write=False)  # lru_cache shares the instance
     return phi, k_min
 
 
@@ -75,6 +82,8 @@ def resample(
     in the input's (floating) dtype; the signal is treated as zero
     outside its extent (scipy ``resample_poly`` semantics).
     """
+    if int(up) < 1 or int(down) < 1:
+        raise ValueError(f"up/down must be positive, got {up}/{down}")
     g = gcd(int(up), int(down))
     L, M = int(up) // g, int(down) // g
     signal = jnp.asarray(signal)
@@ -91,11 +100,11 @@ def resample(
         # (The L>1 analog, lhs_dilation, lowers poorly on TPU: 61 vs
         # 17 ms at 3/2 — upsampling keeps the framing+matmul form.)
         K = half_width * M
-        n = np.arange(-K, K + 1, dtype=np.float64)
-        cutoff = 1.0 / M
-        h = cutoff * np.sinc(cutoff * n) * np.kaiser(2 * K + 1, beta)
-        h /= h.sum()
-        kernel = jnp.asarray(h[::-1].copy(), signal.dtype).reshape(1, 1, -1)
+        # the L=1 phase matrix is one row = [0, h[::-1]] — the conv
+        # kernel is that row's tail (one FIR design, shared with the
+        # general path and resample_np)
+        phi1, _ = resample_matrices(1, M, half_width, beta)
+        kernel = jnp.asarray(phi1[0, 1:], signal.dtype).reshape(1, 1, -1)
         batch_shape = signal.shape[:-1]
         lhs = signal.reshape((-1, 1, N))
         pad_right = (n_out - 1) * M + K + 1 - N
@@ -134,6 +143,8 @@ def resample_np(signal, up: int, down: int, half_width: int = 10, beta: float = 
     a strided numpy view.  1-D in, 1-D out; exact to :func:`resample`'s
     float64 path (same matrices, same framing).
     """
+    if int(up) < 1 or int(down) < 1:
+        raise ValueError(f"up/down must be positive, got {up}/{down}")
     g = gcd(int(up), int(down))
     L, M = int(up) // g, int(down) // g
     signal = np.asarray(signal, dtype=np.float64)

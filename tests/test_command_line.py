@@ -344,3 +344,12 @@ def test_signals_resample_from_requires_computer(wav_dir, temp_dir, capsys):
     )
     assert rc == 1
     assert "computer config" in capsys.readouterr().err
+
+
+def test_signals_resample_from_zero_rejected(wav_dir, temp_dir, capsys):
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, COMPUTER_JSON, os.path.join(temp_dir, "f"),
+         "--resample-from", "0"]
+    )
+    assert rc == 1
+    assert "positive" in capsys.readouterr().err

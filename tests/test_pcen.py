@@ -202,3 +202,11 @@ def test_pcen_sharded_over_mesh(energies):
     got = np.asarray(jax.jit(pcen)(sharded))
     want = np.asarray(pcen(E))
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_learnable_pcen_rejects_degenerate_smooth():
+    from speech_tpu.nn import PCEN as LearnablePCEN
+
+    LearnablePCEN(4, smooth=1.0)  # fine when fixed
+    with pytest.raises(ValueError, match="learn_smooth"):
+        LearnablePCEN(4, smooth=1.0, learn_smooth=True)

@@ -98,3 +98,14 @@ def test_resample_on_mesh(signal):
     got = np.asarray(jax.jit(lambda v: resample(v, 3, 2))(sharded))
     want = np.asarray(resample(x, 3, 2))
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_resample_rejects_nonpositive_ratio():
+    from speech_tpu.ops.resample import resample_np
+
+    x = np.ones(100, np.float32)
+    for up, down in ((0, 2), (2, 0), (-1, 2)):
+        with pytest.raises(ValueError, match="positive"):
+            resample(x, up, down)
+        with pytest.raises(ValueError, match="positive"):
+            resample_np(x, up, down)
