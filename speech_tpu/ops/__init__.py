@@ -14,5 +14,6 @@ from . import (  # noqa: F401
     resample,
     si,
     stft,
+    vad,
     xmath,
 )
