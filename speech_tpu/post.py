@@ -21,6 +21,7 @@ __all__ = [
     "CMVN",
     "Deltas",
     "PCEN",
+    "SlidingCMVN",
     "PostProcessor",
     "Stack",
     "Standardize",
@@ -482,3 +483,68 @@ class PCEN(PostProcessor):
         m = np.moveaxis(smoothed, 0, time_axis)
         gain = np.exp(-alpha * np.log(self.eps + m))
         return (features * gain + delta) ** power - delta ** power
+
+
+class SlidingCMVN(PostProcessor):
+    """Sliding-window cepstral mean (and variance) normalization.
+
+    Kaldi ``apply-cmvn-sliding`` semantics — see the jittable device
+    twin :func:`speech_tpu.ops.postops.sliding_cmvn`, to which this
+    host class delegates (no reference counterpart; paired with
+    :func:`speech_tpu.ops.vad.energy_vad` in Kaldi speaker-id
+    pipelines).
+
+    Parameters
+    ----------
+    window
+        Sliding window width in frames.
+    center
+        Center the (edge-clipped) window on each frame; otherwise the
+        window trails, with at least ``min_window`` frames near the
+        start.
+    norm_var
+        Also normalize variance.
+    min_window
+        Minimum window for the non-centered mode.
+    time_axis
+        Axis the window slides along.
+    """
+
+    aliases = {"sliding_cmvn", "cmvn_sliding"}
+
+    def __init__(
+        self,
+        window: int = 600,
+        center: bool = True,
+        norm_var: bool = False,
+        min_window: int = 100,
+        time_axis: int = 0,
+    ):
+        if window < 1:
+            raise ValueError(f"Expected window to be positive, got {window}")
+        self.window = int(window)
+        self.center = bool(center)
+        self.norm_var = bool(norm_var)
+        self.min_window = int(min_window)
+        self.time_axis = time_axis
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        from .ops.postops import sliding_cmvn
+
+        features = np.asarray(features, dtype=np.float64)
+        axis = axis % features.ndim
+        time_axis = self.time_axis % features.ndim
+        if axis == time_axis:
+            raise RuntimeError(f"feature and time axes are the same ({axis})")
+        return np.asarray(
+            sliding_cmvn(
+                features,
+                window=self.window,
+                center=self.center,
+                norm_var=self.norm_var,
+                min_window=self.min_window,
+                time_axis=time_axis,
+            )
+        )

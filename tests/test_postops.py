@@ -96,3 +96,68 @@ def test_postops_jit_and_vmap(feats):
     out = pipeline(jnp.asarray(feats))
     assert out.shape == (3, 10, 13 * 9)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _sliding_cmvn_oracle(x, window, center, norm_var, min_window):
+    """Per-frame reimplementation of Kaldi's window clipping."""
+    T = x.shape[0]
+    out = np.empty_like(x, dtype=np.float64)
+    for t in range(T):
+        if center:
+            lo = t - window // 2
+            hi = lo + window
+            if lo < 0:
+                hi -= lo
+                lo = 0
+            if hi > T:
+                lo -= hi - T
+                hi = T
+                lo = max(lo, 0)
+        else:
+            hi = min(max(t + 1, min_window), T)
+            lo = max(hi - window, 0)
+        win = x[lo:hi]
+        mean = win.mean(axis=0)
+        out[t] = x[t] - mean
+        if norm_var:
+            var = np.maximum((win**2).mean(axis=0) - mean**2, 1e-10)
+            out[t] /= np.sqrt(var)
+    return out
+
+
+@pytest.mark.parametrize(
+    "window,center,norm_var",
+    [(600, True, False), (50, True, True), (30, False, False), (9, False, True)],
+)
+def test_sliding_cmvn_matches_oracle(window, center, norm_var):
+    from speech_tpu.ops.postops import sliding_cmvn
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(200, 13) * 3 + 5
+    want = _sliding_cmvn_oracle(x, window, center, norm_var, min_window=20)
+    got = np.asarray(
+        sliding_cmvn(
+            x, window=window, center=center, norm_var=norm_var,
+            min_window=20, time_axis=0,
+        )
+    )
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_sliding_cmvn_batched_and_host_twin():
+    from speech_tpu.ops.postops import sliding_cmvn
+    from speech_tpu.post import PostProcessor
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+
+    rng = np.random.RandomState(13)
+    x = rng.randn(3, 120, 8)
+    got = np.asarray(sliding_cmvn(x, window=40))
+    for i in range(3):
+        want = _sliding_cmvn_oracle(x[i], 40, True, False, 100)
+        assert np.allclose(got[i], want, atol=1e-9)
+    host = alias_factory_subclass_from_arg(
+        PostProcessor, {"name": "sliding_cmvn", "window": 40}
+    )
+    assert np.allclose(host.apply(x[0], axis=-1), got[0], atol=1e-12)
+    with pytest.raises(ValueError, match="window"):
+        sliding_cmvn(x, window=0)
