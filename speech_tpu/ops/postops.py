@@ -20,6 +20,7 @@ __all__ = [
     "delta_filters",
     "pcen",
     "sliding_cmvn",
+    "splice",
     "deltas",
     "stack",
     "standardize",
@@ -284,3 +285,27 @@ def sliding_cmvn(
         var = moments(features**2) / count - mean**2
         out = out * jax.lax.rsqrt(jnp.maximum(var, 1e-10))
     return out
+
+
+def splice(features, left: int = 4, right: int = 4, time_axis: int = -2):
+    """Concatenate each frame with its ``[-left, right]`` context
+    (Kaldi ``splice-feats``; no reference counterpart).
+
+    Edge frames replicate (Kaldi's boundary behavior).  Output feature
+    width is ``(left + right + 1) * F``, context ordered oldest-first.
+    Static shifted slices — the same gather-free correlation machinery
+    as :func:`deltas`.
+    """
+    if left < 0 or right < 0:
+        raise ValueError(f"left/right must be >= 0, got {left}/{right}")
+    features = jnp.asarray(features)
+    time_axis = time_axis % features.ndim
+    T = features.shape[time_axis]
+    pad = [(0, 0)] * features.ndim
+    pad[time_axis] = (left, right)
+    padded = jnp.pad(features, pad, mode="edge")
+    outs = [
+        jax.lax.slice_in_dim(padded, k, k + T, axis=time_axis)
+        for k in range(left + right + 1)
+    ]
+    return jnp.concatenate(outs, axis=-1)

@@ -22,6 +22,7 @@ __all__ = [
     "Deltas",
     "PCEN",
     "SlidingCMVN",
+    "Splice",
     "PostProcessor",
     "Stack",
     "Standardize",
@@ -548,3 +549,45 @@ class SlidingCMVN(PostProcessor):
                 time_axis=time_axis,
             )
         )
+
+
+class Splice(PostProcessor):
+    """Concatenate each frame with its surrounding context frames.
+
+    Kaldi ``splice-feats`` semantics (no reference counterpart): frame
+    ``t`` becomes ``[x[t-left], ..., x[t], ..., x[t+right]]`` along the
+    feature axis, with edge replication at the boundaries.  The device
+    twin is :func:`speech_tpu.ops.postops.splice`.
+    """
+
+    aliases = {"splice"}
+
+    def __init__(self, left: int = 4, right: int = 4, time_axis: int = 0):
+        if left < 0 or right < 0:
+            raise ValueError(
+                f"Expected left/right to be non-negative, got {left}/{right}"
+            )
+        self.left = int(left)
+        self.right = int(right)
+        self.time_axis = time_axis
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        features = np.asarray(features)
+        axis = axis % features.ndim
+        time_axis = self.time_axis % features.ndim
+        if axis == time_axis:
+            raise RuntimeError(f"feature and time axes are the same ({axis})")
+        if axis != features.ndim - 1:
+            raise RuntimeError("splice concatenates along the last axis")
+        T = features.shape[time_axis]
+        pad = [(0, 0)] * features.ndim
+        pad[time_axis] = (self.left, self.right)
+        padded = np.pad(features, pad, mode="edge")
+        sl = [slice(None)] * features.ndim
+        outs = []
+        for k in range(self.left + self.right + 1):
+            sl[time_axis] = slice(k, k + T)
+            outs.append(padded[tuple(sl)])
+        return np.concatenate(outs, axis=-1)

@@ -161,3 +161,29 @@ def test_sliding_cmvn_batched_and_host_twin():
     assert np.allclose(host.apply(x[0], axis=-1), got[0], atol=1e-12)
     with pytest.raises(ValueError, match="window"):
         sliding_cmvn(x, window=0)
+
+
+def test_splice_matches_oracle():
+    from speech_tpu.ops.postops import splice
+
+    rng = np.random.RandomState(14)
+    x = rng.randn(50, 6)
+    got = np.asarray(splice(x, left=2, right=3, time_axis=0))
+    assert got.shape == (50, 6 * 6)
+    padded = np.pad(x, ((2, 3), (0, 0)), mode="edge")
+    for t in (0, 1, 25, 48, 49):
+        want = np.concatenate([padded[t + k] for k in range(6)])
+        assert np.array_equal(got[t], want), t
+    # batched + host twin + chain composability
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.post import PostProcessor
+
+    xb = rng.randn(3, 50, 6)
+    gb = np.asarray(splice(xb, left=1, right=1))
+    host = alias_factory_subclass_from_arg(
+        PostProcessor, {"name": "splice", "left": 1, "right": 1}
+    )
+    for i in range(3):
+        assert np.allclose(host.apply(xb[i], axis=-1), gb[i])
+    with pytest.raises(ValueError, match="left/right"):
+        splice(x, left=-1)
