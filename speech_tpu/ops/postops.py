@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from .xmath import xlog
 
 __all__ = [
+    "dct",
+    "dct_matrix",
     "delta_filters",
     "pcen",
     "sliding_cmvn",
@@ -152,6 +154,62 @@ def standardize_with_stats(
     scales = scales.reshape(shape)
     means = means.reshape(shape)
     return features * scales - means * scales
+
+
+def dct_matrix(
+    num_feats: int, num_ceps: int = None, lifter: float = 0.0
+) -> np.ndarray:
+    """Host-side ``(num_feats, num_ceps)`` orthonormal DCT-II matrix.
+
+    ``y = x @ dct_matrix(F, K)`` equals ``scipy.fft.dct(x, type=2,
+    norm="ortho")[..., :K]``.  With ``lifter`` Q > 0, Kaldi's cepstral
+    liftering ``c_k *= 1 + (Q/2) sin(pi k / Q)`` is folded into the
+    matrix columns, so truncation + liftering stay one matmul.
+    """
+    if num_ceps is None:
+        num_ceps = num_feats
+    if not 1 <= num_ceps <= num_feats:
+        raise ValueError(
+            f"Expected num_ceps in [1, {num_feats}], got {num_ceps}"
+        )
+    if lifter < 0:
+        raise ValueError(f"Expected lifter >= 0, got {lifter}")
+    n = np.arange(num_feats, dtype=np.float64)
+    k = np.arange(num_ceps, dtype=np.float64)
+    mat = np.cos(np.pi * np.outer(n + 0.5, k) / num_feats)
+    mat *= np.sqrt(2.0 / num_feats)
+    mat[:, 0] /= np.sqrt(2.0)
+    if lifter:
+        mat *= 1.0 + 0.5 * lifter * np.sin(np.pi * k / lifter)
+    return mat
+
+
+def dct(
+    features,
+    num_ceps: int = None,
+    lifter: float = 0.0,
+    feat_axis: int = -1,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Type-II orthonormal DCT along the feature axis (MFCC cepstrum).
+
+    Applied to log-mel features this yields MFCCs, Kaldi
+    ``compute-mfcc-feats``-style: keep the first ``num_ceps``
+    coefficients and (optionally) lifter with coefficient ``lifter``
+    (Kaldi's ``--cepstral-lifter``, conventionally 22).  No reference
+    counterpart; one ``(F, K)`` matmul on the MXU — the transform,
+    truncation, and liftering all fold into a single constant matrix
+    from :func:`dct_matrix`.
+    """
+    features = jnp.asarray(features)
+    feat_axis = feat_axis % features.ndim
+    mat = jnp.asarray(
+        dct_matrix(features.shape[feat_axis], num_ceps, lifter),
+        dtype=features.dtype,
+    )
+    moved = jnp.moveaxis(features, feat_axis, -1)
+    out = jnp.matmul(moved, mat, precision=precision)
+    return jnp.moveaxis(out, -1, feat_axis)
 
 
 def pcen(

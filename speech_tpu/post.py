@@ -19,6 +19,7 @@ from .alias import AliasedFactory
 
 __all__ = [
     "CMVN",
+    "DCT",
     "Deltas",
     "PCEN",
     "SlidingCMVN",
@@ -549,6 +550,53 @@ class SlidingCMVN(PostProcessor):
                 time_axis=time_axis,
             )
         )
+
+
+class DCT(PostProcessor):
+    """Type-II orthonormal DCT along the feature axis (MFCC cepstrum).
+
+    Applied after a log-mel computer this turns filter-bank features
+    into MFCCs, Kaldi ``compute-mfcc-feats``-style: keep ``num_ceps``
+    coefficients, optionally liftered with coefficient ``lifter``
+    (Kaldi ``--cepstral-lifter``, conventionally 22; 0 disables).  No
+    reference counterpart; the jittable device twin is
+    :func:`speech_tpu.ops.postops.dct` (one constant-matrix matmul).
+
+    Parameters
+    ----------
+    num_ceps
+        Number of cepstral coefficients kept (default: all).
+    lifter
+        Cepstral liftering coefficient; 0 disables.
+    """
+
+    aliases = {"dct", "mfcc"}
+
+    def __init__(self, num_ceps: int = None, lifter: float = 0.0):
+        if num_ceps is not None and num_ceps < 1:
+            raise ValueError(f"Expected num_ceps >= 1, got {num_ceps}")
+        if lifter < 0:
+            raise ValueError(f"Expected lifter >= 0, got {lifter}")
+        self.num_ceps = None if num_ceps is None else int(num_ceps)
+        self.lifter = float(lifter)
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        from .ops.postops import dct_matrix
+
+        features = np.asarray(features)
+        axis = axis % max(features.ndim, 1)
+        num_feats = features.shape[axis]
+        if self.num_ceps is not None and self.num_ceps > num_feats:
+            raise RuntimeError(
+                f"num_ceps ({self.num_ceps}) exceeds the feature width "
+                f"({num_feats})"
+            )
+        mat = dct_matrix(num_feats, self.num_ceps, self.lifter)
+        moved = np.moveaxis(features.astype(np.float64, copy=False), axis, -1)
+        out = moved @ mat
+        return np.moveaxis(out, -1, axis).astype(features.dtype, copy=False)
 
 
 class Splice(PostProcessor):

@@ -187,3 +187,60 @@ def test_splice_matches_oracle():
         assert np.allclose(host.apply(xb[i], axis=-1), gb[i])
     with pytest.raises(ValueError, match="left/right"):
         splice(x, left=-1)
+
+
+@pytest.mark.parametrize("num_ceps,lifter", [(None, 0.0), (13, 0.0), (13, 22.0)])
+def test_dct_matches_scipy(num_ceps, lifter):
+    import scipy.fft
+
+    from speech_tpu.ops.postops import dct
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 24)
+    want = scipy.fft.dct(x, type=2, norm="ortho", axis=-1)
+    k = x.shape[-1] if num_ceps is None else num_ceps
+    want = want[:, :k]
+    if lifter:
+        want = want * (1.0 + 0.5 * lifter * np.sin(np.pi * np.arange(k) / lifter))
+    got = np.asarray(dct(x, num_ceps=num_ceps, lifter=lifter))
+    assert got.shape == (40, k)
+    assert np.allclose(got, want, atol=1e-10)
+
+
+def test_dct_host_twin_axis_and_alias():
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.ops.postops import dct
+    from speech_tpu.post import PostProcessor
+
+    rng = np.random.RandomState(8)
+    xb = rng.randn(3, 25, 20)
+    got = np.asarray(dct(xb, num_ceps=13, lifter=22.0))
+    host = alias_factory_subclass_from_arg(
+        PostProcessor, {"name": "mfcc", "num_ceps": 13, "lifter": 22.0}
+    )
+    for i in range(3):
+        assert np.allclose(host.apply(xb[i], axis=-1), got[i], atol=1e-10)
+    # non-default axis round-trips through the moveaxis plumbing
+    moved = np.moveaxis(xb, -1, 0)
+    got_ax = np.asarray(dct(moved, num_ceps=13, lifter=22.0, feat_axis=0))
+    assert np.allclose(np.moveaxis(got_ax, 0, -1), got, atol=1e-12)
+    assert np.allclose(host.apply(moved[:, 0], axis=0).T, got[0], atol=1e-10)
+
+
+def test_dct_orthonormal_and_errors():
+    from speech_tpu.ops.postops import dct_matrix
+
+    mat = dct_matrix(16)
+    assert np.allclose(mat.T @ mat, np.eye(16), atol=1e-12)
+    with pytest.raises(ValueError, match="num_ceps"):
+        dct_matrix(16, 17)
+    with pytest.raises(ValueError, match="num_ceps"):
+        dct_matrix(16, 0)
+    with pytest.raises(ValueError, match="lifter"):
+        dct_matrix(16, 8, lifter=-1.0)
+    from speech_tpu.post import DCT
+
+    with pytest.raises(ValueError, match="num_ceps"):
+        DCT(num_ceps=0)
+    with pytest.raises(RuntimeError, match="exceeds"):
+        DCT(num_ceps=40).apply(np.zeros((5, 10)), axis=-1)
