@@ -1,0 +1,341 @@
+"""Pitch tracking in the style of Kaldi ``compute-kaldi-pitch``.
+
+No reference counterpart; included because the reference's main
+deployment niche (Kaldi pipelines) commonly appends pitch features
+(POV + normalized log pitch + delta pitch) to the filter-bank features
+this package computes.  The algorithm follows Ghahremani et al., "A
+pitch extraction algorithm tuned for automatic speech recognition"
+(ICASSP 2014): normalized cross-correlation (NCCF) over candidate lags
+with an energy "ballast" that suppresses voicing in silence, Viterbi
+smoothing over lags with a log-lag transition penalty, and the paper's
+NCCF-to-probability-of-voicing map.  It is a TPU-first re-formulation,
+not a bit-compatible port:
+
+- frames come from gather-free strided slices (:mod:`.framing`);
+- the NCCF for all lags is one batched contraction on the MXU;
+- the lag search is an offline whole-utterance Viterbi (two
+  :func:`jax.lax.scan` passes) rather than Kaldi's online
+  lookahead-and-recompute loop — same objective, exact (not
+  approximate) optimum;
+- the POV-weighted pitch normalization is a prefix-sum sliding window
+  (the same machinery as :func:`speech_tpu.ops.postops.sliding_cmvn`).
+
+Everything jits with static shapes, batches over leading axes, and is
+lengths-aware for padded batches.
+"""
+
+from functools import lru_cache
+from math import gcd
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import framing as _framing
+from .postops import delta_filters, deltas
+from .resample import resample
+from .xmath import xlog
+
+__all__ = ["PitchTrack", "kaldi_pitch", "nccf_to_pov", "pitch_feats"]
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class PitchTrack(NamedTuple):
+    """Per-frame pitch-track tensors, each ``(..., T)``."""
+
+    f0: jnp.ndarray  #: fundamental frequency estimate (Hz)
+    nccf: jnp.ndarray  #: ballast-free NCCF at the chosen lag, in [-1, 1]
+    valid: jnp.ndarray  #: bool; False on frames past a signal's length
+
+
+@lru_cache(maxsize=16)
+def _lag_tables(rate: float, min_f0: float, max_f0: float, penalty: float):
+    """Host precompute: integer lag grid and the Viterbi transition
+    cost matrix ``penalty * (log lag_i - log lag_j)^2``."""
+    if not 0 < min_f0 < max_f0:
+        raise ValueError(f"need 0 < min_f0 < max_f0, got {min_f0}/{max_f0}")
+    min_lag = max(int(np.floor(rate / max_f0)), 1)
+    max_lag = int(np.ceil(rate / min_f0))
+    if max_lag <= min_lag:
+        raise ValueError(
+            f"degenerate lag range [{min_lag}, {max_lag}] at rate {rate}"
+        )
+    lags = np.arange(min_lag, max_lag + 1, dtype=np.float64)
+    loglags = np.log(lags)
+    trans = penalty * (loglags[:, None] - loglags[None, :]) ** 2
+    return lags, trans
+
+
+@lru_cache(maxsize=16)
+def _lowpass_fir(rate: float, cutoff: float, half_width: int = 32):
+    """Host windowed-sinc lowpass design (unit DC gain, float64)."""
+    n = np.arange(-half_width, half_width + 1, dtype=np.float64)
+    c = 2.0 * cutoff / rate
+    h = c * np.sinc(c * n) * np.kaiser(2 * half_width + 1, 5.0)
+    h /= h.sum()
+    return h
+
+
+def _lowpass(signal, rate: float, cutoff: float):
+    """Zero-phase 'same'-length FIR lowpass of ``(..., S)`` signals."""
+    h = _lowpass_fir(rate, cutoff)
+    K = (len(h) - 1) // 2
+    kernel = jnp.asarray(h, signal.dtype).reshape(1, 1, -1)
+    lhs = signal.reshape((-1, 1, signal.shape[-1]))
+    out = jax.lax.conv_general_dilated(
+        lhs, kernel, window_strides=(1,), padding=[(K, K)], precision=_HIGHEST
+    )
+    return out.reshape(signal.shape)
+
+
+def _track_1d(
+    sig,
+    length,
+    rate: float,
+    window: int,
+    shift: int,
+    lags: np.ndarray,
+    trans: np.ndarray,
+    nccf_ballast: float,
+    soft_min_f0: float,
+):
+    """Whole-utterance pitch track of one 1D signal (see kaldi_pitch)."""
+    min_lag = int(lags[0])
+    L = len(lags)
+    span = window + int(lags[-1])  # samples each frame's NCCF touches
+    S = sig.shape[0]
+    T = (S - span) // shift + 1
+    if T < 1:
+        raise ValueError(
+            f"signal too short for pitch: {S} samples < {span} (window + "
+            f"max lag at this rate)"
+        )
+    frames = _framing.frame_padded(sig, T, span, shift)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    x1 = frames[:, :window]
+    # all shifted windows at once: the NCCF numerator and per-lag energy
+    # are one batched contraction each over a [T, L, window] view built
+    # from static slices (never a gather)
+    x2 = jnp.stack(
+        [frames[:, k : k + window] for k in range(min_lag, min_lag + L)],
+        axis=1,
+    )
+    inner = jnp.einsum("tw,tlw->tl", x1, x2, precision=_HIGHEST)
+    e1 = jnp.einsum("tw,tw->t", x1, x1, precision=_HIGHEST)
+    e2 = jnp.einsum("tlw,tlw->tl", x2, x2, precision=_HIGHEST)
+    # ballast ~ the energy a window of the signal's mean power carries,
+    # so silence (e << ballast) reads as nccf ~ 0 at any input gain
+    # (Ghahremani et al. 2014, sec. 2)
+    ids = jnp.arange(S) < length
+    ms = jnp.sum(sig * sig * ids) / jnp.maximum(length, 1)
+    ballast = nccf_ballast * window * ms
+    tiny = jnp.asarray(1e-30, sig.dtype)
+    denom_p = jnp.sqrt((e1[:, None] + ballast) * (e2 + ballast)) + tiny
+    denom_v = jnp.sqrt(e1[:, None] * e2) + tiny
+    nccf_pitch = inner / denom_p
+    nccf_pov = jnp.clip(inner / denom_v, -1.0, 1.0)
+    # frames past the valid length read zero-ish NCCF (unvoiced)
+    nf = jnp.where(length >= span, (length - span) // shift + 1, 0)
+    fvalid = jnp.arange(T) < nf
+    nccf_pitch = jnp.where(fvalid[:, None], nccf_pitch, 0.0)
+    nccf_pov = jnp.where(fvalid[:, None], nccf_pov, 0.0)
+
+    # Viterbi over lags: local cost -nccf_eff, transition cost
+    # trans[i, j].  nccf_eff discounts long lags by soft_min_f0 * lag
+    # seconds (Kaldi's soft-min-f0), breaking the exact ties a periodic
+    # signal puts at every multiple of its true lag — without it the
+    # tracker can lock onto a subharmonic.
+    tmat = jnp.asarray(trans, sig.dtype)
+    soft = np.minimum(soft_min_f0 * lags / rate, 1.0)
+    nccf_eff = nccf_pitch * jnp.asarray(1.0 - soft, sig.dtype)[None, :]
+
+    def fwd(cost, nc_t):
+        tot = cost[:, None] + tmat
+        return (
+            jnp.min(tot, axis=0) - nc_t,
+            jnp.argmin(tot, axis=0).astype(jnp.int32),
+        )
+
+    cost_end, ptrs = jax.lax.scan(fwd, -nccf_eff[0], nccf_eff[1:])
+    end = jnp.argmin(cost_end).astype(jnp.int32)
+
+    def back(j_next, ptr_t):
+        j = ptr_t[j_next]
+        return j, j
+
+    _, path_head = jax.lax.scan(back, end, ptrs, reverse=True)
+    path = jnp.concatenate([path_head, end[None]])  # [T] lag-grid indices
+
+    # sub-sample lag refinement: parabola through the ballast-free NCCF
+    # at the winning lag and its neighbors (the integer grid quantizes
+    # f0 to ~rate/lag^2 Hz otherwise)
+    jc = jnp.clip(path, 1, L - 2)
+    y = jnp.take_along_axis(
+        nccf_pov, jc[:, None] + jnp.arange(-1, 2)[None, :], axis=1
+    )
+    y1, y2, y3 = y[:, 0], y[:, 1], y[:, 2]
+    curv = y1 + y3 - 2.0 * y2
+    delta = jnp.where(
+        jnp.abs(curv) > 1e-12, 0.5 * (y1 - y3) / jnp.where(curv == 0, 1, curv), 0.0
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    delta = jnp.where((path > 0) & (path < L - 1), delta, 0.0)
+    lag_grid = jnp.asarray(lags, sig.dtype)
+    refined = jnp.take(lag_grid, path) + delta
+    f0 = jnp.asarray(rate, sig.dtype) / refined
+    nccf_best = y2
+    return f0, nccf_best, fvalid
+
+
+def kaldi_pitch(
+    signal,
+    rate: float,
+    lengths=None,
+    min_f0: float = 50.0,
+    max_f0: float = 400.0,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    resample_rate: Optional[float] = 4000.0,
+    lowpass_cutoff: Optional[float] = 1000.0,
+    penalty_factor: float = 0.1,
+    nccf_ballast: float = 1.0,
+    soft_min_f0: float = 10.0,
+) -> PitchTrack:
+    """Track pitch of ``(..., S)`` signals; returns ``(..., T)`` frames.
+
+    Kaldi ``compute-kaldi-pitch`` semantics (Ghahremani et al. 2014; see
+    the module docstring for the TPU re-formulation and the deliberate
+    differences): the signal is resampled to ``resample_rate`` and
+    lowpassed at ``lowpass_cutoff``, the NCCF is computed over lags
+    covering ``[min_f0, max_f0]`` with an energy ballast
+    ``nccf_ballast * window * mean_square(signal)`` (scale-invariant;
+    larger = more readily unvoiced), and the per-frame lag is the exact
+    whole-utterance Viterbi optimum under the transition cost
+    ``penalty_factor * log(lag_i / lag_j)^2`` and the subharmonic
+    tiebreak ``nccf * (1 - soft_min_f0 * lag_seconds)``, refined to
+    sub-sample resolution by parabolic interpolation.
+
+    ``lengths`` (int array over the leading axes) marks each padded
+    signal's valid extent; frames past it come back with
+    ``valid=False`` and an unvoiced-grade ``nccf``.  Frame ``t`` covers
+    the same ``frame_shift_ms`` grid as the feature computers, so the
+    track aligns with (a prefix of) their frames.
+    """
+    signal = jnp.asarray(signal)
+    if not jnp.issubdtype(signal.dtype, jnp.floating):
+        signal = signal.astype(jnp.float32)
+    S = signal.shape[-1]
+    if lengths is None:
+        lengths = jnp.full(signal.shape[:-1], S, jnp.int32)
+    else:
+        lengths = jnp.asarray(lengths)
+        if lengths.shape != signal.shape[:-1]:
+            raise ValueError(
+                f"lengths shape {lengths.shape} does not match signal "
+                f"batch shape {signal.shape[:-1]}"
+            )
+    work_rate = float(rate)
+    if resample_rate and float(resample_rate) != float(rate):
+        r_in, r_out = int(round(rate)), int(round(resample_rate))
+        g = gcd(r_in, r_out)
+        up, down = r_out // g, r_in // g
+        signal = resample(signal, up, down)
+        lengths = -((-lengths * up) // down)  # ceil(lengths * up / down)
+        work_rate = float(resample_rate)
+    if lowpass_cutoff and lowpass_cutoff < work_rate / 2:
+        signal = _lowpass(signal, work_rate, float(lowpass_cutoff))
+    window = int(round(frame_length_ms * work_rate / 1000.0))
+    shift = int(round(frame_shift_ms * work_rate / 1000.0))
+    if window < 2 or shift < 1:
+        raise ValueError(
+            f"degenerate frame geometry: window {window}, shift {shift}"
+        )
+    lags, trans = _lag_tables(
+        work_rate, float(min_f0), float(max_f0), float(penalty_factor)
+    )
+
+    def one(sig, length):
+        return _track_1d(
+            sig, length, work_rate, window, shift, lags, trans,
+            float(nccf_ballast), float(soft_min_f0),
+        )
+
+    if signal.ndim == 1:
+        return PitchTrack(*one(signal, lengths))
+    batch_shape = signal.shape[:-1]
+    flat_sig = signal.reshape((-1, signal.shape[-1]))
+    flat_len = lengths.reshape((-1,))
+    # sequential over utterances: the [T, L, window] NCCF view is built
+    # per signal, bounding live memory to one utterance's windows
+    f0, nccf, valid = jax.lax.map(lambda args: one(*args), (flat_sig, flat_len))
+    T = f0.shape[-1]
+    return PitchTrack(
+        f0.reshape(batch_shape + (T,)),
+        nccf.reshape(batch_shape + (T,)),
+        valid.reshape(batch_shape + (T,)),
+    )
+
+
+def nccf_to_pov(nccf):
+    """Probability of voicing from a ballast-free NCCF value.
+
+    The data-fitted map of Ghahremani et al. 2014 (eq. 2): with
+    ``a = |nccf|``, ``p = sigmoid(-5.2 + 5.4 e^{7.5(a-1)} + 4.8 a -
+    2 e^{-10 a} + 4.2 e^{20(a-1)})``.
+    """
+    a = jnp.abs(jnp.asarray(nccf))
+    l = (
+        -5.2
+        + 5.4 * jnp.exp(7.5 * (a - 1.0))
+        + 4.8 * a
+        - 2.0 * jnp.exp(-10.0 * a)
+        + 4.2 * jnp.exp(20.0 * (a - 1.0))
+    )
+    return jax.nn.sigmoid(l)
+
+
+def pitch_feats(
+    signal,
+    rate: float,
+    lengths=None,
+    normalization_window: int = 151,
+    delta_window: int = 2,
+    **kwargs,
+) -> jnp.ndarray:
+    """Kaldi ``process-kaldi-pitch-feats``-style features, ``(..., T, 3)``.
+
+    Columns, matching Kaldi's default output: the POV feature
+    ``2((1.001 - nccf)^0.15 - 1)``, the normalized log pitch (log f0
+    minus its POV-weighted mean over a centered, edge-clipped
+    ``normalization_window`` of frames), and delta log pitch (the
+    order-1 Kaldi delta filter with half-width ``delta_window``; no
+    dithering noise is added, unlike Kaldi's default).  Rows past a
+    signal's valid length are zero.  Extra keyword arguments go to
+    :func:`kaldi_pitch`.
+    """
+    track = kaldi_pitch(signal, rate, lengths=lengths, **kwargs)
+    f0, nccf, valid = track
+    dtype = f0.dtype
+    pov_feat = 2.0 * (jnp.exp(0.15 * xlog(1.001 - nccf)) - 1.0)
+    logf0 = xlog(f0)
+    w = jnp.where(valid, nccf_to_pov(nccf), 0.0).astype(dtype) + 1e-6
+    T = f0.shape[-1]
+    idx = np.arange(T)
+    lo = np.maximum(idx - normalization_window // 2, 0)
+    hi = np.minimum(lo + normalization_window, T)
+    lo = np.maximum(hi - normalization_window, 0)
+
+    def windowed_sum(x):
+        c = jnp.cumsum(x, axis=-1)
+        c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+        return jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)
+
+    mean = windowed_sum(w * logf0) / windowed_sum(w)
+    norm_log_pitch = logf0 - mean
+    filt = delta_filters(1, delta_window)[0]
+    dlog = deltas(logf0[..., None], [filt], time_axis=-2)[..., 1]
+    out = jnp.stack([pov_feat, norm_log_pitch, dlog], axis=-1)
+    return jnp.where(valid[..., None], out, 0.0)
