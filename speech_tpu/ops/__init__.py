@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     augment,
     framing,
     pallas_stft,
+    pitch,
     postops,
     resample,
     si,
