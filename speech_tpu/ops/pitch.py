@@ -51,22 +51,62 @@ class PitchTrack(NamedTuple):
     valid: jnp.ndarray  #: bool; False on frames past a signal's length
 
 
+_INTERP_HW = 8  # half-width of the lag-interpolation sinc, integer lags
+
+
 @lru_cache(maxsize=16)
-def _lag_tables(rate: float, min_f0: float, max_f0: float, penalty: float):
-    """Host precompute: integer lag grid and the Viterbi transition
-    cost matrix ``penalty * (log lag_i - log lag_j)^2``."""
+def _lag_tables(
+    rate: float,
+    min_f0: float,
+    max_f0: float,
+    penalty: float,
+    resolution: float,
+):
+    """Host precompute for the lag search.
+
+    Returns ``(lo_int, n_int, fine_lags, interp, trans)``: the NCCF is
+    computed at the ``n_int`` integer lags starting at ``lo_int``
+    (covering ``[rate/max_f0, rate/min_f0]`` plus interpolation
+    support), then mapped onto a geometric lag grid with relative step
+    ``resolution`` by the windowed-sinc matrix ``interp`` — the integer
+    grid quantizes high-f0 lags so coarsely that a subharmonic's lag
+    can fit the grid better than the true (inter-sample) lag, which is
+    why Kaldi searches an interpolated fine grid.  ``trans`` is the
+    Viterbi transition cost ``penalty * (log lag_i - log lag_j)^2``
+    over the fine grid.
+    """
     if not 0 < min_f0 < max_f0:
         raise ValueError(f"need 0 < min_f0 < max_f0, got {min_f0}/{max_f0}")
-    min_lag = max(int(np.floor(rate / max_f0)), 1)
-    max_lag = int(np.ceil(rate / min_f0))
-    if max_lag <= min_lag:
+    if not 0 < resolution < 1:
+        raise ValueError(f"need lag resolution in (0, 1), got {resolution}")
+    min_lag = rate / max_f0
+    max_lag = rate / min_f0
+    if max_lag < min_lag + 2:
         raise ValueError(
             f"degenerate lag range [{min_lag}, {max_lag}] at rate {rate}"
         )
-    lags = np.arange(min_lag, max_lag + 1, dtype=np.float64)
-    loglags = np.log(lags)
+    n_fine = int(np.ceil(np.log(max_lag / min_lag) / np.log1p(resolution)))
+    fine = min_lag * (1.0 + resolution) ** np.arange(n_fine + 1)
+    fine[-1] = max_lag
+    lo_int = max(int(np.floor(min_lag)) - _INTERP_HW, 1)
+    hi_int = int(np.ceil(max_lag)) + _INTERP_HW
+    ints = np.arange(lo_int, hi_int + 1, dtype=np.float64)
+    delta = fine[None, :] - ints[:, None]  # [n_int, n_fine]
+    win = np.where(np.abs(delta) <= _INTERP_HW, _kaiser_at(delta, _INTERP_HW), 0.0)
+    interp = np.sinc(delta) * win
+    # renormalize where edge clamping truncated the sinc support (only
+    # possible at the short-lag end when lo_int hit 1)
+    colsum = interp.sum(axis=0)
+    interp /= np.where(np.abs(colsum) > 1e-3, colsum, 1.0)
+    loglags = np.log(fine)
     trans = penalty * (loglags[:, None] - loglags[None, :]) ** 2
-    return lags, trans
+    return lo_int, len(ints), fine, interp, trans
+
+
+def _kaiser_at(x, half_width: int, beta: float = 6.0):
+    """Kaiser window evaluated at (possibly non-integer) offsets ``x``."""
+    arg = np.clip(1.0 - (x / half_width) ** 2, 0.0, None)
+    return np.i0(beta * np.sqrt(arg)) / np.i0(beta)
 
 
 @lru_cache(maxsize=16)
@@ -91,21 +131,18 @@ def _lowpass(signal, rate: float, cutoff: float):
     return out.reshape(signal.shape)
 
 
-def _track_1d(
+def _nccf_1d(
     sig,
     length,
-    rate: float,
     window: int,
     shift: int,
-    lags: np.ndarray,
-    trans: np.ndarray,
+    tables,
     nccf_ballast: float,
-    soft_min_f0: float,
 ):
-    """Whole-utterance pitch track of one 1D signal (see kaldi_pitch)."""
-    min_lag = int(lags[0])
-    L = len(lags)
-    span = window + int(lags[-1])  # samples each frame's NCCF touches
+    """Fine-grid NCCFs of one 1D signal: ``(nccf_pitch, nccf_pov,
+    fvalid)``, shapes ``[T, L] / [T, L] / [T]``."""
+    lo_int, n_int, fine, interp, _ = tables
+    span = window + lo_int + n_int - 1  # samples each frame's NCCF touches
     S = sig.shape[0]
     T = (S - span) // shift + 1
     if T < 1:
@@ -117,10 +154,10 @@ def _track_1d(
     frames = frames - frames.mean(axis=1, keepdims=True)
     x1 = frames[:, :window]
     # all shifted windows at once: the NCCF numerator and per-lag energy
-    # are one batched contraction each over a [T, L, window] view built
-    # from static slices (never a gather)
+    # are one batched contraction each over a [T, n_int, window] view
+    # built from static slices (never a gather)
     x2 = jnp.stack(
-        [frames[:, k : k + window] for k in range(min_lag, min_lag + L)],
+        [frames[:, k : k + window] for k in range(lo_int, lo_int + n_int)],
         axis=1,
     )
     inner = jnp.einsum("tw,tlw->tl", x1, x2, precision=_HIGHEST)
@@ -135,59 +172,85 @@ def _track_1d(
     tiny = jnp.asarray(1e-30, sig.dtype)
     denom_p = jnp.sqrt((e1[:, None] + ballast) * (e2 + ballast)) + tiny
     denom_v = jnp.sqrt(e1[:, None] * e2) + tiny
-    nccf_pitch = inner / denom_p
-    nccf_pov = jnp.clip(inner / denom_v, -1.0, 1.0)
+    # interpolate both NCCFs onto the fine (geometric) lag grid: one
+    # [n_int, n_fine] matmul; the lowpassed correlation is ~2x
+    # oversampled at integer lags, so the windowed sinc is accurate
+    imat = jnp.asarray(interp, sig.dtype)
+    nccf_pitch = jnp.matmul(inner / denom_p, imat, precision=_HIGHEST)
+    nccf_pov = jnp.matmul(inner / denom_v, imat, precision=_HIGHEST)
+    nccf_pov = jnp.clip(nccf_pov, -1.0, 1.0)
     # frames past the valid length read zero-ish NCCF (unvoiced)
     nf = jnp.where(length >= span, (length - span) // shift + 1, 0)
     fvalid = jnp.arange(T) < nf
     nccf_pitch = jnp.where(fvalid[:, None], nccf_pitch, 0.0)
     nccf_pov = jnp.where(fvalid[:, None], nccf_pov, 0.0)
+    return nccf_pitch, nccf_pov, fvalid
 
-    # Viterbi over lags: local cost -nccf_eff, transition cost
-    # trans[i, j].  nccf_eff discounts long lags by soft_min_f0 * lag
-    # seconds (Kaldi's soft-min-f0), breaking the exact ties a periodic
-    # signal puts at every multiple of its true lag — without it the
-    # tracker can lock onto a subharmonic.
-    tmat = jnp.asarray(trans, sig.dtype)
-    soft = np.minimum(soft_min_f0 * lags / rate, 1.0)
-    nccf_eff = nccf_pitch * jnp.asarray(1.0 - soft, sig.dtype)[None, :]
+
+def _choose_lags(
+    nccf_pitch,
+    nccf_pov,
+    rate: float,
+    tables,
+    resolution: float,
+    soft_min_f0: float,
+):
+    """Viterbi lag choice + parabolic refinement, batched over leading
+    axes of ``(..., T, L)`` NCCFs: returns ``(f0, nccf_best)``,
+    ``(..., T)`` each.
+
+    One scan serves the whole batch — the per-step transition min is a
+    ``[..., L, L]`` broadcast, so batching multiplies the work per scan
+    step instead of the (overhead-bound on TPU) step count.
+    """
+    _, _, fine, _, trans = tables
+    L = len(fine)
+    dtype = nccf_pitch.dtype
+    # local cost -nccf_eff, transition cost trans[i, j].  nccf_eff
+    # discounts long lags by soft_min_f0 * lag seconds (Kaldi's
+    # soft-min-f0), breaking the exact ties a periodic signal puts at
+    # every multiple of its true lag — without it the tracker can lock
+    # onto a subharmonic.
+    tmat = jnp.asarray(trans, dtype)
+    soft = np.minimum(soft_min_f0 * fine / rate, 1.0)
+    nccf_eff = nccf_pitch * jnp.asarray(1.0 - soft, dtype)
+    nc = jnp.moveaxis(nccf_eff, -2, 0)  # [T, ..., L] for the time scan
 
     def fwd(cost, nc_t):
-        tot = cost[:, None] + tmat
+        tot = cost[..., :, None] + tmat
         return (
-            jnp.min(tot, axis=0) - nc_t,
-            jnp.argmin(tot, axis=0).astype(jnp.int32),
+            jnp.min(tot, axis=-2) - nc_t,
+            jnp.argmin(tot, axis=-2).astype(jnp.int32),
         )
 
-    cost_end, ptrs = jax.lax.scan(fwd, -nccf_eff[0], nccf_eff[1:])
-    end = jnp.argmin(cost_end).astype(jnp.int32)
+    cost_end, ptrs = jax.lax.scan(fwd, -nc[0], nc[1:])
+    end = jnp.argmin(cost_end, axis=-1).astype(jnp.int32)
 
     def back(j_next, ptr_t):
-        j = ptr_t[j_next]
+        j = jnp.take_along_axis(ptr_t, j_next[..., None], axis=-1)[..., 0]
         return j, j
 
     _, path_head = jax.lax.scan(back, end, ptrs, reverse=True)
-    path = jnp.concatenate([path_head, end[None]])  # [T] lag-grid indices
+    path = jnp.concatenate([path_head, end[None]])  # [T, ...] lag indices
+    path = jnp.moveaxis(path, 0, -1)  # [..., T]
 
-    # sub-sample lag refinement: parabola through the ballast-free NCCF
-    # at the winning lag and its neighbors (the integer grid quantizes
-    # f0 to ~rate/lag^2 Hz otherwise)
+    # sub-grid lag refinement: parabola through the ballast-free NCCF at
+    # the winning fine lag and its neighbors (uniform in log-lag)
     jc = jnp.clip(path, 1, L - 2)
     y = jnp.take_along_axis(
-        nccf_pov, jc[:, None] + jnp.arange(-1, 2)[None, :], axis=1
+        nccf_pov, jc[..., None] + jnp.arange(-1, 2), axis=-1
     )
-    y1, y2, y3 = y[:, 0], y[:, 1], y[:, 2]
+    y1, y2, y3 = y[..., 0], y[..., 1], y[..., 2]
     curv = y1 + y3 - 2.0 * y2
     delta = jnp.where(
         jnp.abs(curv) > 1e-12, 0.5 * (y1 - y3) / jnp.where(curv == 0, 1, curv), 0.0
     )
     delta = jnp.clip(delta, -0.5, 0.5)
     delta = jnp.where((path > 0) & (path < L - 1), delta, 0.0)
-    lag_grid = jnp.asarray(lags, sig.dtype)
-    refined = jnp.take(lag_grid, path) + delta
-    f0 = jnp.asarray(rate, sig.dtype) / refined
-    nccf_best = y2
-    return f0, nccf_best, fvalid
+    log_grid = jnp.asarray(np.log(fine), dtype)
+    log_lag = jnp.take(log_grid, path) + delta * dtype.type(np.log1p(resolution))
+    f0 = jnp.asarray(rate, dtype) * jnp.exp(-log_lag)
+    return f0, y2
 
 
 def kaldi_pitch(
@@ -203,20 +266,25 @@ def kaldi_pitch(
     penalty_factor: float = 0.1,
     nccf_ballast: float = 1.0,
     soft_min_f0: float = 10.0,
+    lag_resolution: float = 0.01,
 ) -> PitchTrack:
     """Track pitch of ``(..., S)`` signals; returns ``(..., T)`` frames.
 
     Kaldi ``compute-kaldi-pitch`` semantics (Ghahremani et al. 2014; see
     the module docstring for the TPU re-formulation and the deliberate
     differences): the signal is resampled to ``resample_rate`` and
-    lowpassed at ``lowpass_cutoff``, the NCCF is computed over lags
-    covering ``[min_f0, max_f0]`` with an energy ballast
+    lowpassed at ``lowpass_cutoff``, the NCCF is computed over integer
+    lags covering ``[min_f0, max_f0]`` with an energy ballast
     ``nccf_ballast * window * mean_square(signal)`` (scale-invariant;
-    larger = more readily unvoiced), and the per-frame lag is the exact
-    whole-utterance Viterbi optimum under the transition cost
-    ``penalty_factor * log(lag_i / lag_j)^2`` and the subharmonic
-    tiebreak ``nccf * (1 - soft_min_f0 * lag_seconds)``, refined to
-    sub-sample resolution by parabolic interpolation.
+    larger = more readily unvoiced), then sinc-interpolated onto a
+    geometric lag grid with relative step ``lag_resolution`` (the
+    integer grid alone quantizes high-f0 lags coarsely enough that
+    subharmonics win — Kaldi interpolates for the same reason).  The
+    per-frame lag is the exact whole-utterance Viterbi optimum over
+    that grid under the transition cost ``penalty_factor *
+    log(lag_i / lag_j)^2`` and the subharmonic tiebreak ``nccf * (1 -
+    soft_min_f0 * lag_seconds)``, refined below grid resolution by
+    parabolic interpolation in log-lag.
 
     ``lengths`` (int array over the leading axes) marks each padded
     signal's valid extent; frames past it come back with
@@ -237,6 +305,14 @@ def kaldi_pitch(
                 f"lengths shape {lengths.shape} does not match signal "
                 f"batch shape {signal.shape[:-1]}"
             )
+        # zero the padding before the resample/lowpass convolutions:
+        # their taps cross the valid-length boundary, so anything there
+        # (garbage or even the next utterance's zeros at a different
+        # buffer length) would bleed into the last valid frames and
+        # break batch == solo equality
+        signal = signal * (jnp.arange(S) < lengths[..., None]).astype(
+            signal.dtype
+        )
     work_rate = float(rate)
     if resample_rate and float(resample_rate) != float(rate):
         r_in, r_out = int(round(rate)), int(round(resample_rate))
@@ -245,6 +321,13 @@ def kaldi_pitch(
         signal = resample(signal, up, down)
         lengths = -((-lengths * up) // down)  # ceil(lengths * up / down)
         work_rate = float(resample_rate)
+        # the resampler's taps read valid samples from just inside the
+        # boundary, leaving nonzero output past the resampled length; a
+        # standalone (unpadded) signal ends with zero extension instead
+        # — re-zero so batch == solo holds through the lowpass below
+        signal = signal * (
+            jnp.arange(signal.shape[-1]) < lengths[..., None]
+        ).astype(signal.dtype)
     if lowpass_cutoff and lowpass_cutoff < work_rate / 2:
         signal = _lowpass(signal, work_rate, float(lowpass_cutoff))
     window = int(round(frame_length_ms * work_rate / 1000.0))
@@ -253,24 +336,38 @@ def kaldi_pitch(
         raise ValueError(
             f"degenerate frame geometry: window {window}, shift {shift}"
         )
-    lags, trans = _lag_tables(
-        work_rate, float(min_f0), float(max_f0), float(penalty_factor)
+    tables = _lag_tables(
+        work_rate,
+        float(min_f0),
+        float(max_f0),
+        float(penalty_factor),
+        float(lag_resolution),
     )
 
     def one(sig, length):
-        return _track_1d(
-            sig, length, work_rate, window, shift, lags, trans,
-            float(nccf_ballast), float(soft_min_f0),
+        return _nccf_1d(
+            sig, length, window, shift, tables, float(nccf_ballast)
         )
 
     if signal.ndim == 1:
-        return PitchTrack(*one(signal, lengths))
-    batch_shape = signal.shape[:-1]
-    flat_sig = signal.reshape((-1, signal.shape[-1]))
-    flat_len = lengths.reshape((-1,))
-    # sequential over utterances: the [T, L, window] NCCF view is built
-    # per signal, bounding live memory to one utterance's windows
-    f0, nccf, valid = jax.lax.map(lambda args: one(*args), (flat_sig, flat_len))
+        nccf_pitch, nccf_pov, valid = one(signal, lengths)
+        batch_shape = ()
+    else:
+        batch_shape = signal.shape[:-1]
+        flat_sig = signal.reshape((-1, signal.shape[-1]))
+        flat_len = lengths.reshape((-1,))
+        # sequential over utterances: the [T, n_int, window] NCCF view
+        # is built per signal, bounding live memory to one utterance's
+        # windows; the (cheap-to-hold, [T, L]) fine NCCFs accumulate
+        f0_ = jax.lax.map(lambda args: one(*args), (flat_sig, flat_len))
+        nccf_pitch, nccf_pov, valid = f0_
+    # ONE batched Viterbi scan for the whole batch: per-utterance scans
+    # would run T tiny [L, L] steps per signal — scan-overhead-bound on
+    # TPU — where this runs T steps of [B, L, L] work total
+    f0, nccf = _choose_lags(
+        nccf_pitch, nccf_pov, work_rate, tables,
+        float(lag_resolution), float(soft_min_f0),
+    )
     T = f0.shape[-1]
     return PitchTrack(
         f0.reshape(batch_shape + (T,)),

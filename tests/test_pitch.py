@@ -36,6 +36,22 @@ def test_tracks_harmonic_tone(f0):
     assert np.median(np.asarray(nccf_to_pov(track.nccf))) > 0.9
 
 
+def test_pure_tone_sweep_no_octave_errors():
+    """Pure sines across the range: the fine (interpolated) lag grid
+    must not lose to a subharmonic whose lag happens to fit the integer
+    grid better (regression: 380 Hz tracked at 190 on the integer
+    grid)."""
+    rng = np.random.RandomState(0)
+    t = np.arange(2 * RATE) / RATE
+    want = np.arange(60, 400, 20.0)
+    sigs = np.stack(
+        [np.sin(2 * np.pi * f * t) + 0.05 * rng.randn(t.size) for f in want]
+    ).astype(np.float32)
+    med = np.median(np.asarray(kaldi_pitch(sigs, RATE).f0), axis=1)
+    rel = np.abs(med - want) / want
+    assert rel.max() < 0.01, (want[rel.argmax()], med[rel.argmax()])
+
+
 def test_unvoiced_noise_reads_unvoiced():
     rng = np.random.RandomState(3)
     noise = (0.1 * rng.randn(RATE)).astype(np.float32)
@@ -73,7 +89,13 @@ def test_batch_lengths_match_solo():
     solo = kaldi_pitch(short, RATE)
     nv = int(np.asarray(solo.valid).sum())
     assert np.asarray(track.valid)[1].sum() == nv
-    assert np.array_equal(np.asarray(solo.f0)[:nv], np.asarray(track.f0)[1, :nv])
+    # padding is masked before the front-end convolutions, so the batch
+    # row sees exactly the solo signal; equality is to f32 roundoff
+    # (not bitwise: the NCCF matmuls' reduction grouping may differ
+    # between the T=46 and T=96 frame counts)
+    assert np.allclose(
+        np.asarray(solo.f0)[:nv], np.asarray(track.f0)[1, :nv], rtol=1e-4
+    )
     assert not np.asarray(track.valid)[1, nv:].any()
 
 
@@ -142,5 +164,6 @@ def test_real_speech_plausible():
     voiced = pov > 0.5
     assert 0.05 < voiced.mean() < 0.95
     f0 = np.asarray(track.f0)[voiced]
-    assert ((f0 >= 50) & (f0 <= 400)).all()  # the search range, inclusive
+    # the search range, inclusive, with grid-edge f32 roundoff slack
+    assert ((f0 >= 49.9) & (f0 <= 400.1)).all()
     assert 60 < np.median(f0) < 350
