@@ -275,6 +275,44 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             time.time() - t0,
         )
 
+        # DCT/MFCC post-op: one HIGHEST matmul on device vs float64 host
+        t0 = time.time()
+        from speech_tpu.ops.postops import dct, dct_matrix
+
+        row = results["stft highest"][0].astype(np.float32)
+        dev = np.asarray(
+            jax.jit(lambda x: dct(x, num_ceps=13, lifter=22.0))(row)
+        )
+        want = row.astype(np.float64) @ dct_matrix(row.shape[1], 13, 22.0)
+        battery.check(
+            "dct vs f64 host",
+            float(np.abs(dev - want).max()),
+            1e-4,
+            time.time() - t0,
+        )
+
+        # Pitch tracker: physical oracle (known tones within 1%, and a
+        # clean voiced/unvoiced POV split vs noise)
+        t0 = time.time()
+        from speech_tpu.ops.pitch import kaldi_pitch, nccf_to_pov
+
+        tt = np.arange(STFT_SECONDS * RATE) / RATE
+        want_f0 = np.array([120.0, 220.0, 330.0])
+        rng = np.random.RandomState(7)
+        tones = np.stack(
+            [np.sin(2 * np.pi * f * tt) + 0.05 * rng.randn(tt.size) for f in want_f0]
+            + [0.3 * rng.randn(tt.size)]
+        ).astype(np.float32)
+        track = kaldi_pitch(tones, RATE)
+        med = np.median(np.asarray(track.f0), axis=1)
+        pov = np.median(np.asarray(nccf_to_pov(track.nccf)), axis=1)
+        err = float(np.abs(med[:3] / want_f0 - 1.0).max())
+        # fold the POV split into the same check: voiced tones must read
+        # >0.9 and noise <0.3, else report err 1 (fails the 1e-2 tol)
+        if not (pov[:3].min() > 0.9 and pov[3] < 0.3):
+            err = 1.0
+        battery.check("pitch tones + pov split", err, 1e-2, time.time() - t0)
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
