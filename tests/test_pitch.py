@@ -167,3 +167,27 @@ def test_real_speech_plausible():
     # the search range, inclusive, with grid-edge f32 roundoff slack
     assert ((f0 >= 49.9) & (f0 <= 400.1)).all()
     assert 60 < np.median(f0) < 350
+
+
+@pytest.mark.parametrize(
+    "rate,kwargs",
+    [
+        (8000, {}),
+        (44100, {}),
+        (16000, {"resample_rate": 8000.0, "lowpass_cutoff": 2000.0}),
+        (16000, {"min_f0": 80.0, "max_f0": 300.0}),
+        (16000, {"frame_length_ms": 35.0, "frame_shift_ms": 15.0}),
+        (16000, {"lag_resolution": 0.02, "penalty_factor": 0.3}),
+        (4000, {"resample_rate": 4000.0}),  # no-op resample branch
+    ],
+)
+def test_config_fuzz_tracks_tone(rate, kwargs):
+    """Odd-but-legal configs must trace and still track a mid-range
+    tone (guards the static shape arithmetic across rates/grids)."""
+    rng = np.random.RandomState(11)
+    t = np.arange(int(1.0 * rate)) / rate
+    sig = (np.sin(2 * np.pi * 150.0 * t) + 0.05 * rng.randn(t.size)).astype(
+        np.float32
+    )
+    f0 = np.asarray(kaldi_pitch(sig, rate, **kwargs).f0)
+    assert np.abs(np.median(f0) - 150.0) < 7.5
