@@ -145,6 +145,8 @@ def main():
     )
     accurate_rt = _throughput(accurate, batch=128, seconds=15)
 
+    pitch_rt = _pitch_throughput(batch=32, seconds=10)
+
     print(
         json.dumps(
             {
@@ -179,9 +181,43 @@ def main():
                 "exact_tier_vs_baseline": round(exact_rt / 5000.0, 3),
                 "accurate_tier_rt_factor": round(accurate_rt, 1),
                 "accurate_tier_vs_baseline": round(accurate_rt / 5000.0, 3),
+                # beyond-parity Kaldi companion: compute-kaldi-pitch-style
+                # NCCF + Viterbi tracker (device-side, like the other keys)
+                "pitch_rt_factor": round(pitch_rt, 1),
             }
         )
     )
+
+
+def _pitch_throughput(batch: int, seconds: int, rate: int = 16000):
+    """Kaldi-style pitch features, device-side throughput (inputs
+    device-resident like the other keys — through the tunnel the
+    20 MB/call host transfer would otherwise dominate)."""
+    from speech_tpu.ops.pitch import pitch_feats
+
+    rng = np.random.RandomState(0)
+    t = np.arange(seconds * rate) / rate
+    sigs = jnp.asarray(
+        np.stack(
+            [
+                np.sin(2 * np.pi * (100.0 + 9.0 * b) * t)
+                + 0.05 * rng.randn(t.size)
+                for b in range(batch)
+            ]
+        ).astype(np.float32)
+    )
+    lengths = jnp.full((batch,), seconds * rate, jnp.int32)
+    fn = jax.jit(lambda x, l: pitch_feats(x, rate, lengths=l))
+    out = fn(sigs, lengths)
+    np.asarray(out[0, 0, 0])
+    inner, best = 10, float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(inner):
+            out = fn(sigs, lengths)
+        np.asarray(out[0, 0, 0])
+        best = min(best, (time.perf_counter() - start) / inner)
+    return batch * seconds / best
 
 
 def _served_throughput(

@@ -130,6 +130,78 @@ def _build_processors(options):
     return preprocessors, postprocessors
 
 
+class _PitchAppender:
+    """Appends Kaldi-style pitch columns to each utterance's features.
+
+    ``--pitch CONFIG`` takes keyword arguments for
+    :func:`speech_tpu.ops.pitch.pitch_feats` (``{}`` for defaults;
+    ``frame_shift_ms`` defaults to the computer's so the track shares
+    its frame grid).  Signals batch to power-of-two buckets through a
+    per-shape jit cache; the three columns (POV, normalized log pitch,
+    delta log pitch) are appended AFTER the ``--postprocess`` chain,
+    row-aligned to the feature frame count — the pitch track is a few
+    frames shorter (its NCCF window spans ``frame_length + max_lag``
+    samples), so trailing rows repeat the last tracked frame, matching
+    Kaldi's paste-feats + online-pitch tail behavior.  Each batch's
+    pitch dispatch reads back synchronously, so ``--pitch`` trades some
+    of the extractor's dispatch/compute overlap for the extra columns.
+    """
+
+    def __init__(self, computer, cfg):
+        self.kwargs = dict(cfg)
+        self.kwargs.setdefault("frame_shift_ms", computer.frame_shift_ms)
+        self.rate = computer.bank.sampling_rate
+        self._progs = {}
+
+    def batch(self, signals):
+        """1-D signal arrays -> per-utterance ``(valid_t, 3)`` float64."""
+        import jax
+
+        from .ops.pitch import pitch_feats
+
+        B = len(signals)
+        lengths = np.array([s.shape[0] for s in signals], np.int32)
+        # pow2 buckets bound the compile count; the floor keeps even a
+        # batch of very short utterances above the NCCF span
+        L = max(1 << max(int(lengths.max()) - 1, 0).bit_length(), 8192)
+        Bp = 1 << max(B - 1, 0).bit_length()
+        dtype = (
+            np.int16
+            if all(s.dtype == np.int16 for s in signals)
+            else np.float32
+        )
+        buf = np.zeros((Bp, L), dtype)
+        lens = np.zeros((Bp,), np.int32)
+        for i, s in enumerate(signals):
+            buf[i, : s.shape[0]] = s
+            lens[i] = s.shape[0]
+        key = (Bp, L, np.dtype(dtype).name)
+        fn = self._progs.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda x, l: pitch_feats(
+                    x, self.rate, lengths=l, return_valid=True, **self.kwargs
+                )
+            )
+            self._progs[key] = fn
+        p3, valid = fn(buf, lens)
+        p3, valid = np.asarray(p3, np.float64), np.asarray(valid)
+        return [p3[i, : int(valid[i])] for i in range(B)]
+
+    def one(self, signal):
+        return self.batch([np.asarray(signal)])[0]
+
+    def append(self, feats, p3):
+        """Concatenate ``p3`` onto ``(T, F)`` feats, aligned to T rows."""
+        T = feats.shape[0]
+        out = np.zeros((T, p3.shape[-1]), feats.dtype)
+        v = min(p3.shape[0], T)
+        out[:v] = p3[:v]
+        if 0 < v < T:
+            out[v:] = p3[v - 1]
+        return np.concatenate([feats, out], axis=-1)
+
+
 def _signals_to_torch_feat_dir_parse_args(args):
     parser = argparse.ArgumentParser(
         description=signals_to_torch_feat_dir.__doc__,
@@ -211,6 +283,18 @@ def _signals_to_torch_feat_dir_parse_args(args):
         "polyphase-resample it to the computer's sampling rate on load "
         "(requires a computer config; raw sources like npy carry no "
         "rate of their own)",
+    )
+    parser.add_argument(
+        "--pitch",
+        type=_config_type,
+        default=None,
+        metavar="CONFIG",
+        help="Append 3 Kaldi-style pitch columns (POV, normalized log "
+        "pitch, delta log pitch) to each utterance's features, after the "
+        "--postprocess chain. CONFIG is a JSON/YAML dict of "
+        "speech_tpu.ops.pitch.pitch_feats keyword arguments ('{}' for "
+        "defaults; frame_shift_ms follows the computer's). Requires a "
+        "computer config.",
     )
     return parser.parse_args(args)
 
@@ -366,6 +450,23 @@ def _signals_to_torch_feat_dir(options) -> int:
             return 1
         if target != options.resample_from:
             resample_rates = (target, options.resample_from)
+    pitch = None
+    if options.pitch is not None:
+        if computer is None:
+            print(
+                "--pitch requires a computer config (the pitch track "
+                "follows the computer's frame grid)",
+                file=sys.stderr,
+            )
+            return 1
+        if not isinstance(options.pitch, dict):
+            print(
+                f"--pitch expects a dict of pitch_feats options, got "
+                f"{type(options.pitch).__name__}",
+                file=sys.stderr,
+            )
+            return 1
+        pitch = _PitchAppender(computer, options.pitch)
     preprocessors, postprocessors = _build_processors(options)
     os.makedirs(options.dir, exist_ok=True)
     if computer is not None:
@@ -460,6 +561,7 @@ def _signals_to_torch_feat_dir(options) -> int:
                 bsz = options.batch_size
                 window = max(1, options.sort_window) * bsz
                 batch_utts = []  # utt lists, in dispatch order
+                batch_sigs = []  # per-batch signals, kept iff --pitch
 
                 def batch_stream():
                     wutts, wsigs = [], []
@@ -471,6 +573,8 @@ def _signals_to_torch_feat_dir(options) -> int:
                         for s in range(0, len(order), bsz):
                             idxs = order[s : s + bsz]
                             batch_utts.append([wutts[i] for i in idxs])
+                            if pitch is not None:
+                                batch_sigs.append([wsigs[i] for i in idxs])
                             yield [wsigs[i] for i in idxs]
                         wutts.clear()
                         wsigs.clear()
@@ -489,14 +593,27 @@ def _signals_to_torch_feat_dir(options) -> int:
                         batch_stream(), min_batch=bsz, timer=timer
                     )
                 ):
-                    for utt_id, feats in zip(batch_utts[done], batch_feats):
-                        save_timed(
-                            utt_id, postprocess(np.asarray(feats, np.float64))
-                        )
+                    p3s = None
+                    if pitch is not None:
+                        with timer.stage("pitch"):
+                            p3s = pitch.batch(batch_sigs[done])
+                        batch_sigs[done] = None  # keep memory O(batch)
+                    for j, (utt_id, feats) in enumerate(
+                        zip(batch_utts[done], batch_feats)
+                    ):
+                        feats = postprocess(np.asarray(feats, np.float64))
+                        if p3s is not None:
+                            feats = pitch.append(feats, p3s[j])
+                        save_timed(utt_id, feats)
             else:
                 for utt_id, signal in loader():
                     with timer.stage("compute"):
                         feats = postprocess(computer.compute_full(signal))
+                        if pitch is not None:
+                            feats = pitch.append(
+                                np.asarray(feats, np.float64),
+                                pitch.one(signal),
+                            )
                     save_timed(utt_id, feats)
     finally:
         if pool is not None:
@@ -555,6 +672,17 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "differs from the computer's instead of skipping them (the "
         "default mirrors the reference: warn and produce no output)",
     )
+    parser.add_argument(
+        "--pitch",
+        type=_config_type,
+        default=None,
+        metavar="CONFIG",
+        help="Append 3 Kaldi-style pitch columns (POV, normalized log "
+        "pitch, delta log pitch) to each utterance's features, after the "
+        "--postprocess chain. CONFIG is a JSON/YAML dict of "
+        "speech_tpu.ops.pitch.pitch_feats keyword arguments ('{}' for "
+        "defaults; frame_shift_ms follows the computer's).",
+    )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -586,6 +714,16 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
     computer = alias_factory_subclass_from_arg(
         FrameComputer, options.computer_config
     )
+    pitch = None
+    if options.pitch is not None:
+        if not isinstance(options.pitch, dict):
+            print(
+                f"--pitch expects a dict of pitch_feats options, got "
+                f"{type(options.pitch).__name__}",
+                file=sys.stderr,
+            )
+            return 1
+        pitch = _PitchAppender(computer, options.pitch)
     preprocessors, postprocessors = _build_processors(options)
     try:
         wav_reader = kaldi_open(options.wav_rspecifier, "wm", value_style="bsd")
@@ -665,9 +803,11 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
                 buff = _compact_pcm(buff)
             yield utt_id, buff
 
-    def emit(utt_id, feats):
+    def emit(utt_id, feats, p3=None):
         for postprocessor in postprocessors:
             feats = postprocessor.apply(feats, axis=-1)
+        if p3 is not None:
+            feats = pitch.append(np.asarray(feats, np.float64), p3)
         if not KaldiDataType.BaseMatrix.is_double:
             feats = feats.astype(np.float32)
         feat_writer.write(utt_id, feats)
@@ -724,26 +864,42 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
                 groups = [
                     order[s : s + bsz] for s in range(0, len(order), bsz)
                 ]
-                pending[widx] = [utts, [None] * len(sigs), len(groups)]
+                pending[widx] = [
+                    utts,
+                    [None] * len(sigs),
+                    len(groups),
+                    [None] * len(sigs) if pitch is not None else None,
+                ]
                 for g in groups:
-                    meta.append((widx, g))
+                    # the signals ride along iff --pitch (still O(window))
+                    meta.append(
+                        (widx, g, [sigs[i] for i in g] if pitch else None)
+                    )
                     yield [sigs[i] for i in g]
 
         for done, feats_list in enumerate(
             extractor.extract_iter(batch_stream(), min_batch=bsz)
         ):
-            widx, positions = meta[done]
+            widx, positions, sigs_b = meta[done]
+            meta[done] = None  # keep held signals O(window)
             w = pending[widx]
-            for pos, feats in zip(positions, feats_list):
+            p3s = pitch.batch(sigs_b) if pitch is not None else None
+            for k, (pos, feats) in enumerate(zip(positions, feats_list)):
                 w[1][pos] = np.asarray(feats, np.float64)
+                if p3s is not None:
+                    w[3][pos] = p3s[k]
             w[2] -= 1
             if w[2] == 0:
-                for utt_id, feats in zip(w[0], w[1]):
-                    emit(utt_id, feats)
+                for pos, (utt_id, feats) in enumerate(zip(w[0], w[1])):
+                    emit(utt_id, feats, None if w[3] is None else w[3][pos])
                 del pending[widx]
     else:
         for utt_id, buff in valid_signals():
-            emit(utt_id, computer.compute_full(buff))
+            emit(
+                utt_id,
+                computer.compute_full(buff),
+                pitch.one(buff) if pitch is not None else None,
+            )
     logger.info(
         "Done %d out of %d utterances", counts["success"], counts["utts"]
     )

@@ -400,6 +400,7 @@ def pitch_feats(
     lengths=None,
     normalization_window: int = 151,
     delta_window: int = 2,
+    return_valid: bool = False,
     **kwargs,
 ) -> jnp.ndarray:
     """Kaldi ``process-kaldi-pitch-feats``-style features, ``(..., T, 3)``.
@@ -410,7 +411,9 @@ def pitch_feats(
     ``normalization_window`` of frames), and delta log pitch (the
     order-1 Kaldi delta filter with half-width ``delta_window``; no
     dithering noise is added, unlike Kaldi's default).  Rows past a
-    signal's valid length are zero.  Extra keyword arguments go to
+    signal's valid length are zero.  With ``return_valid``, also
+    returns the per-signal valid frame counts ``(...,)`` (for aligning
+    the track to another frame grid).  Extra keyword arguments go to
     :func:`kaldi_pitch`.
     """
     track = kaldi_pitch(signal, rate, lengths=lengths, **kwargs)
@@ -418,21 +421,41 @@ def pitch_feats(
     dtype = f0.dtype
     pov_feat = 2.0 * (jnp.exp(0.15 * xlog(1.001 - nccf)) - 1.0)
     logf0 = xlog(f0)
-    w = jnp.where(valid, nccf_to_pov(nccf), 0.0).astype(dtype) + 1e-6
+    # replicate the last valid frame's log-f0 over the padding so the
+    # delta filter's edge sees the same values a standalone (unpadded)
+    # signal's edge replication gives it
+    valid = jnp.asarray(valid)
+    nf = valid.sum(axis=-1)
+    last = jnp.maximum(nf - 1, 0)
+    logf0 = jnp.where(
+        valid, logf0, jnp.take_along_axis(logf0, last[..., None], axis=-1)
+    )
+    # padded frames get exactly zero weight (a tiny baseline there would
+    # still leak their log-f0 into low-POV windows, making a padded
+    # batch's normalization differ from the solo signal's); the baseline
+    # keeps all-unvoiced valid stretches at their own mean
+    w = jnp.where(valid, nccf_to_pov(nccf).astype(dtype) + 1e-6, 0.0)
     T = f0.shape[-1]
+    # plain centered, clipped window (no backward re-extension at the
+    # array end: that boundary sits at the PADDED length, so it would
+    # widen padded windows differently from a standalone signal's)
     idx = np.arange(T)
     lo = np.maximum(idx - normalization_window // 2, 0)
-    hi = np.minimum(lo + normalization_window, T)
-    lo = np.maximum(hi - normalization_window, 0)
+    hi = np.minimum(idx - normalization_window // 2 + normalization_window, T)
 
     def windowed_sum(x):
         c = jnp.cumsum(x, axis=-1)
         c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
         return jnp.take(c, hi, axis=-1) - jnp.take(c, lo, axis=-1)
 
-    mean = windowed_sum(w * logf0) / windowed_sum(w)
+    # the floor only engages on fully-padded windows, whose rows are
+    # zeroed below anyway (every valid frame's window contains itself)
+    mean = windowed_sum(w * logf0) / jnp.maximum(windowed_sum(w), 1e-6)
     norm_log_pitch = logf0 - mean
     filt = delta_filters(1, delta_window)[0]
     dlog = deltas(logf0[..., None], [filt], time_axis=-2)[..., 1]
     out = jnp.stack([pov_feat, norm_log_pitch, dlog], axis=-1)
-    return jnp.where(valid[..., None], out, 0.0)
+    out = jnp.where(valid[..., None], out, 0.0)
+    if return_valid:
+        return out, valid.sum(axis=-1)
+    return out

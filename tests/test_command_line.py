@@ -353,3 +353,65 @@ def test_signals_resample_from_zero_rejected(wav_dir, temp_dir, capsys):
     )
     assert rc == 1
     assert "positive" in capsys.readouterr().err
+
+
+def test_signals_to_torch_feat_dir_pitch(wav_dir, temp_dir):
+    torch = pytest.importorskip("torch")
+    out_b = os.path.join(temp_dir, "feats_pitch_b")
+    out_h = os.path.join(temp_dir, "feats_pitch_h")
+    # batched (device) path
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_b, "--pitch", "{}"]
+        )
+        == 0
+    )
+    # host per-utterance path
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_h, "--pitch", "{}", "--batch-size", "0"]
+        )
+        == 0
+    )
+    files = sorted(os.listdir(out_b))
+    assert len(files) == 20
+    for f in files:
+        fb = torch.load(os.path.join(out_b, f)).numpy()
+        fh = torch.load(os.path.join(out_h, f)).numpy()
+        assert fb.shape[1] == 10 + 3  # fbank + [pov, nlp, dlp]
+        assert fb.shape == fh.shape
+        assert np.isfinite(fb).all()
+        # batched and host paths agree (separately compiled f32 programs)
+        assert np.allclose(fb, fh, atol=2e-3), f
+    # the pitch columns match a direct pitch_feats call, row-aligned
+    from speech_tpu.io import read_signal
+    from speech_tpu.ops.pitch import pitch_feats
+
+    with open(wav_dir) as fmap:
+        utt, path = fmap.readline().split()
+    sig = read_signal(path, dtype=np.float32)
+    p3, valid = pitch_feats(
+        sig, 8000, frame_shift_ms=10.0, return_valid=True
+    )
+    p3, valid = np.asarray(p3), int(np.asarray(valid))
+    got = torch.load(os.path.join(out_h, utt + ".pt")).numpy()[:, 10:]
+    v = min(valid, got.shape[0])
+    assert np.allclose(got[:v], p3[:v], atol=2e-3)
+    if v < got.shape[0]:  # tail rows repeat the last tracked frame
+        assert np.allclose(got[v:], got[v - 1], atol=1e-6)
+
+
+def test_pitch_requires_computer(wav_dir, temp_dir):
+    out_dir = os.path.join(temp_dir, "nope")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, out_dir, "--pitch", "{}"]
+        )
+        == 1
+    )
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, out_dir, "--pitch", "[1]"]
+        )
+        == 1
+    )

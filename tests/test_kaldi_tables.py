@@ -362,3 +362,43 @@ def test_kaldi_tables_resample_flag(fake_kaldi):
     assert np.allclose(out["fast"], want, atol=1e-4)
     want_ok = computer.compute_full(tables["ark:wav.ark"]["ok"][0][0])
     assert np.allclose(out["ok"], want_ok, atol=1e-4)
+
+
+@pytest.mark.parametrize("batch", ["2", "0"])
+def test_kaldi_tables_pitch(fake_kaldi, batch):
+    """--pitch appends 3 aligned columns in both batched and host paths."""
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(23)
+    tables["ark:wav.ark"] = {
+        f"utt{i}": _wave_entry(rng, seconds=0.5 + 0.2 * i) for i in range(4)
+    }
+    rc = cli.compute_feats_from_kaldi_tables(
+        [
+            "ark:wav.ark",
+            "ark:feats.ark",
+            str(COMPUTER_CONFIG).replace("'", '"'),
+            "--pitch",
+            "{}",
+            "--batch-size",
+            batch,
+        ]
+    )
+    assert rc == 0
+    out = written["ark:feats.ark"]
+    computer = alias_factory_subclass_from_arg(FrameComputer, COMPUTER_CONFIG)
+    from speech_tpu.ops.pitch import pitch_feats
+
+    for utt, (buff, rate, _) in tables["ark:wav.ark"].items():
+        feats = out[utt]
+        want = computer.compute_full(buff[0]).astype(np.float32)
+        assert feats.shape == (want.shape[0], want.shape[1] + 3)
+        assert np.allclose(feats[:, : want.shape[1]], want, atol=1e-4), utt
+        p3, valid = pitch_feats(
+            buff[0].astype(np.float32),
+            rate,
+            frame_shift_ms=computer.frame_shift_ms,
+            return_valid=True,
+        )
+        p3, valid = np.asarray(p3), int(np.asarray(valid))
+        v = min(valid, feats.shape[0])
+        assert np.allclose(feats[:v, want.shape[1]:], p3[:v], atol=2e-3), utt
