@@ -100,6 +100,8 @@ def _lag_tables(
     interp /= np.where(np.abs(colsum) > 1e-3, colsum, 1.0)
     loglags = np.log(fine)
     trans = penalty * (loglags[:, None] - loglags[None, :]) ** 2
+    for arr in (fine, interp, trans):
+        arr.setflags(write=False)  # lru_cache shares the instances
     return lo_int, len(ints), fine, interp, trans
 
 
@@ -359,8 +361,9 @@ def kaldi_pitch(
         # sequential over utterances: the [T, n_int, window] NCCF view
         # is built per signal, bounding live memory to one utterance's
         # windows; the (cheap-to-hold, [T, L]) fine NCCFs accumulate
-        f0_ = jax.lax.map(lambda args: one(*args), (flat_sig, flat_len))
-        nccf_pitch, nccf_pov, valid = f0_
+        nccf_pitch, nccf_pov, valid = jax.lax.map(
+            lambda args: one(*args), (flat_sig, flat_len)
+        )
     # ONE batched Viterbi scan for the whole batch: per-utterance scans
     # would run T tiny [L, L] steps per signal — scan-overhead-bound on
     # TPU — where this runs T steps of [B, L, L] work total
