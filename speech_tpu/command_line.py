@@ -151,6 +151,7 @@ class _PitchAppender:
         self.kwargs = dict(cfg)
         self.kwargs.setdefault("frame_shift_ms", computer.frame_shift_ms)
         self.rate = computer.bank.sampling_rate
+        self.mesh = None  # set by the CLI alongside the extractor's
         self._progs = {}
 
     def batch(self, signals):
@@ -175,14 +176,30 @@ class _PitchAppender:
         for i, s in enumerate(signals):
             buf[i, : s.shape[0]] = s
             lens[i] = s.shape[0]
-        key = (Bp, L, np.dtype(dtype).name)
+        mesh = self.mesh
+        if mesh is not None and Bp % mesh.devices.size:
+            mesh = None  # odd trailing shape: fall back to one device
+        key = (Bp, L, np.dtype(dtype).name, mesh is not None)
         fn = self._progs.get(key)
         if fn is None:
-            fn = jax.jit(
-                lambda x, l: pitch_feats(
-                    x, self.rate, lengths=l, return_valid=True, **self.kwargs
+            if mesh is not None:
+                from .parallel import sharded_pitch_feats
+
+                fn = jax.jit(
+                    lambda x, l: sharded_pitch_feats(
+                        x, self.rate, l, mesh, **self.kwargs
+                    )
                 )
-            )
+            else:
+                fn = jax.jit(
+                    lambda x, l: pitch_feats(
+                        x,
+                        self.rate,
+                        lengths=l,
+                        return_valid=True,
+                        **self.kwargs,
+                    )
+                )
             self._progs[key] = fn
         p3, valid = fn(buf, lens)
         p3, valid = np.asarray(p3, np.float64), np.asarray(valid)
@@ -515,6 +532,8 @@ def _signals_to_torch_feat_dir(options) -> int:
         extractor = ShardedExtractor(
             computer, mesh, bucket="fine" if options.fine_buckets else "pow2"
         )
+        if pitch is not None:
+            pitch.mesh = mesh
 
     from .profiling import StageTimer, trace
 
@@ -837,6 +856,8 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         extractor = ShardedExtractor(
             computer, mesh, bucket="fine" if options.fine_buckets else "pow2"
         )
+        if pitch is not None:
+            pitch.mesh = mesh
         bsz = options.batch_size
         window = max(1, options.sort_window) * bsz
 

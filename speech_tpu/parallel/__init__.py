@@ -16,7 +16,7 @@ Here scaling is SPMD over a :class:`jax.sharding.Mesh`:
 """
 
 from .mesh import make_mesh, named_sharding  # noqa: F401
-from .extract import ShardedExtractor  # noqa: F401
+from .extract import ShardedExtractor, sharded_pitch_feats  # noqa: F401
 from .halo import (  # noqa: F401
     halo_frame_signal,
     sharded_si_feats,
@@ -30,6 +30,7 @@ __all__ = [
     "named_sharding",
     "ShardedExtractor",
     "halo_frame_signal",
+    "sharded_pitch_feats",
     "sharded_si_feats",
     "sharded_stft_feats",
     "accumulate_stats",

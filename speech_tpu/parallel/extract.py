@@ -22,11 +22,48 @@ from ..ops import framing as _framing
 from ..ops import stft as _stft
 from .mesh import named_sharding
 
-__all__ = ["ShardedExtractor"]
+__all__ = ["ShardedExtractor", "sharded_pitch_feats"]
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1)).bit_length()
+
+
+def sharded_pitch_feats(
+    signals,
+    rate: float,
+    lengths,
+    mesh: Mesh,
+    data_axis: str = "data",
+    **kwargs,
+):
+    """Data-parallel :func:`speech_tpu.ops.pitch.pitch_feats` over a mesh.
+
+    The batch axis shards over ``data_axis`` (utterances are independent
+    — no collectives); each chip runs the NCCF + Viterbi tracker on its
+    local shard.  ``signals`` is ``(batch, max_len)`` with ``batch`` a
+    multiple of the axis size; ``lengths`` marks valid extents.  Returns
+    ``(feats, valid_counts)`` like ``pitch_feats(..., return_valid=True)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pitch import pitch_feats
+
+    n = mesh.shape[data_axis]
+    if signals.shape[0] % n:
+        raise ValueError(
+            f"batch ({signals.shape[0]}) must divide by the '{data_axis}' "
+            f"axis size ({n})"
+        )
+    fn = jax.shard_map(
+        lambda x, l: pitch_feats(
+            x, rate, lengths=l, return_valid=True, **kwargs
+        ),
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis)),
+    )
+    return fn(signals, lengths)
 
 
 class ShardedExtractor:

@@ -377,3 +377,30 @@ def test_fine_buckets_match_pow2_results(computer):
         want = computer.compute_full(sig)
         assert feats.shape == want.shape
         assert np.allclose(feats, want, atol=1e-8)
+
+
+def test_sharded_pitch_matches_single_device():
+    from speech_tpu.ops.pitch import pitch_feats
+
+    mesh = par.make_mesh(("data",))
+    n = mesh.shape["data"]
+    rng = np.random.RandomState(31)
+    rate, sec = 16000, 1
+    t = np.arange(sec * rate) / rate
+    sigs = np.stack(
+        [
+            np.sin(2 * np.pi * (110.0 + 25.0 * b) * t)
+            + 0.05 * rng.randn(t.size)
+            for b in range(2 * n)
+        ]
+    ).astype(np.float32)
+    lengths = np.full((2 * n,), sec * rate, np.int32)
+    lengths[-1] = sec * rate // 2  # one padded row exercises masking
+    sigs[-1, lengths[-1]:] = 0.0
+    want, want_valid = pitch_feats(sigs, rate, lengths=lengths, return_valid=True)
+    got, got_valid = par.sharded_pitch_feats(sigs, rate, lengths, mesh)
+    assert np.array_equal(np.asarray(want_valid), np.asarray(got_valid))
+    # same math per shard; only GEMM grouping over the batch dim differs
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    with pytest.raises(ValueError, match="divide"):
+        par.sharded_pitch_feats(sigs[: n + 1], rate, lengths[: n + 1], mesh)
