@@ -9,6 +9,7 @@ two together live in :mod:`speech_tpu.compute`.
 from . import (  # noqa: F401
     augment,
     framing,
+    invert,
     pallas_stft,
     pitch,
     postops,
