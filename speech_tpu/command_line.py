@@ -153,6 +153,7 @@ class _PitchAppender:
         self.rate = computer.bank.sampling_rate
         self.mesh = None  # set by the CLI alongside the extractor's
         self._progs = {}
+        self._grid_warned = False
 
     def batch(self, signals):
         """1-D signal arrays -> per-utterance ``(valid_t, 3)`` float64."""
@@ -177,8 +178,12 @@ class _PitchAppender:
             buf[i, : s.shape[0]] = s
             lens[i] = s.shape[0]
         mesh = self.mesh
-        if mesh is not None and Bp % mesh.devices.size:
-            mesh = None  # odd trailing shape: fall back to one device
+        if mesh is not None:
+            # the sharded path splits over the mesh's data axis (not the
+            # total device count — they differ on multi-axis meshes)
+            n_data = dict(mesh.shape).get("data")
+            if n_data is None or Bp % n_data:
+                mesh = None  # fall back to one device
         key = (Bp, L, np.dtype(dtype).name, mesh is not None)
         fn = self._progs.get(key)
         if fn is None:
@@ -208,9 +213,25 @@ class _PitchAppender:
     def one(self, signal):
         return self.batch([np.asarray(signal)])[0]
 
-    def append(self, feats, p3):
-        """Concatenate ``p3`` onto ``(T, F)`` feats, aligned to T rows."""
+    def append(self, feats, p3, pre_rows=None):
+        """Concatenate ``p3`` onto ``(T, F)`` feats, aligned to T rows.
+
+        ``pre_rows`` is the frame count BEFORE the --postprocess chain;
+        a frame-count-changing postprocessor (e.g. "stack") moves the
+        features off the pitch track's frame grid, which row-for-row
+        pasting cannot follow — warn (once) rather than misalign
+        silently.
+        """
         T = feats.shape[0]
+        if pre_rows is not None and pre_rows != T and not self._grid_warned:
+            self._grid_warned = True
+            logger.warning(
+                "--pitch pastes row-for-row, but a postprocessor changed "
+                "the frame count (%d -> %d); the pitch columns stay on "
+                "the computer's original frame grid",
+                pre_rows,
+                T,
+            )
         out = np.zeros((T, p3.shape[-1]), feats.dtype)
         v = min(p3.shape[0], T)
         out[:v] = p3[:v]
@@ -620,18 +641,23 @@ def _signals_to_torch_feat_dir(options) -> int:
                     for j, (utt_id, feats) in enumerate(
                         zip(batch_utts[done], batch_feats)
                     ):
-                        feats = postprocess(np.asarray(feats, np.float64))
+                        raw = np.asarray(feats, np.float64)
+                        feats = postprocess(raw)
                         if p3s is not None:
-                            feats = pitch.append(feats, p3s[j])
+                            feats = pitch.append(
+                                feats, p3s[j], pre_rows=raw.shape[0]
+                            )
                         save_timed(utt_id, feats)
             else:
                 for utt_id, signal in loader():
                     with timer.stage("compute"):
-                        feats = postprocess(computer.compute_full(signal))
+                        raw = computer.compute_full(signal)
+                        feats = postprocess(raw)
                         if pitch is not None:
                             feats = pitch.append(
                                 np.asarray(feats, np.float64),
                                 pitch.one(signal),
+                                pre_rows=raw.shape[0],
                             )
                     save_timed(utt_id, feats)
     finally:
@@ -823,10 +849,13 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             yield utt_id, buff
 
     def emit(utt_id, feats, p3=None):
+        pre_rows = feats.shape[0]
         for postprocessor in postprocessors:
             feats = postprocessor.apply(feats, axis=-1)
         if p3 is not None:
-            feats = pitch.append(np.asarray(feats, np.float64), p3)
+            feats = pitch.append(
+                np.asarray(feats, np.float64), p3, pre_rows=pre_rows
+            )
         if not KaldiDataType.BaseMatrix.is_double:
             feats = feats.astype(np.float32)
         feat_writer.write(utt_id, feats)

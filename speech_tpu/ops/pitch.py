@@ -38,7 +38,13 @@ from .postops import delta_filters, deltas
 from .resample import resample
 from .xmath import xlog
 
-__all__ = ["PitchTrack", "kaldi_pitch", "nccf_to_pov", "pitch_feats"]
+__all__ = [
+    "PitchTrack",
+    "kaldi_pitch",
+    "nccf_to_pov",
+    "pitch_feats",
+    "pitch_feats_from_track",
+]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -105,6 +111,12 @@ def _lag_tables(
     return lo_int, len(ints), fine, interp, trans
 
 
+def _soft_discount(fine, rate: float, soft_min_f0: float) -> np.ndarray:
+    """Host per-fine-lag factor ``1 - min(soft_min_f0 * lag_s, 1)`` —
+    Kaldi's soft-min-f0 subharmonic tiebreak on the local NCCF cost."""
+    return 1.0 - np.minimum(soft_min_f0 * np.asarray(fine) / rate, 1.0)
+
+
 def _kaiser_at(x, half_width: int, beta: float = 6.0):
     """Kaiser window evaluated at (possibly non-integer) offsets ``x``."""
     arg = np.clip(1.0 - (x / half_width) ** 2, 0.0, None)
@@ -133,26 +145,15 @@ def _lowpass(signal, rate: float, cutoff: float):
     return out.reshape(signal.shape)
 
 
-def _nccf_1d(
-    sig,
-    length,
-    window: int,
-    shift: int,
-    tables,
-    nccf_ballast: float,
-):
-    """Fine-grid NCCFs of one 1D signal: ``(nccf_pitch, nccf_pov,
-    fvalid)``, shapes ``[T, L] / [T, L] / [T]``."""
-    lo_int, n_int, fine, interp, _ = tables
-    span = window + lo_int + n_int - 1  # samples each frame's NCCF touches
-    S = sig.shape[0]
-    T = (S - span) // shift + 1
-    if T < 1:
-        raise ValueError(
-            f"signal too short for pitch: {S} samples < {span} (window + "
-            f"max lag at this rate)"
-        )
-    frames = _framing.frame_padded(sig, T, span, shift)
+def _nccf_from_frames(frames, window: int, tables, ballast):
+    """Fine-grid NCCFs of ``[T, span]`` frames given a ballast *value*.
+
+    ``ballast`` is the (traced or constant) energy offset
+    ``nccf_ballast * window * mean_square`` — the caller owns the
+    mean-square estimate (whole-signal offline, running online).
+    Returns ``(nccf_pitch, nccf_pov)``, each ``[T, n_fine]``.
+    """
+    lo_int, n_int, _, interp, _ = tables
     frames = frames - frames.mean(axis=1, keepdims=True)
     x1 = frames[:, :window]
     # all shifted windows at once: the NCCF numerator and per-lag energy
@@ -165,22 +166,55 @@ def _nccf_1d(
     inner = jnp.einsum("tw,tlw->tl", x1, x2, precision=_HIGHEST)
     e1 = jnp.einsum("tw,tw->t", x1, x1, precision=_HIGHEST)
     e2 = jnp.einsum("tlw,tlw->tl", x2, x2, precision=_HIGHEST)
-    # ballast ~ the energy a window of the signal's mean power carries,
-    # so silence (e << ballast) reads as nccf ~ 0 at any input gain
-    # (Ghahremani et al. 2014, sec. 2)
-    ids = jnp.arange(S) < length
-    ms = jnp.sum(sig * sig * ids) / jnp.maximum(length, 1)
-    ballast = nccf_ballast * window * ms
-    tiny = jnp.asarray(1e-30, sig.dtype)
+    tiny = jnp.asarray(1e-30, frames.dtype)
     denom_p = jnp.sqrt((e1[:, None] + ballast) * (e2 + ballast)) + tiny
     denom_v = jnp.sqrt(e1[:, None] * e2) + tiny
     # interpolate both NCCFs onto the fine (geometric) lag grid: one
     # [n_int, n_fine] matmul; the lowpassed correlation is ~2x
     # oversampled at integer lags, so the windowed sinc is accurate
-    imat = jnp.asarray(interp, sig.dtype)
+    imat = jnp.asarray(interp, frames.dtype)
     nccf_pitch = jnp.matmul(inner / denom_p, imat, precision=_HIGHEST)
     nccf_pov = jnp.matmul(inner / denom_v, imat, precision=_HIGHEST)
     nccf_pov = jnp.clip(nccf_pov, -1.0, 1.0)
+    return nccf_pitch, nccf_pov
+
+
+def _nccf_span(window: int, tables) -> int:
+    """Samples each frame's NCCF touches."""
+    lo_int, n_int = tables[0], tables[1]
+    return window + lo_int + n_int - 1
+
+
+def _nccf_1d(
+    sig,
+    length,
+    window: int,
+    shift: int,
+    tables,
+    nccf_ballast: float,
+    ballast_ms=None,
+):
+    """Fine-grid NCCFs of one 1D signal: ``(nccf_pitch, nccf_pov,
+    fvalid)``, shapes ``[T, L] / [T, L] / [T]``."""
+    span = _nccf_span(window, tables)
+    S = sig.shape[0]
+    T = (S - span) // shift + 1
+    if T < 1:
+        raise ValueError(
+            f"signal too short for pitch: {S} samples < {span} (window + "
+            f"max lag at this rate)"
+        )
+    frames = _framing.frame_padded(sig, T, span, shift)
+    # ballast ~ the energy a window of the signal's mean power carries,
+    # so silence (e << ballast) reads as nccf ~ 0 at any input gain
+    # (Ghahremani et al. 2014, sec. 2)
+    if ballast_ms is None:
+        ids = jnp.arange(S) < length
+        ms = jnp.sum(sig * sig * ids) / jnp.maximum(length, 1)
+    else:
+        ms = jnp.asarray(ballast_ms, sig.dtype)
+    ballast = nccf_ballast * window * ms
+    nccf_pitch, nccf_pov = _nccf_from_frames(frames, window, tables, ballast)
     # frames past the valid length read zero-ish NCCF (unvoiced)
     nf = jnp.where(length >= span, (length - span) // shift + 1, 0)
     fvalid = jnp.arange(T) < nf
@@ -206,7 +240,6 @@ def _choose_lags(
     step instead of the (overhead-bound on TPU) step count.
     """
     _, _, fine, _, trans = tables
-    L = len(fine)
     dtype = nccf_pitch.dtype
     # local cost -nccf_eff, transition cost trans[i, j].  nccf_eff
     # discounts long lags by soft_min_f0 * lag seconds (Kaldi's
@@ -214,8 +247,9 @@ def _choose_lags(
     # every multiple of its true lag — without it the tracker can lock
     # onto a subharmonic.
     tmat = jnp.asarray(trans, dtype)
-    soft = np.minimum(soft_min_f0 * fine / rate, 1.0)
-    nccf_eff = nccf_pitch * jnp.asarray(1.0 - soft, dtype)
+    nccf_eff = nccf_pitch * jnp.asarray(
+        _soft_discount(fine, rate, soft_min_f0), dtype
+    )
     nc = jnp.moveaxis(nccf_eff, -2, 0)  # [T, ..., L] for the time scan
 
     def fwd(cost, nc_t):
@@ -235,9 +269,21 @@ def _choose_lags(
     _, path_head = jax.lax.scan(back, end, ptrs, reverse=True)
     path = jnp.concatenate([path_head, end[None]])  # [T, ...] lag indices
     path = jnp.moveaxis(path, 0, -1)  # [..., T]
+    return _refine_lags(path, nccf_pov, rate, fine, resolution)
 
-    # sub-grid lag refinement: parabola through the ballast-free NCCF at
-    # the winning fine lag and its neighbors (uniform in log-lag)
+
+def _refine_lags(path, nccf_pov, rate: float, fine, resolution: float):
+    """Sub-grid lag refinement shared by the offline and streaming
+    trackers: parabola through the ballast-free NCCF at the winning fine
+    lag and its neighbors (uniform in log-lag).  The parabola's center
+    clips into the interior, but the RETURNED nccf is always at the
+    true chosen lag — on range-edge frames (path 0 or L-1) the two
+    indices differ.  ``path``: ``(..., T)`` fine-grid indices;
+    ``nccf_pov``: ``(..., T, L)``; returns ``(f0, nccf_best)``.
+    """
+    L = len(fine)
+    dtype = nccf_pov.dtype
+    nccf_best = jnp.take_along_axis(nccf_pov, path[..., None], axis=-1)[..., 0]
     jc = jnp.clip(path, 1, L - 2)
     y = jnp.take_along_axis(
         nccf_pov, jc[..., None] + jnp.arange(-1, 2), axis=-1
@@ -249,10 +295,46 @@ def _choose_lags(
     )
     delta = jnp.clip(delta, -0.5, 0.5)
     delta = jnp.where((path > 0) & (path < L - 1), delta, 0.0)
-    log_grid = jnp.asarray(np.log(fine), dtype)
+    log_grid = jnp.asarray(np.log(np.asarray(fine)), dtype)
     log_lag = jnp.take(log_grid, path) + delta * dtype.type(np.log1p(resolution))
     f0 = jnp.asarray(rate, dtype) * jnp.exp(-log_lag)
-    return f0, y2
+    return f0, nccf_best
+
+
+def _work_geometry(
+    rate: float,
+    min_f0: float,
+    max_f0: float,
+    frame_length_ms: float,
+    frame_shift_ms: float,
+    resample_rate: Optional[float],
+    penalty_factor: float,
+    lag_resolution: float,
+):
+    """Host precompute shared by the offline and streaming trackers:
+    ``(work_rate, up, down, window, shift, tables)`` with ``up/down``
+    the reduced resampling ratio (1/1 when no resampling happens)."""
+    work_rate = float(rate)
+    up = down = 1
+    if resample_rate and float(resample_rate) != float(rate):
+        r_in, r_out = int(round(rate)), int(round(resample_rate))
+        g = gcd(r_in, r_out)
+        up, down = r_out // g, r_in // g
+        work_rate = float(resample_rate)
+    window = int(round(frame_length_ms * work_rate / 1000.0))
+    shift = int(round(frame_shift_ms * work_rate / 1000.0))
+    if window < 2 or shift < 1:
+        raise ValueError(
+            f"degenerate frame geometry: window {window}, shift {shift}"
+        )
+    tables = _lag_tables(
+        work_rate,
+        float(min_f0),
+        float(max_f0),
+        float(penalty_factor),
+        float(lag_resolution),
+    )
+    return work_rate, up, down, window, shift, tables
 
 
 def kaldi_pitch(
@@ -269,6 +351,7 @@ def kaldi_pitch(
     nccf_ballast: float = 1.0,
     soft_min_f0: float = 10.0,
     lag_resolution: float = 0.01,
+    ballast_ms=None,
 ) -> PitchTrack:
     """Track pitch of ``(..., S)`` signals; returns ``(..., T)`` frames.
 
@@ -293,6 +376,11 @@ def kaldi_pitch(
     ``valid=False`` and an unvoiced-grade ``nccf``.  Frame ``t`` covers
     the same ``frame_shift_ms`` grid as the feature computers, so the
     track aligns with (a prefix of) their frames.
+
+    ``ballast_ms`` (scalar, optional) fixes the ballast's mean-square
+    energy instead of measuring it from the signal — for comparing
+    against a streaming tracker (whose running estimate can't see the
+    whole signal) or pinning the operating point across utterances.
     """
     signal = jnp.asarray(signal)
     if not jnp.issubdtype(signal.dtype, jnp.floating):
@@ -315,14 +403,19 @@ def kaldi_pitch(
         signal = signal * (jnp.arange(S) < lengths[..., None]).astype(
             signal.dtype
         )
-    work_rate = float(rate)
-    if resample_rate and float(resample_rate) != float(rate):
-        r_in, r_out = int(round(rate)), int(round(resample_rate))
-        g = gcd(r_in, r_out)
-        up, down = r_out // g, r_in // g
+    work_rate, up, down, window, shift, tables = _work_geometry(
+        rate,
+        min_f0,
+        max_f0,
+        frame_length_ms,
+        frame_shift_ms,
+        resample_rate,
+        penalty_factor,
+        lag_resolution,
+    )
+    if (up, down) != (1, 1):
         signal = resample(signal, up, down)
         lengths = -((-lengths * up) // down)  # ceil(lengths * up / down)
-        work_rate = float(resample_rate)
         # the resampler's taps read valid samples from just inside the
         # boundary, leaving nonzero output past the resampled length; a
         # standalone (unpadded) signal ends with zero extension instead
@@ -332,23 +425,16 @@ def kaldi_pitch(
         ).astype(signal.dtype)
     if lowpass_cutoff and lowpass_cutoff < work_rate / 2:
         signal = _lowpass(signal, work_rate, float(lowpass_cutoff))
-    window = int(round(frame_length_ms * work_rate / 1000.0))
-    shift = int(round(frame_shift_ms * work_rate / 1000.0))
-    if window < 2 or shift < 1:
-        raise ValueError(
-            f"degenerate frame geometry: window {window}, shift {shift}"
-        )
-    tables = _lag_tables(
-        work_rate,
-        float(min_f0),
-        float(max_f0),
-        float(penalty_factor),
-        float(lag_resolution),
-    )
 
     def one(sig, length):
         return _nccf_1d(
-            sig, length, window, shift, tables, float(nccf_ballast)
+            sig,
+            length,
+            window,
+            shift,
+            tables,
+            float(nccf_ballast),
+            ballast_ms=ballast_ms,
         )
 
     if signal.ndim == 1:
@@ -408,9 +494,10 @@ def pitch_feats(
 ) -> jnp.ndarray:
     """Kaldi ``process-kaldi-pitch-feats``-style features, ``(..., T, 3)``.
 
-    Columns, matching Kaldi's default output: the POV feature
-    ``2((1.001 - nccf)^0.15 - 1)``, the normalized log pitch (log f0
-    minus its POV-weighted mean over a centered, edge-clipped
+    Columns, following the shape of Kaldi's default output (same
+    transforms; constants are this module's, not bit-matched): the POV
+    feature ``2((1.001 - nccf)^0.15 - 1)``, the normalized log pitch
+    (log f0 minus its POV-weighted mean over a centered, edge-clipped
     ``normalization_window`` of frames), and delta log pitch (the
     order-1 Kaldi delta filter with half-width ``delta_window``; no
     dithering noise is added, unlike Kaldi's default).  Rows past a
@@ -420,6 +507,30 @@ def pitch_feats(
     :func:`kaldi_pitch`.
     """
     track = kaldi_pitch(signal, rate, lengths=lengths, **kwargs)
+    return pitch_feats_from_track(
+        track,
+        normalization_window=normalization_window,
+        delta_window=delta_window,
+        return_valid=return_valid,
+    )
+
+
+def pitch_feats_from_track(
+    track: PitchTrack,
+    normalization_window: int = 151,
+    delta_window: int = 2,
+    return_valid: bool = False,
+):
+    """The :func:`pitch_feats` post-processing applied to an existing
+    ``(..., T)`` :class:`PitchTrack` — e.g. one accumulated from
+    :class:`speech_tpu.streaming.StreamingPitch` emissions, or resumed
+    from storage.  Same three columns, same padding semantics."""
+    if normalization_window < 1:
+        raise ValueError(
+            f"normalization_window must be >= 1, got {normalization_window}"
+        )
+    if delta_window < 1:
+        raise ValueError(f"delta_window must be >= 1, got {delta_window}")
     f0, nccf, valid = track
     dtype = f0.dtype
     pov_feat = 2.0 * (jnp.exp(0.15 * xlog(1.001 - nccf)) - 1.0)

@@ -138,6 +138,10 @@ def test_pitch_feats_masks_padding():
 def test_validation_errors():
     with pytest.raises(ValueError, match="min_f0"):
         kaldi_pitch(np.zeros(8000, np.float32), RATE, min_f0=500, max_f0=400)
+    with pytest.raises(ValueError, match="normalization_window"):
+        pitch_feats(np.zeros(8000, np.float32), RATE, normalization_window=0)
+    with pytest.raises(ValueError, match="delta_window"):
+        pitch_feats(np.zeros(8000, np.float32), RATE, delta_window=0)
     with pytest.raises(ValueError, match="too short"):
         kaldi_pitch(np.zeros(100, np.float32), RATE)
     with pytest.raises(ValueError, match="lengths shape"):
