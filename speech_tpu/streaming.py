@@ -34,8 +34,16 @@ from . import config as _config
 from .compute import SIFrameComputer, STFTFrameComputer
 from .ops import stft as _stft
 from .ops.framing import frame_count, reflect_index
+from .ops.framing import frame_padded as _framing_frame_padded
 
-__all__ = ["StreamState", "StreamingSTFT", "SIStreamState", "StreamingSI"]
+__all__ = [
+    "StreamState",
+    "StreamingSTFT",
+    "SIStreamState",
+    "StreamingSI",
+    "PitchStreamState",
+    "StreamingPitch",
+]
 
 
 class StreamState(NamedTuple):
@@ -708,3 +716,460 @@ class StreamingSI:
         outs = [feats[i, : counts[i]] for i in range(feats.shape[0])]
         outs.append(np.asarray(fin_feats)[: int(fin_count)])
         return np.concatenate(outs)
+
+
+class PitchStreamState(NamedTuple):
+    """Carry between chunks for the streaming pitch tracker."""
+
+    raw_carry: jnp.ndarray  # (raw_ctx,) most recent raw samples fed
+    n_chunks: jnp.ndarray  # int32, full chunks consumed so far
+    n_raw: jnp.ndarray  # int32, VALID raw samples seen
+    sumsq: jnp.ndarray  # running energy of valid work samples (ballast)
+    wcount: jnp.ndarray  # int32, valid work samples counted into sumsq
+    wcarry: jnp.ndarray  # (span - 1,) unconsumed work samples (tail-valid)
+    n_wc: jnp.ndarray  # int32, valid samples at the END of wcarry
+    cost: jnp.ndarray  # (n_lags,) Viterbi forward cost at the newest frame
+    ring_ptr: jnp.ndarray  # (ring_len, n_lags) int32 backpointers (newest last)
+    ring_pov: jnp.ndarray  # (ring_len, n_lags) ballast-free NCCF rows
+    n_frames: jnp.ndarray  # int32, frames absorbed into the Viterbi
+    n_out: jnp.ndarray  # int32, frames emitted so far
+
+
+class StreamingPitch:
+    """Explicit-carry jittable streaming for the Kaldi-style pitch tracker.
+
+    The offline tracker (:func:`speech_tpu.ops.pitch.kaldi_pitch`) is a
+    whole-utterance Viterbi; this is its chunked serving form, in the
+    spirit of Kaldi's ``online2`` pitch (lookahead-bounded emission)
+    but built like the other streamers in this module: pytree state,
+    static shapes, ``process``/``finalize`` pure and jitted, ``vmap``
+    for concurrent sessions.
+
+    Stage by stage:
+
+    - **Front-end** (resample to the work rate + lowpass) streams by
+      overlap-save recompute: the carry keeps the last ``raw_ctx`` raw
+      samples, each chunk recomputes the polyphase resample + FIR
+      lowpass over ``[carry | chunk]`` (the same matrices as the batch
+      path), and emits the ``chunk*up/down`` work samples whose full
+      left/right tap context is known — a constant ``delay_w``-sample
+      emission delay, flushed by :meth:`finalize`.  The work samples
+      therefore equal the batch front-end's to reduction roundoff.
+    - **NCCF**: carried ``span - 1`` work samples + the new block frame
+      gather-free (one contiguous ``dynamic_slice`` then static strided
+      slices), then :func:`speech_tpu.ops.pitch._nccf_from_frames` —
+      identical math to the batch tracker.  The energy ballast uses a
+      RUNNING mean square over the work samples seen so far (an online
+      tracker cannot see the whole signal; pass ``ballast_ms`` to
+      freeze it, e.g. for stream-vs-batch parity).
+    - **Lag search**: the Viterbi forward recursion runs incrementally;
+      a ring of the last ``lookahead_frames + flush`` backpointer rows
+      supports emission with AT LEAST ``lookahead_frames`` frames of
+      future context — each emitted frame is on the optimal path to the
+      newest frame's best lag, so once paths coalesce within the
+      lookahead (typical for speech in well under 50 frames) the
+      emitted track equals the offline optimum; :meth:`finalize`'s last
+      frames are exactly offline-optimal by construction.  With
+      ``lookahead_frames >= total frames``, the whole track is the
+      exact offline Viterbi (tested).
+
+    Chunks have a static size (a multiple of the resampling ``down``
+    factor, checked); ``valid_len < chunk_size`` is supported on the
+    FINAL chunk only (zero-pad it; earlier short chunks would shift the
+    work-sample grid).  Latency: ``delay_w`` work samples of front-end
+    delay plus ``lookahead_frames`` frames of Viterbi lookahead.
+    """
+
+    def __init__(
+        self,
+        rate: float,
+        chunk_size: int,
+        lookahead_frames: int = 50,
+        dtype=jnp.float32,
+        ballast_ms=None,
+        min_f0: float = 50.0,
+        max_f0: float = 400.0,
+        frame_length_ms: float = 25.0,
+        frame_shift_ms: float = 10.0,
+        resample_rate=4000.0,
+        lowpass_cutoff=1000.0,
+        penalty_factor: float = 0.1,
+        nccf_ballast: float = 1.0,
+        soft_min_f0: float = 10.0,
+        lag_resolution: float = 0.01,
+    ):
+        from .ops import pitch as _pitch
+        from .ops.resample import resample_matrices
+
+        self._pitch = _pitch
+        (
+            self.work_rate,
+            self.up,
+            self.down,
+            self.nccf_window,
+            self.shift,
+            self.tables,
+        ) = _pitch._work_geometry(
+            rate,
+            min_f0,
+            max_f0,
+            frame_length_ms,
+            frame_shift_ms,
+            resample_rate,
+            penalty_factor,
+            lag_resolution,
+        )
+        self.chunk_size = int(chunk_size)
+        if self.chunk_size < 1:
+            raise ValueError("chunk_size must be positive")
+        if self.chunk_size % self.down:
+            raise ValueError(
+                f"chunk_size must be a multiple of the resampling "
+                f"denominator {self.down} (rate {rate} -> {resample_rate}); "
+                f"got {self.chunk_size}"
+            )
+        self.lookahead = int(lookahead_frames)
+        if self.lookahead < 0:
+            raise ValueError("lookahead_frames must be >= 0")
+        self._dtype = jnp.dtype(dtype)
+        self.ballast_ms = None if ballast_ms is None else float(ballast_ms)
+        self.nccf_ballast = float(nccf_ballast)
+        self.lag_resolution = float(lag_resolution)
+        self.soft_min_f0 = float(soft_min_f0)
+        self.span = _pitch._nccf_span(self.nccf_window, self.tables)
+        fine = self.tables[2]
+        self.fine = fine
+        self.n_lags = len(fine)
+        self.lowpass_active = bool(
+            lowpass_cutoff and lowpass_cutoff < self.work_rate / 2
+        )
+        self.lowpass_cutoff = (
+            float(lowpass_cutoff) if self.lowpass_active else None
+        )
+        # lowpass FIR half-width (ops/pitch._lowpass_fir's fixed design)
+        K2 = 32 if self.lowpass_active else 0
+        L_, M_ = self.up, self.down
+        N = self.chunk_size
+        if (L_, M_) != (1, 1):
+            phi_np, k_min = resample_matrices(L_, M_)
+            self.w_width = phi_np.shape[1]
+            self.phi = jnp.asarray(phi_np.T, self._dtype)  # (W, up)
+        else:
+            self.w_width, k_min, self.phi = 1, 0, None
+        self.k_min = k_min
+        self.work_per_chunk = N * L_ // M_
+        Nw = self.work_per_chunk
+        # emission delay (work samples): every emitted sample's lowpass
+        # window and each window tap's resample raw window must lie in
+        # the current buffer.  Start above K2 so mid-stream emissions
+        # never read the (finalize-time) valid-length zeroing region.
+        D = K2 + 1
+        while (
+            ((Nw - D - 1 + K2) // L_) * M_ + k_min + self.w_width - 1 > N - 1
+        ):
+            D += 1
+        self.delay_w = D
+        # raw context: the oldest emitted sample's leftmost tap
+        need = -((((-D - K2) // L_) * M_) + k_min)
+        self.raw_ctx = -(-max(need, 0) // M_) * M_  # round up to blocks
+        self.r_w = self.raw_ctx * L_ // M_
+        self.off = self.r_w - D  # emitted slice's static work-buffer offset
+        self.n_blocks = (self.raw_ctx + N) // M_
+        self.n_work_buf = self.n_blocks * L_
+        self.pad_l = -k_min
+        self.pad_r = max(
+            (self.n_blocks - 1) * M_ + k_min + self.w_width - (self.raw_ctx + N),
+            0,
+        )
+        self.max_frames_chunk = (Nw - 1) // self.shift + 1
+        self.k_flush = -(-D // Nw)
+        self.ring_len = self.lookahead + max(1, self.k_flush) * (
+            self.max_frames_chunk
+        )
+        tmat = self.tables[4]
+        self.tmat = jnp.asarray(tmat, self._dtype)
+        self.soft = jnp.asarray(
+            _pitch._soft_discount(fine, self.work_rate, self.soft_min_f0),
+            self._dtype,
+        )
+        self._process = jax.jit(self._process_impl)
+        self._finalize = jax.jit(self._finalize_impl)
+
+    def init_state(self) -> PitchStreamState:
+        Lf, RL = self.n_lags, self.ring_len
+        return PitchStreamState(
+            raw_carry=jnp.zeros((self.raw_ctx,), self._dtype),
+            n_chunks=jnp.zeros((), jnp.int32),
+            n_raw=jnp.zeros((), jnp.int32),
+            sumsq=jnp.zeros((), self._dtype),
+            wcount=jnp.zeros((), jnp.int32),
+            wcarry=jnp.zeros((self.span - 1,), self._dtype),
+            n_wc=jnp.zeros((), jnp.int32),
+            cost=jnp.zeros((Lf,), self._dtype),
+            ring_ptr=jnp.zeros((RL, Lf), jnp.int32),
+            ring_pov=jnp.zeros((RL, Lf), self._dtype),
+            n_frames=jnp.zeros((), jnp.int32),
+            n_out=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _front(self, buf):
+        """Resampled work samples of the raw buffer (abs work index of
+        output 0 is ``n_chunks*work_per_chunk - r_w``)."""
+        if self.up == 1 and self.down == 1:
+            return buf
+        padded = jnp.pad(buf, (self.pad_l, self.pad_r))
+        frames = _framing_frame_padded(
+            padded, self.n_blocks, self.w_width, self.down
+        )
+        out = jnp.matmul(frames, self.phi, precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(self.n_blocks * self.up)[: self.n_work_buf]
+
+    def _absorb_impl(self, state: PitchStreamState, chunk, v):
+        """Front-end + framing + NCCF + Viterbi absorption; no emission."""
+        _pitch = self._pitch
+        N, Nw = self.chunk_size, self.work_per_chunk
+        v = jnp.clip(jnp.asarray(v, jnp.int32), 0, N)
+        chunk = jnp.asarray(chunk, self._dtype)
+        chunk = jnp.where(jnp.arange(N) < v, chunk, 0)
+        buf = jnp.concatenate([state.raw_carry, chunk])
+        c = state.n_chunks
+        n_raw = state.n_raw + v
+        # valid resampled length so far (batch: ceil(len * up / down))
+        s_w_valid = (n_raw * self.up + self.down - 1) // self.down
+        work = self._front(buf)
+        # zero outside the valid resampled extent BEFORE the lowpass.
+        # Right edge: the batch tracker re-zeroes past ceil(len*up/down)
+        # (resampler taps leave nonzero output there); delay_w > K2 keeps
+        # that a no-op mid-stream, so it only shapes the final flush.
+        # Left edge: blocks before abs work 0 read real raw samples
+        # through the FIR's left tail, but the batch lowpass zero-pads
+        # before sample 0 — zero them so the first K2 emitted samples
+        # match the batch head exactly.
+        a_w0 = c * Nw - self.r_w  # abs work index of work[0]
+        idx = jnp.arange(work.shape[0]) + a_w0
+        work = jnp.where((idx >= 0) & (idx < s_w_valid), work, 0)
+        if self.lowpass_active:
+            work = _pitch._lowpass(work, self.work_rate, self.lowpass_cutoff)
+        emit = work[self.off : self.off + Nw]
+        e0 = c * Nw - self.delay_w  # abs work index of emit[0]
+        pos = jnp.arange(Nw) + e0
+        vmask = (pos >= 0) & (pos < s_w_valid)
+        sumsq = state.sumsq + jnp.sum(jnp.where(vmask, emit * emit, 0))
+        dv = jnp.sum(vmask.astype(jnp.int32))
+        wcount = state.wcount + dv
+        # valid region of `emit` is contiguous [lo, hi); lo > 0 happens
+        # only before any valid work existed (the carry is empty then),
+        # so [carry-tail | emit-valid] is one contiguous valid segment
+        hi_loc = jnp.clip(s_w_valid - e0, 0, Nw).astype(jnp.int32)
+        CL = self.span - 1
+        stream = jnp.concatenate([state.wcarry, emit])
+        total = state.n_wc + dv
+        valid_end = CL + hi_loc
+        nf = jnp.maximum(0, (total - self.span) // self.shift + 1)
+        F = self.max_frames_chunk
+        win_len = (F - 1) * self.shift + self.span
+        start = jnp.clip(valid_end - total, 0, CL + Nw).astype(jnp.int32)
+        windowed = jax.lax.dynamic_slice(
+            jnp.concatenate([stream, jnp.zeros((win_len,), stream.dtype)]),
+            (start,),
+            (win_len,),
+        )
+        frames = _framing_frame_padded(windowed, F, self.span, self.shift)
+        ms = (
+            jnp.asarray(self.ballast_ms, self._dtype)
+            if self.ballast_ms is not None
+            else sumsq / jnp.maximum(wcount, 1)
+        )
+        ballast = self.nccf_ballast * self.nccf_window * ms
+        nc_p, nc_v = _pitch._nccf_from_frames(
+            frames, self.nccf_window, self.tables, ballast
+        )
+        fvalid = jnp.arange(F) < nf
+        nc_eff = nc_p * self.soft
+        Lf = self.n_lags
+        tmat = self.tmat
+        arangeL = jnp.arange(Lf, dtype=jnp.int32)
+
+        def vstep(carry, inp):
+            cost, nfr, rp, rv = carry
+            nc_row, pov_row, ok = inp
+            tot = cost[:, None] + tmat
+            cost2 = jnp.min(tot, axis=0) - nc_row
+            ptr = jnp.argmin(tot, axis=0).astype(jnp.int32)
+            first = nfr == 0
+            cost2 = jnp.where(first, -nc_row, cost2)
+            ptr = jnp.where(first, arangeL, ptr)
+            rp2 = jnp.concatenate([rp[1:], ptr[None]], axis=0)
+            rv2 = jnp.concatenate([rv[1:], pov_row[None]], axis=0)
+            return (
+                jnp.where(ok, cost2, cost),
+                nfr + ok.astype(jnp.int32),
+                jnp.where(ok, rp2, rp),
+                jnp.where(ok, rv2, rv),
+            ), None
+
+        (cost, n_frames, ring_ptr, ring_pov), _ = jax.lax.scan(
+            vstep,
+            (state.cost, state.n_frames, state.ring_ptr, state.ring_pov),
+            (nc_eff, nc_v, fvalid),
+        )
+        rem = jnp.clip(total - nf * self.shift, 0, CL)
+        wcarry = jax.lax.dynamic_slice(
+            stream, ((valid_end - CL).astype(jnp.int32),), (CL,)
+        )
+        return PitchStreamState(
+            raw_carry=buf[N:],
+            n_chunks=(c + 1).astype(jnp.int32),
+            n_raw=n_raw.astype(jnp.int32),
+            sumsq=sumsq,
+            wcount=wcount.astype(jnp.int32),
+            wcarry=wcarry,
+            n_wc=rem.astype(jnp.int32),
+            cost=cost,
+            ring_ptr=ring_ptr,
+            ring_pov=ring_pov,
+            n_frames=n_frames.astype(jnp.int32),
+            n_out=state.n_out,
+        )
+
+    def _emit_tracks(self, cost, ring_ptr, ring_pov, pending, e, out_n: int):
+        """Backtrack from the newest frame's best lag through the ring
+        and emit the OLDEST ``e`` pending frames (each thereby sees at
+        least the full pending depth of future context), refined to
+        sub-grid lags.  Returns a :class:`~speech_tpu.ops.pitch.PitchTrack`
+        of ``out_n`` rows with ``valid = arange < e``."""
+        from .ops.pitch import PitchTrack
+
+        _pitch = self._pitch
+        j0 = jnp.argmin(cost).astype(jnp.int32)
+
+        def bstep(j, ptr_row):
+            return ptr_row[j], j
+
+        _, path = jax.lax.scan(bstep, j0, ring_ptr, reverse=True)
+        start = jnp.clip(self.ring_len - pending, 0, self.ring_len).astype(
+            jnp.int32
+        )
+        pathp = jnp.concatenate([path, jnp.zeros((out_n,), jnp.int32)])
+        povp = jnp.concatenate(
+            [ring_pov, jnp.zeros((out_n, self.n_lags), ring_pov.dtype)]
+        )
+        p = jax.lax.dynamic_slice(pathp, (start,), (out_n,))
+        pv = jax.lax.dynamic_slice(
+            povp, (start, jnp.zeros((), jnp.int32)), (out_n, self.n_lags)
+        )
+        f0, nccf = _pitch._refine_lags(
+            p, pv, self.work_rate, self.fine, self.lag_resolution
+        )
+        ok = jnp.arange(out_n) < e
+        return PitchTrack(
+            jnp.where(ok, f0, 0.0), jnp.where(ok, nccf, 0.0), ok
+        )
+
+    def _process_impl(self, state: PitchStreamState, chunk, v):
+        state = self._absorb_impl(state, chunk, v)
+        pending = state.n_frames - state.n_out
+        e = jnp.clip(pending - self.lookahead, 0, self.max_frames_chunk)
+        track = self._emit_tracks(
+            state.cost,
+            state.ring_ptr,
+            state.ring_pov,
+            pending,
+            e,
+            self.max_frames_chunk,
+        )
+        return state._replace(n_out=(state.n_out + e).astype(jnp.int32)), track
+
+    def _finalize_impl(self, state: PitchStreamState):
+        # flush the front-end's emission delay with zero chunks (valid 0
+        # — absorption only, so the ring retains every pending frame)
+        if self.k_flush:
+            zeros = jnp.zeros((self.k_flush, self.chunk_size), self._dtype)
+
+            def fstep(st, z):
+                return self._absorb_impl(st, z, jnp.zeros((), jnp.int32)), None
+
+            state, _ = jax.lax.scan(fstep, state, zeros)
+        pending = state.n_frames - state.n_out
+        # the final backtrack IS the offline Viterbi's: these frames are
+        # exactly the whole-utterance optimum over the absorbed NCCFs
+        return self._emit_tracks(
+            state.cost,
+            state.ring_ptr,
+            state.ring_pov,
+            pending,
+            pending,
+            self.ring_len,
+        )
+
+    # public entry points --------------------------------------------------
+
+    def process(self, state: PitchStreamState, chunk, valid_len=None):
+        """Consume one ``(chunk_size,)`` chunk; returns ``(state, track)``
+        with ``track`` a :class:`~speech_tpu.ops.pitch.PitchTrack` of
+        ``max_frames_chunk`` rows whose ``valid`` mask is a prefix.
+
+        ``valid_len < chunk_size`` (zero-pad the rest) is for the FINAL
+        chunk only — call :meth:`finalize` right after."""
+        if chunk.shape[-1] != self.chunk_size:
+            raise ValueError(
+                f"chunk must have static size {self.chunk_size}; "
+                f"got {chunk.shape[-1]}"
+            )
+        if valid_len is None:
+            valid_len = self.chunk_size
+        return self._process(state, chunk, valid_len)
+
+    def finalize(self, state: PitchStreamState):
+        """Flush the front-end delay and the Viterbi lookahead; returns
+        the final :class:`~speech_tpu.ops.pitch.PitchTrack` (``ring_len``
+        rows, prefix-valid).  Its frames are exactly offline-optimal."""
+        return self._finalize(state)
+
+    def scan(self, signal, sig_len=None):
+        """Whole-utterance streaming under one jitted program; returns
+        ``(tracks, fin_track)`` with ``tracks`` stacked per-chunk
+        :class:`~speech_tpu.ops.pitch.PitchTrack` pytrees
+        (``(n_steps, max_frames_chunk)`` leaves)."""
+        C = self.chunk_size
+        buf_len = signal.shape[0]
+        n_steps = max(1, -(-buf_len // C))
+        if sig_len is None:
+            sig_len = buf_len
+        signal = jnp.asarray(signal, self._dtype)
+        padded = jnp.pad(signal, (0, n_steps * C - buf_len))
+        chunks = padded.reshape(n_steps, C)
+        valids = jnp.clip(
+            jnp.asarray(sig_len, jnp.int32) - jnp.arange(n_steps) * C, 0, C
+        )
+
+        def step(state, inp):
+            chunk, v = inp
+            state, track = self._process_impl(state, chunk, v)
+            return state, track
+
+        state, tracks = jax.lax.scan(step, self.init_state(), (chunks, valids))
+        fin = self._finalize_impl(state)
+        return tracks, fin
+
+    def transform(self, signal: np.ndarray):
+        """Stream a whole signal via :meth:`scan` and return the
+        compacted ``(f0, nccf)`` numpy arrays (testing helper)."""
+        sig = np.asarray(signal)
+        tracks, fin = jax.jit(self.scan)(
+            jnp.asarray(sig, self._dtype), len(sig)
+        )
+        f0s, nccfs = [], []
+        tf0 = np.asarray(tracks.f0)
+        tnc = np.asarray(tracks.nccf)
+        tva = np.asarray(tracks.valid)
+        for i in range(tf0.shape[0]):
+            n = int(tva[i].sum())
+            f0s.append(tf0[i, :n])
+            nccfs.append(tnc[i, :n])
+        n = int(np.asarray(fin.valid).sum())
+        f0s.append(np.asarray(fin.f0)[:n])
+        nccfs.append(np.asarray(fin.nccf)[:n])
+        return np.concatenate(f0s), np.concatenate(nccfs)
