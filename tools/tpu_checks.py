@@ -313,6 +313,46 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             err = 1.0
         battery.check("pitch tones + pov split", err, 1e-2, time.time() - t0)
 
+        # Streaming pitch == offline tracker on-device: frozen ballast +
+        # lookahead >= T makes the streamed track the exact offline
+        # Viterbi; report the fraction of frames off by >1% (f32
+        # reduction-order roundoff can flip near-tie lags, hence a
+        # fraction rather than a max-abs)
+        t0 = time.time()
+        from speech_tpu.streaming import StreamingPitch
+
+        vib = np.sin(
+            2 * np.pi * np.cumsum(180 + 40 * np.sin(2 * np.pi * 1.3 * tt)) / RATE
+        ) + 0.05 * rng.randn(tt.size)
+        vib = vib.astype(np.float32)
+        spitch = StreamingPitch(
+            RATE, chunk_size=3200, lookahead_frames=250, ballast_ms=0.25
+        )
+        f0_s, _ = spitch.transform(vib)
+        f0_b = np.asarray(kaldi_pitch(vib, RATE, ballast_ms=0.25).f0)
+        err = (
+            1.0
+            if f0_s.shape != f0_b.shape
+            else float(np.mean(np.abs(f0_s - f0_b) > 0.01 * f0_b))
+        )
+        battery.check("streaming pitch == offline", err, 2e-2, time.time() - t0)
+
+        # Feature inversion: Griffin-Lim a short fbank matrix back to a
+        # waveform on-device, re-analyze on-device, compare the feature
+        # round-trip error to the documented ~0.02-0.07 envelope floor
+        t0 = time.time()
+        from speech_tpu.ops.invert import feats_to_signal
+
+        short = sigs32[3][: RATE // 2]
+        computer = STFTFrameComputer(dict(BANK_STFT), **_stft_kwargs())
+        feats = np.asarray(computer.compute_full(short))
+        y = np.asarray(
+            feats_to_signal(feats, computer, n_iters=20, length=len(short))
+        )
+        feats2 = np.asarray(computer.compute_full(y.astype(np.float32)))
+        err = float(np.mean((feats2 - feats) ** 2) / np.var(feats))
+        battery.check("invert roundtrip rel-MSE", err, 0.15, time.time() - t0)
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
