@@ -394,12 +394,22 @@ class StreamPool:
     ):
         from .compute import ShortIntegrationFrameComputer
 
-        cls = (
-            StreamingSI
-            if isinstance(computer, ShortIntegrationFrameComputer)
-            else StreamingSTFT
-        )
-        self._stream = cls(computer, chunk_size)
+        if hasattr(computer, "init_state") and hasattr(
+            computer, "_process_impl"
+        ):
+            # a pre-built streamer (e.g. streaming.StreamingPitch) —
+            # anything honoring the (state, feats, n_valid) process /
+            # (feats, n_valid) finalize contract with valid-0 no-op
+            # steps pools directly; its own chunk size governs
+            self._stream = computer
+            chunk_size = computer.chunk_size
+        else:
+            cls = (
+                StreamingSI
+                if isinstance(computer, ShortIntegrationFrameComputer)
+                else StreamingSTFT
+            )
+            self._stream = cls(computer, chunk_size)
         self._slots = int(slots)
         self._chunk = int(chunk_size)
         self._dtype = np.dtype(self._stream._dtype)

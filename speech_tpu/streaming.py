@@ -721,9 +721,12 @@ class StreamingSI:
 class PitchStreamState(NamedTuple):
     """Carry between chunks for the streaming pitch tracker."""
 
-    raw_carry: jnp.ndarray  # (raw_ctx,) most recent raw samples fed
-    n_chunks: jnp.ndarray  # int32, full chunks consumed so far
-    n_raw: jnp.ndarray  # int32, VALID raw samples seen
+    stage: jnp.ndarray  # (chunk_size,) staged valid samples (head-valid,
+    # zero beyond n_stage) awaiting a full aligned chunk
+    n_stage: jnp.ndarray  # int32, valid samples at the START of `stage`
+    raw_carry: jnp.ndarray  # (raw_ctx,) most recent raw samples absorbed
+    n_chunks: jnp.ndarray  # int32, full aligned chunks absorbed so far
+    n_raw: jnp.ndarray  # int32, VALID raw samples absorbed
     sumsq: jnp.ndarray  # running energy of valid work samples (ballast)
     wcount: jnp.ndarray  # int32, valid work samples counted into sumsq
     wcarry: jnp.ndarray  # (span - 1,) unconsumed work samples (tail-valid)
@@ -740,19 +743,29 @@ class StreamingPitch:
 
     The offline tracker (:func:`speech_tpu.ops.pitch.kaldi_pitch`) is a
     whole-utterance Viterbi; this is its chunked serving form, in the
-    spirit of Kaldi's ``online2`` pitch (lookahead-bounded emission)
-    but built like the other streamers in this module: pytree state,
-    static shapes, ``process``/``finalize`` pure and jitted, ``vmap``
-    for concurrent sessions.
+    spirit of Kaldi's ``online2`` pitch (lookahead-bounded emission) but
+    built like the other streamers in this module: pytree state, static
+    shapes, ``process``/``finalize`` pure and jitted with the same
+    ``(state, feats, n_valid)`` contract (feature columns ``[f0,
+    nccf]``), masked chunks of any ``valid_len``, ``vmap`` for
+    concurrent sessions — so :class:`speech_tpu.serve.StreamPool` and
+    :class:`~speech_tpu.serve.StreamServer` multiplex pitch sessions
+    unchanged.
 
     Stage by stage:
 
+    - **Staging**: incoming valid samples compact into a one-chunk
+      staging buffer, and absorption consumes full aligned chunks only
+      (the polyphase front-end needs a fixed raw grid); ``finalize``
+      absorbs the staged remainder as the final partial chunk.  A
+      ``valid_len 0`` call is a bitwise no-op on the state (idle pool
+      slots tick for free).
     - **Front-end** (resample to the work rate + lowpass) streams by
       overlap-save recompute: the carry keeps the last ``raw_ctx`` raw
-      samples, each chunk recomputes the polyphase resample + FIR
-      lowpass over ``[carry | chunk]`` (the same matrices as the batch
-      path), and emits the ``chunk*up/down`` work samples whose full
-      left/right tap context is known — a constant ``delay_w``-sample
+      samples, each absorbed chunk recomputes the polyphase resample +
+      FIR lowpass over ``[carry | chunk]`` (the same matrices as the
+      batch path) and emits the ``chunk*up/down`` work samples whose
+      full left/right tap context is known — a constant ``delay_w``
       emission delay, flushed by :meth:`finalize`.  The work samples
       therefore equal the batch front-end's to reduction roundoff.
     - **NCCF**: carried ``span - 1`` work samples + the new block frame
@@ -763,21 +776,20 @@ class StreamingPitch:
       tracker cannot see the whole signal; pass ``ballast_ms`` to
       freeze it, e.g. for stream-vs-batch parity).
     - **Lag search**: the Viterbi forward recursion runs incrementally;
-      a ring of the last ``lookahead_frames + flush`` backpointer rows
-      supports emission with AT LEAST ``lookahead_frames`` frames of
-      future context — each emitted frame is on the optimal path to the
-      newest frame's best lag, so once paths coalesce within the
-      lookahead (typical for speech in well under 50 frames) the
-      emitted track equals the offline optimum; :meth:`finalize`'s last
-      frames are exactly offline-optimal by construction.  With
-      ``lookahead_frames >= total frames``, the whole track is the
-      exact offline Viterbi (tested).
+      a ring of backpointer rows supports emission with AT LEAST
+      ``lookahead_frames`` of future context — each emitted frame is on
+      the optimal path to the newest frame's best lag, so once paths
+      coalesce within the lookahead (typical for speech in well under
+      50 frames) the emitted track equals the offline optimum, and
+      :meth:`finalize`'s frames are exactly offline-optimal by
+      construction.  With ``lookahead_frames >= total frames``, the
+      whole track is the exact offline Viterbi (tested at 1e-15).
 
-    Chunks have a static size (a multiple of the resampling ``down``
-    factor, checked); ``valid_len < chunk_size`` is supported on the
-    FINAL chunk only (zero-pad it; earlier short chunks would shift the
-    work-sample grid).  Latency: ``delay_w`` work samples of front-end
-    delay plus ``lookahead_frames`` frames of Viterbi lookahead.
+    Latency: up to one chunk of staging, plus ``delay_w`` work samples
+    of front-end delay, plus ``lookahead_frames`` frames of Viterbi
+    lookahead.  Feed emissions to
+    :func:`speech_tpu.ops.pitch.pitch_feats_from_track` for the
+    3-column Kaldi-style features.
     """
 
     def __init__(
@@ -883,7 +895,9 @@ class StreamingPitch:
         )
         self.max_frames_chunk = (Nw - 1) // self.shift + 1
         self.k_flush = -(-D // Nw)
-        self.ring_len = self.lookahead + max(1, self.k_flush) * (
+        # finalize absorbs the staged remainder plus k_flush zero chunks
+        # without emitting; the ring must retain every frame across that
+        self.ring_len = self.lookahead + (1 + self.k_flush) * (
             self.max_frames_chunk
         )
         tmat = self.tables[4]
@@ -898,6 +912,8 @@ class StreamingPitch:
     def init_state(self) -> PitchStreamState:
         Lf, RL = self.n_lags, self.ring_len
         return PitchStreamState(
+            stage=jnp.zeros((self.chunk_size,), self._dtype),
+            n_stage=jnp.zeros((), jnp.int32),
             raw_carry=jnp.zeros((self.raw_ctx,), self._dtype),
             n_chunks=jnp.zeros((), jnp.int32),
             n_raw=jnp.zeros((), jnp.int32),
@@ -926,8 +942,11 @@ class StreamingPitch:
         out = jnp.matmul(frames, self.phi, precision=jax.lax.Precision.HIGHEST)
         return out.reshape(self.n_blocks * self.up)[: self.n_work_buf]
 
-    def _absorb_impl(self, state: PitchStreamState, chunk, v):
-        """Front-end + framing + NCCF + Viterbi absorption; no emission."""
+    def _absorb_impl(self, state: PitchStreamState, chunk, v, advance):
+        """Absorb ONE grid-aligned chunk (front-end + framing + NCCF +
+        Viterbi); no emission.  ``advance`` False makes the call a
+        bitwise no-op on the state (the staging layer and idle pool
+        slots rely on it); the staging fields pass through untouched."""
         _pitch = self._pitch
         N, Nw = self.chunk_size, self.work_per_chunk
         v = jnp.clip(jnp.asarray(v, jnp.int32), 0, N)
@@ -1019,7 +1038,9 @@ class StreamingPitch:
         wcarry = jax.lax.dynamic_slice(
             stream, ((valid_end - CL).astype(jnp.int32),), (CL,)
         )
-        return PitchStreamState(
+        new = PitchStreamState(
+            stage=state.stage,
+            n_stage=state.n_stage,
             raw_carry=buf[N:],
             n_chunks=(c + 1).astype(jnp.int32),
             n_raw=n_raw.astype(jnp.int32),
@@ -1033,28 +1054,34 @@ class StreamingPitch:
             n_frames=n_frames.astype(jnp.int32),
             n_out=state.n_out,
         )
+        adv = jnp.asarray(advance, jnp.bool_)
+        return jax.tree_util.tree_map(
+            lambda n_, o_: jnp.where(adv, n_, o_), new, state
+        )
 
-    def _emit_tracks(self, cost, ring_ptr, ring_pov, pending, e, out_n: int):
+    def _emit_tracks(self, state: PitchStreamState, e, out_n: int):
         """Backtrack from the newest frame's best lag through the ring
         and emit the OLDEST ``e`` pending frames (each thereby sees at
         least the full pending depth of future context), refined to
-        sub-grid lags.  Returns a :class:`~speech_tpu.ops.pitch.PitchTrack`
-        of ``out_n`` rows with ``valid = arange < e``."""
-        from .ops.pitch import PitchTrack
-
+        sub-grid lags.  Returns ``(f0, nccf)`` of ``out_n`` rows, rows
+        ``>= e`` zeroed."""
         _pitch = self._pitch
-        j0 = jnp.argmin(cost).astype(jnp.int32)
+        pending = state.n_frames - state.n_out
+        j0 = jnp.argmin(state.cost).astype(jnp.int32)
 
         def bstep(j, ptr_row):
             return ptr_row[j], j
 
-        _, path = jax.lax.scan(bstep, j0, ring_ptr, reverse=True)
+        _, path = jax.lax.scan(bstep, j0, state.ring_ptr, reverse=True)
         start = jnp.clip(self.ring_len - pending, 0, self.ring_len).astype(
             jnp.int32
         )
         pathp = jnp.concatenate([path, jnp.zeros((out_n,), jnp.int32)])
         povp = jnp.concatenate(
-            [ring_pov, jnp.zeros((out_n, self.n_lags), ring_pov.dtype)]
+            [
+                state.ring_pov,
+                jnp.zeros((out_n, self.n_lags), state.ring_pov.dtype),
+            ]
         )
         p = jax.lax.dynamic_slice(pathp, (start,), (out_n,))
         pv = jax.lax.dynamic_slice(
@@ -1064,75 +1091,136 @@ class StreamingPitch:
             p, pv, self.work_rate, self.fine, self.lag_resolution
         )
         ok = jnp.arange(out_n) < e
-        return PitchTrack(
-            jnp.where(ok, f0, 0.0), jnp.where(ok, nccf, 0.0), ok
-        )
+        return jnp.where(ok, f0, 0.0), jnp.where(ok, nccf, 0.0)
 
-    def _process_impl(self, state: PitchStreamState, chunk, v):
-        state = self._absorb_impl(state, chunk, v)
-        pending = state.n_frames - state.n_out
-        e = jnp.clip(pending - self.lookahead, 0, self.max_frames_chunk)
-        track = self._emit_tracks(
-            state.cost,
-            state.ring_ptr,
-            state.ring_pov,
-            pending,
-            e,
-            self.max_frames_chunk,
+    def _process_impl(self, state: PitchStreamState, samples, valid_len):
+        """Stage + absorb full chunks + emit; ``samples`` is any static
+        width that is a multiple of ``chunk_size`` (wide buffers batch a
+        backlog into one call), ``valid_len`` marks the real prefix.
+        Returns ``(state, feats, n_valid)`` with feats ``(capacity, 2)``
+        columns ``[f0, nccf]`` — the StreamPool streamer contract."""
+        N = self.chunk_size
+        W = samples.shape[0]
+        k_steps = W // N
+        F = self.max_frames_chunk
+        out_n = max(k_steps, 1) * F
+        dtype = self._dtype
+        v = jnp.clip(jnp.asarray(valid_len, jnp.int32), 0, W)
+        samples = jnp.asarray(samples, dtype)
+        samples = jnp.where(jnp.arange(W) < v, samples, 0)
+        # compact the valid prefix onto the staged samples (both are
+        # zero beyond their valid extents, so the traced-offset update
+        # preserves the zero invariant bitwise)
+        combined = jnp.concatenate([state.stage, jnp.zeros((W,), dtype)])
+        combined = jax.lax.dynamic_update_slice(
+            combined, samples, (state.n_stage,)
         )
-        return state._replace(n_out=(state.n_out + e).astype(jnp.int32)), track
+        total_in = state.n_stage + v
+        full = total_in // N
+
+        def pstep(carry, inp):
+            st, f0b, ncb, ne = carry
+            chunk_i, i = inp
+            st = self._absorb_impl(
+                st, chunk_i, jnp.asarray(N, jnp.int32), advance=i < full
+            )
+            pending = st.n_frames - st.n_out
+            e = jnp.clip(pending - self.lookahead, 0, F)
+            f0, nccf = self._emit_tracks(st, e, F)
+            st = st._replace(n_out=(st.n_out + e).astype(jnp.int32))
+            # rows >= e are zeros onto zeros (output buffers start zero
+            # and only [0, ne) is ever written), so the fixed-width
+            # update at the traced offset appends exactly e rows
+            f0b = jax.lax.dynamic_update_slice(f0b, f0, (ne,))
+            ncb = jax.lax.dynamic_update_slice(ncb, nccf, (ne,))
+            return (st, f0b, ncb, ne + e), None
+
+        carry = (
+            state,
+            jnp.zeros((out_n,), dtype),
+            jnp.zeros((out_n,), dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        if k_steps:
+            chunks = combined[: k_steps * N].reshape(k_steps, N)
+            carry, _ = jax.lax.scan(
+                pstep, carry, (chunks, jnp.arange(k_steps))
+            )
+        state, f0b, ncb, ne = carry
+        stage = jax.lax.dynamic_slice(
+            combined, ((full * N).astype(jnp.int32),), (N,)
+        )
+        state = state._replace(
+            stage=stage, n_stage=(total_in - full * N).astype(jnp.int32)
+        )
+        return state, jnp.stack([f0b, ncb], axis=-1), ne
 
     def _finalize_impl(self, state: PitchStreamState):
-        # flush the front-end's emission delay with zero chunks (valid 0
-        # — absorption only, so the ring retains every pending frame)
+        """Absorb the staged remainder as the final (masked) chunk, flush
+        the front-end's emission delay with zero chunks, and emit every
+        pending frame — the tail is the exact offline Viterbi optimum.
+        Returns ``(feats (ring_len, 2), n_valid)``."""
+        state = self._absorb_impl(
+            state, state.stage, state.n_stage, advance=True
+        )
         if self.k_flush:
             zeros = jnp.zeros((self.k_flush, self.chunk_size), self._dtype)
 
             def fstep(st, z):
-                return self._absorb_impl(st, z, jnp.zeros((), jnp.int32)), None
+                return (
+                    self._absorb_impl(
+                        st, z, jnp.zeros((), jnp.int32), advance=True
+                    ),
+                    None,
+                )
 
             state, _ = jax.lax.scan(fstep, state, zeros)
         pending = state.n_frames - state.n_out
-        # the final backtrack IS the offline Viterbi's: these frames are
-        # exactly the whole-utterance optimum over the absorbed NCCFs
-        return self._emit_tracks(
-            state.cost,
-            state.ring_ptr,
-            state.ring_pov,
-            pending,
-            pending,
-            self.ring_len,
-        )
+        f0, nccf = self._emit_tracks(state, pending, self.ring_len)
+        return jnp.stack([f0, nccf], axis=-1), pending
 
     # public entry points --------------------------------------------------
 
-    def process(self, state: PitchStreamState, chunk, valid_len=None):
-        """Consume one ``(chunk_size,)`` chunk; returns ``(state, track)``
-        with ``track`` a :class:`~speech_tpu.ops.pitch.PitchTrack` of
-        ``max_frames_chunk`` rows whose ``valid`` mask is a prefix.
+    def process(self, state: PitchStreamState, samples, valid_len=None):
+        """Consume a sample buffer (width any multiple of
+        ``chunk_size``); returns ``(state, track)`` with ``track`` a
+        prefix-valid :class:`~speech_tpu.ops.pitch.PitchTrack`.
 
-        ``valid_len < chunk_size`` (zero-pad the rest) is for the FINAL
-        chunk only — call :meth:`finalize` right after."""
-        if chunk.shape[-1] != self.chunk_size:
+        ``valid_len`` marks the real prefix (default: all); any
+        chunking streams — short valids stage until a full aligned
+        chunk accumulates, exactly like the other streamers."""
+        from .ops.pitch import PitchTrack
+
+        W = samples.shape[-1]
+        if W < self.chunk_size or W % self.chunk_size:
             raise ValueError(
-                f"chunk must have static size {self.chunk_size}; "
-                f"got {chunk.shape[-1]}"
+                f"sample buffers must be a multiple of chunk_size "
+                f"({self.chunk_size}); got {W} (zero-pad and pass "
+                f"valid_len instead)"
             )
         if valid_len is None:
-            valid_len = self.chunk_size
-        return self._process(state, chunk, valid_len)
+            valid_len = W
+        state, feats, ne = self._process(state, samples, valid_len)
+        return state, PitchTrack(
+            feats[..., 0], feats[..., 1], jnp.arange(feats.shape[-2]) < ne
+        )
 
     def finalize(self, state: PitchStreamState):
-        """Flush the front-end delay and the Viterbi lookahead; returns
-        the final :class:`~speech_tpu.ops.pitch.PitchTrack` (``ring_len``
-        rows, prefix-valid).  Its frames are exactly offline-optimal."""
-        return self._finalize(state)
+        """Flush staging, the front-end delay, and the Viterbi lookahead;
+        returns the final prefix-valid
+        :class:`~speech_tpu.ops.pitch.PitchTrack` — its frames are
+        exactly offline-optimal."""
+        from .ops.pitch import PitchTrack
+
+        feats, ne = self._finalize(state)
+        return PitchTrack(
+            feats[..., 0], feats[..., 1], jnp.arange(feats.shape[-2]) < ne
+        )
 
     def scan(self, signal, sig_len=None):
         """Whole-utterance streaming under one jitted program; returns
-        ``(tracks, fin_track)`` with ``tracks`` stacked per-chunk
-        :class:`~speech_tpu.ops.pitch.PitchTrack` pytrees
-        (``(n_steps, max_frames_chunk)`` leaves)."""
+        ``(feats (n_steps, max_frames_chunk, 2), counts, fin_feats,
+        fin_count)`` — the same layout as the other streamers' scan."""
         C = self.chunk_size
         buf_len = signal.shape[0]
         n_steps = max(1, -(-buf_len // C))
@@ -1147,29 +1235,24 @@ class StreamingPitch:
 
         def step(state, inp):
             chunk, v = inp
-            state, track = self._process_impl(state, chunk, v)
-            return state, track
+            state, feats, ne = self._process_impl(state, chunk, v)
+            return state, (feats, ne)
 
-        state, tracks = jax.lax.scan(step, self.init_state(), (chunks, valids))
-        fin = self._finalize_impl(state)
-        return tracks, fin
+        state, (feats, counts) = jax.lax.scan(
+            step, self.init_state(), (chunks, valids)
+        )
+        fin_feats, fin_count = self._finalize_impl(state)
+        return feats, counts, fin_feats, fin_count
 
     def transform(self, signal: np.ndarray):
         """Stream a whole signal via :meth:`scan` and return the
         compacted ``(f0, nccf)`` numpy arrays (testing helper)."""
         sig = np.asarray(signal)
-        tracks, fin = jax.jit(self.scan)(
+        feats, counts, fin_feats, fin_count = jax.jit(self.scan)(
             jnp.asarray(sig, self._dtype), len(sig)
         )
-        f0s, nccfs = [], []
-        tf0 = np.asarray(tracks.f0)
-        tnc = np.asarray(tracks.nccf)
-        tva = np.asarray(tracks.valid)
-        for i in range(tf0.shape[0]):
-            n = int(tva[i].sum())
-            f0s.append(tf0[i, :n])
-            nccfs.append(tnc[i, :n])
-        n = int(np.asarray(fin.valid).sum())
-        f0s.append(np.asarray(fin.f0)[:n])
-        nccfs.append(np.asarray(fin.nccf)[:n])
-        return np.concatenate(f0s), np.concatenate(nccfs)
+        feats, counts = np.asarray(feats), np.asarray(counts)
+        rows = [feats[i, : counts[i]] for i in range(feats.shape[0])]
+        rows.append(np.asarray(fin_feats)[: int(fin_count)])
+        out = np.concatenate(rows)
+        return out[:, 0], out[:, 1]

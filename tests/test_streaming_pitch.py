@@ -167,20 +167,102 @@ def test_vmap_concurrent_sessions():
         chunks = jnp.stack(
             [jnp.asarray(xa[i * N:(i + 1) * N]), jnp.asarray(xb[i * N:(i + 1) * N])]
         )
-        states, tr = proc(states, chunks, jnp.full((2,), N, jnp.int32))
+        states, feats, nes = proc(states, chunks, jnp.full((2,), N, jnp.int32))
         for s in range(2):
-            n = int(np.asarray(tr.valid)[s].sum())
-            outs[s].append(np.asarray(tr.f0)[s, :n])
-    ftr = fin(states)
+            outs[s].append(np.asarray(feats)[s, : int(nes[s]), 0])
+    ffeats, fns = fin(states)
     for s in range(2):
-        n = int(np.asarray(ftr.valid)[s].sum())
-        outs[s].append(np.asarray(ftr.f0)[s, :n])
+        outs[s].append(np.asarray(ffeats)[s, : int(fns[s]), 0])
     for s, x in enumerate((xa, xb)):
         f0_b = np.asarray(kaldi_pitch(x, RATE, ballast_ms=0.25).f0)
         f0_s = np.concatenate(outs[s])
         assert f0_s.shape == f0_b.shape
         # short lookahead: allow rare pre-coalescence flips mid-stream
         assert np.mean(np.abs(f0_s - f0_b) > 1e-6 * f0_b) <= 0.05
+
+
+def test_arbitrary_chunking_stages_to_identity():
+    """Irregular valid_len feeds (staging) give the same track as one
+    full-chunk stream — valid prefixes compact across chunk boundaries."""
+    x = _speechy(1.0, seed=10)
+    sp = StreamingPitch(
+        RATE, chunk_size=1600, lookahead_frames=25,
+        dtype=jnp.float64, ballast_ms=0.25,
+    )
+    N = sp.chunk_size
+    state = sp.init_state()
+    f0s, nccfs = [], []
+    taken = 0
+    rng = np.random.RandomState(11)
+    while taken < len(x):
+        v = int(min(rng.randint(1, 2 * N), len(x) - taken))
+        buf = np.zeros(-(-v // N) * N)
+        buf[:v] = x[taken:taken + v]
+        taken += v
+        state, tr = sp.process(state, jnp.asarray(buf), v)
+        n = int(np.asarray(tr.valid).sum())
+        f0s.append(np.asarray(tr.f0)[:n])
+        nccfs.append(np.asarray(tr.nccf)[:n])
+    fin = sp.finalize(state)
+    n = int(np.asarray(fin.valid).sum())
+    f0s.append(np.asarray(fin.f0)[:n])
+    nccfs.append(np.asarray(fin.nccf)[:n])
+    f0_i, nccf_i = np.concatenate(f0s), np.concatenate(nccfs)
+    f0_t, nccf_t = sp.transform(x)
+    np.testing.assert_allclose(f0_i, f0_t, rtol=1e-12)
+    np.testing.assert_allclose(nccf_i, nccf_t, atol=1e-12)
+
+
+def test_valid0_step_is_bitwise_noop():
+    """An idle (valid 0) process call leaves the state bitwise unchanged
+    — the StreamPool occupancy-tier contract."""
+    x = _speechy(0.5, seed=12)
+    sp = StreamingPitch(
+        RATE, chunk_size=1600, lookahead_frames=10, dtype=jnp.float64,
+    )
+    state = sp.init_state()
+    state, _, _ = sp._process(state, jnp.asarray(x[:1600]), 1600)
+    state, _, _ = sp._process(state, jnp.asarray(x[1600:3200]), 900)
+    idle, feats, ne = sp._process(
+        state, jnp.zeros((1600,), jnp.float64), 0
+    )
+    assert int(ne) == 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(idle)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_pool_pitch_sessions():
+    """StreamPool multiplexes pitch sessions via the generic streamer
+    contract; drained tracks match per-signal transform()."""
+    from speech_tpu.serve import StreamPool
+
+    sigs = [
+        _speechy(0.8, seed=13, f0_base=110.0),
+        _speechy(0.9, seed=14, f0_base=220.0),
+        _speechy(0.7, seed=15, f0_base=300.0, f0_swing=40.0),
+    ]
+    sp = StreamingPitch(
+        RATE, chunk_size=1600, lookahead_frames=20,
+        dtype=jnp.float64, ballast_ms=0.25,
+    )
+    pool = StreamPool(sp, slots=4)
+    handles = [pool.open() for _ in sigs]
+    outs = {h: [] for h in handles}
+    for h, x in zip(handles, sigs):
+        pool.feed(h, x)
+    for _ in range(10):
+        for h, feats in pool.step(max_chunks=2):
+            outs[h].append(feats)
+    for h, feats in pool.close_many(handles):
+        outs[h].append(feats)
+    for h, x in zip(handles, sigs):
+        got = np.concatenate(outs[h])
+        f0_t, nccf_t = sp.transform(x)
+        assert got.shape == (len(f0_t), 2)
+        np.testing.assert_allclose(got[:, 0], f0_t, rtol=1e-12)
+        np.testing.assert_allclose(got[:, 1], nccf_t, atol=1e-12)
 
 
 def test_running_ballast_tracks_voicing():
