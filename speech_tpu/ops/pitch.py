@@ -134,15 +134,20 @@ def _lowpass_fir(rate: float, cutoff: float, half_width: int = 32):
 
 
 def _lowpass(signal, rate: float, cutoff: float):
-    """Zero-phase 'same'-length FIR lowpass of ``(..., S)`` signals."""
+    """Zero-phase 'same'-length FIR lowpass of ``(..., S)`` signals.
+
+    Runs as a banded-Toeplitz block matmul
+    (:func:`speech_tpu.ops.resample.fir_conv_matmul`): a single-channel
+    ``conv_general_dilated`` misses the MXU on TPU (5.4 vs 1.6 ms on a
+    v5e 32x10 s-at-4k batch)."""
+    from .resample import fir_conv_matmul
+
     h = _lowpass_fir(rate, cutoff)
     K = (len(h) - 1) // 2
-    kernel = jnp.asarray(h, signal.dtype).reshape(1, 1, -1)
-    lhs = signal.reshape((-1, 1, signal.shape[-1]))
-    out = jax.lax.conv_general_dilated(
-        lhs, kernel, window_strides=(1,), padding=[(K, K)], precision=_HIGHEST
+    return fir_conv_matmul(
+        signal, h, stride=1, pad_left=K, n_out=signal.shape[-1],
+        precision=_HIGHEST,
     )
-    return out.reshape(signal.shape)
 
 
 def _nccf_from_frames(frames, window: int, tables, ballast):
@@ -156,16 +161,20 @@ def _nccf_from_frames(frames, window: int, tables, ballast):
     lo_int, n_int, _, interp, _ = tables
     frames = frames - frames.mean(axis=1, keepdims=True)
     x1 = frames[:, :window]
-    # all shifted windows at once: the NCCF numerator and per-lag energy
-    # are one batched contraction each over a [T, n_int, window] view
-    # built from static slices (never a gather)
-    x2 = jnp.stack(
-        [frames[:, k : k + window] for k in range(lo_int, lo_int + n_int)],
-        axis=1,
-    )
-    inner = jnp.einsum("tw,tlw->tl", x1, x2, precision=_HIGHEST)
-    e1 = jnp.einsum("tw,tw->t", x1, x1, precision=_HIGHEST)
-    e2 = jnp.einsum("tlw,tlw->tl", x2, x2, precision=_HIGHEST)
+    # one slice + dot pair per integer lag, all from static slices
+    # (never a gather): XLA multi-output-fuses the n_int reduces over
+    # ONE read of `frames`, so the [T, n_int, window] shifted-window
+    # view never hits HBM — the einsum-over-stacked-windows form
+    # materialized it and was HBM-bound (8.1 vs 3.5 ms on a 32x10 s
+    # v5e batch)
+    cols_i, cols_e = [], []
+    for k in range(lo_int, lo_int + n_int):
+        w = frames[:, k : k + window]
+        cols_i.append(jnp.sum(x1 * w, axis=1))
+        cols_e.append(jnp.sum(w * w, axis=1))
+    inner = jnp.stack(cols_i, axis=1)
+    e2 = jnp.stack(cols_e, axis=1)
+    e1 = jnp.sum(x1 * x1, axis=1)
     tiny = jnp.asarray(1e-30, frames.dtype)
     denom_p = jnp.sqrt((e1[:, None] + ballast) * (e2 + ballast)) + tiny
     denom_v = jnp.sqrt(e1[:, None] * e2) + tiny
@@ -252,21 +261,28 @@ def _choose_lags(
     )
     nc = jnp.moveaxis(nccf_eff, -2, 0)  # [T, ..., L] for the time scan
 
+    # the forward scan computes ONLY the min (the [L, L] argmin that a
+    # textbook Viterbi also takes per step is half again the VPU reduce
+    # work); backpointers are re-derived on the backward pass, where
+    # only the chosen column's argmin over L (not L^2) is needed.  The
+    # backward argmin evaluates the same floats (cost_t[i] + tmat[i, j])
+    # with the same first-index tie rule, so the path is bitwise the
+    # forward-pointer path (tested).  v5e 32x10 s batch: Viterbi+refine
+    # 9.2 -> 6.9 ms together with the one-hot refine below.
     def fwd(cost, nc_t):
         tot = cost[..., :, None] + tmat
-        return (
-            jnp.min(tot, axis=-2) - nc_t,
-            jnp.argmin(tot, axis=-2).astype(jnp.int32),
-        )
+        return jnp.min(tot, axis=-2) - nc_t, cost
 
-    cost_end, ptrs = jax.lax.scan(fwd, -nc[0], nc[1:])
+    cost_end, costs = jax.lax.scan(fwd, -nc[0], nc[1:])
     end = jnp.argmin(cost_end, axis=-1).astype(jnp.int32)
 
-    def back(j_next, ptr_t):
-        j = jnp.take_along_axis(ptr_t, j_next[..., None], axis=-1)[..., 0]
+    def back(j_next, cost_t):
+        # tmat[:, j_next] for each batch row (tmat is symmetric)
+        col = jnp.take(tmat, j_next, axis=0)
+        j = jnp.argmin(cost_t + col, axis=-1).astype(jnp.int32)
         return j, j
 
-    _, path_head = jax.lax.scan(back, end, ptrs, reverse=True)
+    _, path_head = jax.lax.scan(back, end, costs, reverse=True)
     path = jnp.concatenate([path_head, end[None]])  # [T, ...] lag indices
     path = jnp.moveaxis(path, 0, -1)  # [..., T]
     return _refine_lags(path, nccf_pov, rate, fine, resolution)
@@ -283,12 +299,20 @@ def _refine_lags(path, nccf_pov, rate: float, fine, resolution: float):
     """
     L = len(fine)
     dtype = nccf_pov.dtype
-    nccf_best = jnp.take_along_axis(nccf_pov, path[..., None], axis=-1)[..., 0]
+    # all reads are one-hot contractions rather than take_along_axis:
+    # TPU gathers on the [..., T, L] arrays cost ~1.8 ms on a 32x10 s
+    # batch where the iota-compare masks are free; selection by a 0/1
+    # mask is bit-exact (1.0*v = v, summing zeros changes nothing)
+    idx = jnp.arange(L, dtype=path.dtype)
+    oh = (path[..., None] == idx).astype(dtype)
+    nccf_best = jnp.sum(oh * nccf_pov, axis=-1)
     jc = jnp.clip(path, 1, L - 2)
-    y = jnp.take_along_axis(
-        nccf_pov, jc[..., None] + jnp.arange(-1, 2), axis=-1
-    )
-    y1, y2, y3 = y[..., 0], y[..., 1], y[..., 2]
+    ohc = (jc[..., None] == idx).astype(dtype)
+    # rolls put index jc-1 / jc+1 at lane jc; the wraparound lanes are
+    # never selected (jc is clipped into the interior)
+    y1 = jnp.sum(ohc * jnp.roll(nccf_pov, 1, axis=-1), axis=-1)
+    y2 = jnp.sum(ohc * nccf_pov, axis=-1)
+    y3 = jnp.sum(ohc * jnp.roll(nccf_pov, -1, axis=-1), axis=-1)
     curv = y1 + y3 - 2.0 * y2
     delta = jnp.where(
         jnp.abs(curv) > 1e-12, 0.5 * (y1 - y3) / jnp.where(curv == 0, 1, curv), 0.0
@@ -296,7 +320,9 @@ def _refine_lags(path, nccf_pov, rate: float, fine, resolution: float):
     delta = jnp.clip(delta, -0.5, 0.5)
     delta = jnp.where((path > 0) & (path < L - 1), delta, 0.0)
     log_grid = jnp.asarray(np.log(np.asarray(fine)), dtype)
-    log_lag = jnp.take(log_grid, path) + delta * dtype.type(np.log1p(resolution))
+    log_lag = jnp.sum(oh * log_grid, axis=-1) + delta * dtype.type(
+        np.log1p(resolution)
+    )
     f0 = jnp.asarray(rate, dtype) * jnp.exp(-log_lag)
     return f0, nccf_best
 
@@ -442,13 +468,32 @@ def kaldi_pitch(
         batch_shape = ()
     else:
         batch_shape = signal.shape[:-1]
-        flat_sig = signal.reshape((-1, signal.shape[-1]))
+        S2 = signal.shape[-1]
+        flat_sig = signal.reshape((-1, S2))
         flat_len = lengths.reshape((-1,))
-        # sequential over utterances: the [T, n_int, window] NCCF view
-        # is built per signal, bounding live memory to one utterance's
-        # windows; the (cheap-to-hold, [T, L]) fine NCCFs accumulate
+        # groups of vmapped utterances under one sequential map: the
+        # [g, T, n_int, window] NCCF view bounds live memory to g
+        # utterances' windows (~28 MB each at 10 s/4 kHz) while the map
+        # runs B/g steps instead of B — the per-utterance form was
+        # step-overhead-bound (10.6 -> 2.0 ms on a 32x10 s v5e batch)
+        Bf = flat_sig.shape[0]
+        g = min(16, Bf)
+        pad = -Bf % g
+        if pad:
+            flat_sig = jnp.concatenate(
+                [flat_sig, jnp.zeros((pad, S2), flat_sig.dtype)]
+            )
+            flat_len = jnp.concatenate(
+                [flat_len, jnp.zeros((pad,), flat_len.dtype)]
+            )
+        von = jax.vmap(one)
         nccf_pitch, nccf_pov, valid = jax.lax.map(
-            lambda args: one(*args), (flat_sig, flat_len)
+            lambda args: von(*args),
+            (flat_sig.reshape(-1, g, S2), flat_len.reshape(-1, g)),
+        )
+        nccf_pitch, nccf_pov, valid = (
+            a.reshape((-1,) + a.shape[2:])[:Bf]
+            for a in (nccf_pitch, nccf_pov, valid)
         )
     # ONE batched Viterbi scan for the whole batch: per-utterance scans
     # would run T tiny [L, L] steps per signal — scan-overhead-bound on

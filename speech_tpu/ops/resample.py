@@ -23,7 +23,7 @@ match scipy to roundoff (tested).
 
 from functools import lru_cache
 from math import gcd
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 
@@ -32,7 +32,94 @@ import jax.numpy as jnp
 
 from . import framing as _framing
 
-__all__ = ["resample", "resample_matrices", "resample_np"]
+__all__ = ["resample", "resample_matrices", "resample_np", "fir_conv_matmul"]
+
+
+@lru_cache(maxsize=32)
+def _toeplitz_block(h_key, n_phases: int, stride: int, group: int):
+    """Host precompute of the banded-Toeplitz block ``T`` for
+    :func:`fir_conv_matmul`: with ``phi`` the ``(n_phases, W)`` phase
+    matrix (``h_key`` row-major), ``T[m, q*n_phases + p] =
+    phi[p, m - stride*q]`` (zero outside the taps), shape
+    ``(2*group*stride, group*n_phases)``."""
+    phi = np.asarray(h_key, np.float64).reshape(n_phases, -1)
+    W = phi.shape[1]
+    rows = 2 * group * stride
+    m = np.arange(rows)[:, None] - stride * np.arange(group)[None, :]
+    band = np.where(
+        (m >= 0)[None] & (m < W)[None],
+        phi[:, np.clip(m, 0, W - 1)],
+        0.0,
+    )  # (n_phases, rows, group)
+    return band.transpose(1, 2, 0).reshape(rows, group * n_phases)
+
+
+def fir_conv_matmul(
+    signal,
+    h,
+    stride: int = 1,
+    pad_left: int = 0,
+    n_out: Optional[int] = None,
+    precision: Union[str, jax.lax.Precision] = jax.lax.Precision.HIGHEST,
+    group: int = 128,
+):
+    """Strided polyphase FIR correlation as banded-Toeplitz block
+    matmuls.
+
+    With ``h`` a single ``(W,)`` filter:
+    ``y[i] = sum_t h[t] * x[i*stride + t - pad_left]`` (``x`` zero
+    outside its extent).  With ``h`` a ``(P, W)`` phase matrix, output
+    phases interleave: ``y[b*P + p] = sum_t h[p, t] *
+    x[b*stride + t - pad_left]`` — the polyphase upsampler's layout.
+
+    Single-channel FIRs via ``lax.conv_general_dilated`` miss the MXU on
+    TPU (they lower to VPU loops: the pitch front-end's two convs were
+    6.0 + 5.4 ms of its 27.6 ms v5e device budget, vs 1.65 + 1.6 in this
+    form); this form frames the signal into overlapping blocks of
+    ``2*group*stride`` at hop ``group*stride`` — exactly TWO static
+    strided slices, no gather, ~2x HBM read — and dots them with one
+    constant ``(2*group*stride, group*P)`` Toeplitz block, so the whole
+    filter is a single MXU matmul.  The ~2x FLOP padding of the band is
+    free at MXU rates.
+
+    Requires ``W <= (group + 1) * stride`` (the band must fit the
+    doubled block); ``group`` is raised automatically if not.  Batched
+    over leading axes; jittable for static shapes.
+    """
+    signal = jnp.asarray(signal)
+    if not jnp.issubdtype(signal.dtype, jnp.floating):
+        signal = signal.astype(jnp.float32)
+    h = np.asarray(h, np.float64)
+    P = 1 if h.ndim == 1 else h.shape[0]
+    W = h.shape[-1]
+    stride = int(stride)
+    N = signal.shape[-1]
+    if n_out is None:
+        n_out = (-(-N // stride)) * P
+    # keep the Toeplitz block ~512-1024 rows: G output blocks span
+    # G*stride input samples, so large strides shrink the group (at
+    # stride 160 a 128-group block would be a 41k x 56k constant)
+    G = max(1, min(int(group), -(-512 // stride)))
+    while W > (G + 1) * stride:
+        G *= 2
+    out_blocks = -(-n_out // P)
+    n_blocks = -(-out_blocks // G)
+    T = jnp.asarray(
+        _toeplitz_block(tuple(h.ravel().tolist()), P, stride, G),
+        signal.dtype,
+    )
+
+    def one(sig):
+        padded = jnp.pad(sig, (int(pad_left), 0))
+        frames = _framing.frame_padded(
+            padded, n_blocks, 2 * G * stride, G * stride
+        )
+        out = jnp.matmul(frames, T, precision=precision)
+        return out.reshape(n_blocks * G * P)[:n_out]
+
+    for _ in range(signal.ndim - 1):
+        one = jax.vmap(one)
+    return one(signal)
 
 
 @lru_cache(maxsize=32)
@@ -94,31 +181,43 @@ def resample(
         return signal
     n_out = -(-N * L // M)
     if L == 1:
-        # pure decimation: a strided conv materializes nothing, while
-        # the framing path writes W~(2K/L+M)-times-inflated frames to
-        # HBM — measured 8.7 vs 24 ms on a v5e 128x15 s batch at 1/2.
+        # pure decimation: the banded-Toeplitz block matmul beats both a
+        # strided conv (single-channel convs miss the MXU: 6.0 vs 1.65 ms
+        # on a v5e 32x10 s batch at 1/4) and the naive framing path
+        # (which writes W~(2K/L+M)-times-inflated frames to HBM — 24 ms).
         # (The L>1 analog, lhs_dilation, lowers poorly on TPU: 61 vs
         # 17 ms at 3/2 — upsampling keeps the framing+matmul form.)
         K = half_width * M
-        # the L=1 phase matrix is one row = [0, h[::-1]] — the conv
-        # kernel is that row's tail (one FIR design, shared with the
-        # general path and resample_np)
+        # the L=1 phase matrix is one row = [0, h[::-1]] — the FIR is
+        # that row's tail (one design, shared with the general path and
+        # resample_np)
         phi1, _ = resample_matrices(1, M, half_width, beta)
-        kernel = jnp.asarray(phi1[0, 1:], signal.dtype).reshape(1, 1, -1)
-        batch_shape = signal.shape[:-1]
-        lhs = signal.reshape((-1, 1, N))
-        pad_right = (n_out - 1) * M + K + 1 - N
-        out = jax.lax.conv_general_dilated(
-            lhs,
-            kernel,
-            window_strides=(M,),
-            padding=[(K, max(pad_right, 0))],
+        return fir_conv_matmul(
+            signal,
+            phi1[0, 1:],
+            stride=M,
+            pad_left=K,
+            n_out=n_out,
             precision=precision,
         )
-        return out[:, 0, :n_out].reshape(batch_shape + (n_out,))
     n_blocks = -(-n_out // L)
     phi, k_min = resample_matrices(L, M, half_width, beta)
     W = phi.shape[1]
+    if W > 4 * M:
+        # strong upsampling (small M, wide windows): the naive framing
+        # path writes W/M-times-inflated frames to HBM; the Toeplitz
+        # block form reads ~2x and keeps the matmul on the MXU.  v5e
+        # 128x15 s batch: 3/2 17.8 -> 7.1 ms, 2/1 32.0 -> 6.4 ms; at
+        # 441/160 (inflation 1.13) framing wins (8.7 vs 13.6 ms), hence
+        # the W/M gate.
+        return fir_conv_matmul(
+            signal,
+            phi,
+            stride=M,
+            pad_left=-k_min,
+            n_out=n_out,
+            precision=precision,
+        )
     phi = jnp.asarray(phi.T, dtype=signal.dtype)  # (W, L)
     pad_left = -k_min
     pad_right = max((n_blocks - 1) * M + k_min + W - N, 0)

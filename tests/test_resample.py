@@ -109,3 +109,45 @@ def test_resample_rejects_nonpositive_ratio():
             resample(x, up, down)
         with pytest.raises(ValueError, match="positive"):
             resample_np(x, up, down)
+
+
+@pytest.mark.parametrize("stride,width", [(1, 65), (4, 81), (4, 7), (3, 1)])
+def test_fir_conv_matmul_matches_direct(stride, width):
+    """The banded-Toeplitz block matmul equals the direct strided
+    correlation (zero-padded edges) to roundoff, any stride/width."""
+    from speech_tpu.ops.resample import fir_conv_matmul
+
+    rng = np.random.RandomState(width * 7 + stride)
+    x = rng.randn(2, 1234)
+    h = rng.randn(width)
+    K = (width - 1) // 2
+    n_out = -(-x.shape[-1] // stride)
+    got = np.asarray(
+        fir_conv_matmul(x, h, stride=stride, pad_left=K, n_out=n_out)
+    )
+    padded = np.pad(x, [(0, 0), (K, stride * n_out + width)])
+    want = np.stack(
+        [
+            [padded[b, i * stride : i * stride + width] @ h for i in range(n_out)]
+            for b in range(x.shape[0])
+        ]
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-12), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("up,down", [(3, 2), (2, 1), (441, 160)])
+def test_fir_conv_matmul_polyphase_matches_resample(signal, up, down):
+    """A (P, W) phase matrix interleaves phases — the polyphase
+    upsampler's layout: equals resample() to roundoff."""
+    from speech_tpu.ops.resample import fir_conv_matmul
+
+    want = np.asarray(resample(signal, up, down))
+    phi, k_min = resample_matrices(up, down)
+    got = np.asarray(
+        fir_conv_matmul(
+            signal, phi, stride=down, pad_left=-k_min, n_out=want.shape[-1]
+        )
+    )
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-12), np.abs(got - want).max()

@@ -265,6 +265,53 @@ def test_stream_pool_pitch_sessions():
         np.testing.assert_allclose(got[:, 1], nccf_t, atol=1e-12)
 
 
+def test_stream_server_pitch_sessions():
+    """StreamServer drives pitch sessions through the generic streamer
+    contract: threaded feeds with irregular sizes drain to the same
+    track as per-signal transform()."""
+    import threading
+
+    from speech_tpu.serve import StreamServer
+
+    sigs = [
+        _speechy(0.8, seed=16, f0_base=120.0),
+        _speechy(1.1, seed=17, f0_base=250.0),
+    ]
+    sp = StreamingPitch(
+        RATE, chunk_size=1600, lookahead_frames=20,
+        dtype=jnp.float64, ballast_ms=0.25,
+    )
+    results = {}
+    with StreamServer(sp, slots=2, max_wait_ms=2.0) as server:
+        handles = [server.open_session() for _ in sigs]
+
+        def feeder(h, sig):
+            i = 0
+            r = np.random.RandomState(h + 1)
+            while i < len(sig):
+                n = int(r.randint(300, 2500))
+                server.feed(h, sig[i : i + n])
+                i += n
+            server.close_session(h)
+
+        threads = [
+            threading.Thread(target=feeder, args=(h, s))
+            for h, s in zip(handles, sigs)
+        ]
+        for t in threads:
+            t.start()
+        for h in handles:
+            results[h] = list(server.iter_results(h))
+        for t in threads:
+            t.join()
+    for h, sig in zip(handles, sigs):
+        got = np.concatenate(results[h])
+        f0_t, nccf_t = sp.transform(sig)
+        assert got.shape == (len(f0_t), 2)
+        np.testing.assert_allclose(got[:, 0], f0_t, rtol=1e-12)
+        np.testing.assert_allclose(got[:, 1], nccf_t, atol=1e-12)
+
+
 def test_running_ballast_tracks_voicing():
     """Default (running) ballast: the tone reads voiced at its f0 and
     the silent gap reads unvoiced-grade NCCF."""
