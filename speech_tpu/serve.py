@@ -591,8 +591,9 @@ class StreamPool:
                 self._states, jnp.asarray(chunks), jnp.asarray(valids)
             )
             rows = {h: self._sessions[h].slot for h in plan}
-        feats = np.asarray(feats)
-        nfs = np.asarray(nfs)
+        # one batched fetch: separate np.asarray calls pay a tunnel
+        # round trip EACH on remote runtimes (~26 ms/RTT)
+        feats, nfs = jax.device_get((feats, nfs))
         out = []
         for handle, take in plan.items():
             s = self._sessions[handle]
@@ -631,9 +632,7 @@ class StreamPool:
                 if len(s.pending)
             )
             out.extend(self.step(only=set(handles), max_chunks=backlog))
-        fin_feats, fin_ns = self._vfin(self._states)
-        fin_feats = np.asarray(fin_feats)
-        fin_ns = np.asarray(fin_ns)
+        fin_feats, fin_ns = jax.device_get(self._vfin(self._states))
         for handle in handles:
             s = sessions[handle]
             nf = int(fin_ns[s.slot])

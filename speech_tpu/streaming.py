@@ -865,9 +865,9 @@ class StreamingPitch:
         if (L_, M_) != (1, 1):
             phi_np, k_min = resample_matrices(L_, M_)
             self.w_width = phi_np.shape[1]
-            self.phi = jnp.asarray(phi_np.T, self._dtype)  # (W, up)
+            self.phi_np = phi_np  # (up, W) host phases for fir_conv_matmul
         else:
-            self.w_width, k_min, self.phi = 1, 0, None
+            self.w_width, k_min, self.phi_np = 1, 0, None
         self.k_min = k_min
         self.work_per_chunk = N * L_ // M_
         Nw = self.work_per_chunk
@@ -935,12 +935,19 @@ class StreamingPitch:
         output 0 is ``n_chunks*work_per_chunk - r_w``)."""
         if self.up == 1 and self.down == 1:
             return buf
-        padded = jnp.pad(buf, (self.pad_l, self.pad_r))
-        frames = _framing_frame_padded(
-            padded, self.n_blocks, self.w_width, self.down
+        from .ops.resample import fir_conv_matmul
+
+        # banded-Toeplitz block form (2 strided slices + one matmul) —
+        # the naive framing is W/down slices per absorb, which the pool
+        # pays per tick under vmap
+        return fir_conv_matmul(
+            buf,
+            self.phi_np,
+            stride=self.down,
+            pad_left=self.pad_l,
+            n_out=self.n_work_buf,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        out = jnp.matmul(frames, self.phi, precision=jax.lax.Precision.HIGHEST)
-        return out.reshape(self.n_blocks * self.up)[: self.n_work_buf]
 
     def _absorb_impl(self, state: PitchStreamState, chunk, v, advance):
         """Absorb ONE grid-aligned chunk (front-end + framing + NCCF +
@@ -1029,6 +1036,8 @@ class StreamingPitch:
                 jnp.where(ok, rv2, rv),
             ), None
 
+        # unroll: each step is tiny ([L, L] min + a ring shift), so the
+        # per-frame loop is plumbing-bound, especially vmapped in pools
         (cost, n_frames, ring_ptr, ring_pov), _ = jax.lax.scan(
             vstep,
             (state.cost, state.n_frames, state.ring_ptr, state.ring_pov),
@@ -1059,29 +1068,27 @@ class StreamingPitch:
             lambda n_, o_: jnp.where(adv, n_, o_), new, state
         )
 
-    def _emit_tracks(self, state: PitchStreamState, e, out_n: int):
+    def _emit_tracks(self, cost, ring_ptr, ring_pov, pending, e, out_n: int):
         """Backtrack from the newest frame's best lag through the ring
         and emit the OLDEST ``e`` pending frames (each thereby sees at
         least the full pending depth of future context), refined to
         sub-grid lags.  Returns ``(f0, nccf)`` of ``out_n`` rows, rows
-        ``>= e`` zeroed."""
+        ``>= e`` zeroed.  Takes the emission-time snapshot explicitly so
+        a wide buffer's per-chunk emissions batch under one ``vmap``
+        (the per-chunk backtrack scans were the pool tick's bottleneck)."""
         _pitch = self._pitch
-        pending = state.n_frames - state.n_out
-        j0 = jnp.argmin(state.cost).astype(jnp.int32)
+        j0 = jnp.argmin(cost).astype(jnp.int32)
 
         def bstep(j, ptr_row):
             return ptr_row[j], j
 
-        _, path = jax.lax.scan(bstep, j0, state.ring_ptr, reverse=True)
+        _, path = jax.lax.scan(bstep, j0, ring_ptr, reverse=True)
         start = jnp.clip(self.ring_len - pending, 0, self.ring_len).astype(
             jnp.int32
         )
         pathp = jnp.concatenate([path, jnp.zeros((out_n,), jnp.int32)])
         povp = jnp.concatenate(
-            [
-                state.ring_pov,
-                jnp.zeros((out_n, self.n_lags), state.ring_pov.dtype),
-            ]
+            [ring_pov, jnp.zeros((out_n, self.n_lags), ring_pov.dtype)]
         )
         p = jax.lax.dynamic_slice(pathp, (start,), (out_n,))
         pv = jax.lax.dynamic_slice(
@@ -1118,35 +1125,42 @@ class StreamingPitch:
         total_in = state.n_stage + v
         full = total_in // N
 
-        def pstep(carry, inp):
-            st, f0b, ncb, ne = carry
+        # absorb all chunks first, SNAPSHOTTING each chunk's emission
+        # state (cost + ring + pending), then run every chunk's
+        # backtrack under ONE vmap: the per-chunk _emit_tracks scans
+        # were the pool tick's bottleneck (each is ~ring_len tiny
+        # sequential steps).  Emission inputs are bitwise the per-chunk
+        # flow's, so emitted tracks are unchanged.
+        def pstep(st, inp):
             chunk_i, i = inp
             st = self._absorb_impl(
                 st, chunk_i, jnp.asarray(N, jnp.int32), advance=i < full
             )
             pending = st.n_frames - st.n_out
             e = jnp.clip(pending - self.lookahead, 0, F)
-            f0, nccf = self._emit_tracks(st, e, F)
             st = st._replace(n_out=(st.n_out + e).astype(jnp.int32))
-            # rows >= e are zeros onto zeros (output buffers start zero
-            # and only [0, ne) is ever written), so the fixed-width
-            # update at the traced offset appends exactly e rows
-            f0b = jax.lax.dynamic_update_slice(f0b, f0, (ne,))
-            ncb = jax.lax.dynamic_update_slice(ncb, nccf, (ne,))
-            return (st, f0b, ncb, ne + e), None
+            return st, (st.cost, st.ring_ptr, st.ring_pov, pending, e)
 
-        carry = (
-            state,
-            jnp.zeros((out_n,), dtype),
-            jnp.zeros((out_n,), dtype),
-            jnp.zeros((), jnp.int32),
-        )
+        f0b = jnp.zeros((out_n,), dtype)
+        ncb = jnp.zeros((out_n,), dtype)
+        ne = jnp.zeros((), jnp.int32)
         if k_steps:
             chunks = combined[: k_steps * N].reshape(k_steps, N)
-            carry, _ = jax.lax.scan(
-                pstep, carry, (chunks, jnp.arange(k_steps))
+            state, (costs, rps, rvs, pendings, es) = jax.lax.scan(
+                pstep, state, (chunks, jnp.arange(k_steps))
             )
-        state, f0b, ncb, ne = carry
+            f0s, ncs = jax.vmap(
+                lambda c, rp, rv, p, e: self._emit_tracks(c, rp, rv, p, e, F)
+            )(costs, rps, rvs, pendings, es)
+            # pack the per-chunk prefixes: rows >= e are zeros onto
+            # zeros (output buffers start zero and only [0, ne) is ever
+            # written), so each fixed-width update at the traced offset
+            # appends exactly e rows; k_steps is static, so this is a
+            # plain Python loop, not a scan
+            for i in range(k_steps):
+                f0b = jax.lax.dynamic_update_slice(f0b, f0s[i], (ne,))
+                ncb = jax.lax.dynamic_update_slice(ncb, ncs[i], (ne,))
+                ne = (ne + es[i]).astype(jnp.int32)
         stage = jax.lax.dynamic_slice(
             combined, ((full * N).astype(jnp.int32),), (N,)
         )
@@ -1176,7 +1190,14 @@ class StreamingPitch:
 
             state, _ = jax.lax.scan(fstep, state, zeros)
         pending = state.n_frames - state.n_out
-        f0, nccf = self._emit_tracks(state, pending, self.ring_len)
+        f0, nccf = self._emit_tracks(
+            state.cost,
+            state.ring_ptr,
+            state.ring_pov,
+            pending,
+            pending,
+            self.ring_len,
+        )
         return jnp.stack([f0, nccf], axis=-1), pending
 
     # public entry points --------------------------------------------------
