@@ -36,15 +36,18 @@ __all__ = ["resample", "resample_matrices", "resample_np", "fir_conv_matmul"]
 
 
 @lru_cache(maxsize=32)
-def _toeplitz_block(h_key, n_phases: int, stride: int, group: int):
+def _toeplitz_block(h_key, n_phases: int, stride: int, group: int, depth: int = 2):
     """Host precompute of the banded-Toeplitz block ``T`` for
     :func:`fir_conv_matmul`: with ``phi`` the ``(n_phases, W)`` phase
     matrix (``h_key`` row-major), ``T[m, q*n_phases + p] =
     phi[p, m - stride*q]`` (zero outside the taps), shape
-    ``(2*group*stride, group*n_phases)``."""
+    ``(depth*group*stride, group*n_phases)`` — ``depth`` is how many
+    hop-sized input blocks one output block's window spans (2 when the
+    taps fit one extra block; more for long FIRs like room impulse
+    responses)."""
     phi = np.asarray(h_key, np.float64).reshape(n_phases, -1)
     W = phi.shape[1]
-    rows = 2 * group * stride
+    rows = depth * group * stride
     m = np.arange(rows)[:, None] - stride * np.arange(group)[None, :]
     band = np.where(
         (m >= 0)[None] & (m < W)[None],
@@ -76,15 +79,18 @@ def fir_conv_matmul(
     TPU (they lower to VPU loops: the pitch front-end's two convs were
     6.0 + 5.4 ms of its 27.6 ms v5e device budget, vs 1.65 + 1.6 in this
     form); this form frames the signal into overlapping blocks of
-    ``2*group*stride`` at hop ``group*stride`` — exactly TWO static
-    strided slices, no gather, ~2x HBM read — and dots them with one
-    constant ``(2*group*stride, group*P)`` Toeplitz block, so the whole
-    filter is a single MXU matmul.  The ~2x FLOP padding of the band is
-    free at MXU rates.
+    ``depth*group*stride`` at hop ``group*stride`` — ``depth`` static
+    strided slices, no gather, ~depth x HBM read — and dots them with
+    one constant ``(depth*group*stride, group*P)`` Toeplitz block, so
+    the whole filter is a single MXU matmul.  ``depth`` is chosen as
+    the smallest window covering the taps (2 for short filters — the
+    measured resample/pitch configs are unchanged; a W-tap FIR needs
+    ``depth ~= W/(group*stride) + 1``, so an 8000-tap room impulse
+    response at ``group=1024`` is a 9-block window with a 9216x1024
+    band — the constant stays O(depth*group^2), never O(W^2)).  The
+    band's zero-padding FLOPs are free at MXU rates.
 
-    Requires ``W <= (group + 1) * stride`` (the band must fit the
-    doubled block); ``group`` is raised automatically if not.  Batched
-    over leading axes; jittable for static shapes.
+    Batched over leading axes; jittable for static shapes.
     """
     signal = jnp.asarray(signal)
     if not jnp.issubdtype(signal.dtype, jnp.floating):
@@ -100,19 +106,20 @@ def fir_conv_matmul(
     # G*stride input samples, so large strides shrink the group (at
     # stride 160 a 128-group block would be a 41k x 56k constant)
     G = max(1, min(int(group), -(-512 // stride)))
-    while W > (G + 1) * stride:
-        G *= 2
+    # window depth: smallest D with D*G*stride >= (G-1)*stride + W (the
+    # last output of a block reads up to (G-1)*stride + W - 1 into it)
+    D = max(2, -(-((G - 1) * stride + W) // (G * stride)))
     out_blocks = -(-n_out // P)
     n_blocks = -(-out_blocks // G)
     T = jnp.asarray(
-        _toeplitz_block(tuple(h.ravel().tolist()), P, stride, G),
+        _toeplitz_block(tuple(h.ravel().tolist()), P, stride, G, D),
         signal.dtype,
     )
 
     def one(sig):
         padded = jnp.pad(sig, (int(pad_left), 0))
         frames = _framing.frame_padded(
-            padded, n_blocks, 2 * G * stride, G * stride
+            padded, n_blocks, D * G * stride, G * stride
         )
         out = jnp.matmul(frames, T, precision=precision)
         return out.reshape(n_blocks * G * P)[:n_out]

@@ -77,6 +77,30 @@ def _stft_kwargs(**extra):
     return kw
 
 
+def make_wavaug_inputs():
+    """Deterministic (rir, noise) for the waveform-augmentation check."""
+    rng = np.random.RandomState(4242)
+    W = 4000
+    rir = rng.randn(W) * np.exp(-np.arange(W) / (W / 6.0)) * 0.05
+    rir[137] = 1.0
+    noise = (rng.randn(STFT_SECONDS * RATE) * 512).astype(np.float64)
+    return rir, noise
+
+
+def _wavaug_outputs(sigs):
+    """reverberate / mix_noise / speed_perturb on ``sigs`` (keyless paths
+    are backend- and dtype-grid identical up to precision)."""
+    from speech_tpu.ops.augment import mix_noise, reverberate, speed_perturb
+
+    rir, noise = make_wavaug_inputs()
+    dt = sigs.dtype
+    return {
+        "wavaug_rev": np.asarray(reverberate(sigs, rir.astype(dt))),
+        "wavaug_mix": np.asarray(mix_noise(None, sigs, noise.astype(dt), 10.0)),
+        "wavaug_spd": np.asarray(speed_perturb(sigs, 1.1)),
+    }
+
+
 def oracle_main(out_path: str) -> None:
     """CPU float64 oracle: one feature matrix per signal per computer."""
     import jax
@@ -94,6 +118,7 @@ def oracle_main(out_path: str) -> None:
         out[f"stft_{i}"] = np.asarray(stft.compute_full(sig))
     for i, sig in enumerate(sigs[:2, : SI_SECONDS * RATE]):
         out[f"si_{i}"] = np.asarray(si.compute_full(sig))
+    out.update(_wavaug_outputs(sigs))
     np.savez(out_path, **out)
 
 
@@ -336,6 +361,22 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             else float(np.mean(np.abs(f0_s - f0_b) > 0.01 * f0_b))
         )
         battery.check("streaming pitch == offline", err, 2e-2, time.time() - t0)
+
+        # Waveform augmentations on-device (f32) vs the f64 oracle:
+        # reverberate (one banded-Toeplitz MXU matmul over a 4000-tap
+        # RIR), mix_noise (exact-SNR scaling), speed_perturb (polyphase
+        # resample at 10/11) — normalized by each output's scale
+        t0 = time.time()
+        dev = _wavaug_outputs(sigs32)
+        err = max(
+            float(np.abs(dev[k] - oracle()[k]).max() / np.abs(oracle()[k]).max())
+            for k in ("wavaug_rev", "wavaug_mix", "wavaug_spd")
+        )
+        # (--smoke: CPU f32 convs accumulate plain f32 over 4000 taps —
+        # ~sqrt(W)*eps relative — where the device path is HIGHEST)
+        battery.check(
+            "wavaug vs f64 oracle", err, 1e-4 if smoke else 1e-5, time.time() - t0
+        )
 
         # Feature inversion: Griffin-Lim a short fbank matrix back to a
         # waveform on-device, re-analyze on-device, compare the feature
