@@ -130,6 +130,51 @@ def _build_processors(options):
     return preprocessors, postprocessors
 
 
+class _VadTrimmer:
+    """Keeps only voiced frames, Kaldi-pipeline style.
+
+    ``--vad-trim CONFIG`` fuses Kaldi's ``compute-vad`` (energy VAD over
+    the features' coefficient 0 — so the computer must be built with
+    ``include_energy``) and ``select-voiced-frames`` into the extraction
+    CLIs.  CONFIG is a JSON/YAML dict of
+    :func:`speech_tpu.ops.vad.energy_vad` keyword arguments (``{}`` for
+    Kaldi's defaults).  The voicing decision reads the RAW (pre-
+    ``--postprocess``) energy column, matching the Kaldi recipe order
+    (VAD from plain MFCC/fbank energies, selection after CMVN), and the
+    trim is applied after any ``--pitch`` columns, so rows stay aligned.
+    """
+
+    def __init__(self, computer, cfg):
+        from .ops.vad import energy_vad_np
+
+        if not computer.includes_energy:
+            raise ValueError(
+                "the computer config needs include_energy=true (the VAD "
+                "reads the features' energy coefficient)"
+            )
+        kwargs = dict(cfg)
+        self._fn = lambda e: energy_vad_np(e, **kwargs)
+        # surface bad keys/values at startup, not mid-corpus
+        self._fn(np.zeros(1))
+
+    def __call__(self, raw, feats, utt_id):
+        """Trim post-processed ``feats`` rows by VAD over ``raw[:, 0]``."""
+        if feats.shape[0] != raw.shape[0]:
+            raise ValueError(
+                f"--vad-trim: postprocessors changed the frame count for "
+                f"{utt_id} ({raw.shape[0]} -> {feats.shape[0]}), so voiced "
+                "rows cannot be aligned; drop frame-count-changing "
+                "postprocessors (e.g. stack) or trim before them"
+            )
+        mask = self._fn(np.asarray(raw[:, 0], np.float64))
+        if not mask.any():
+            print(
+                f"--vad-trim: no frames of {utt_id} were judged voiced",
+                file=sys.stderr,
+            )
+        return feats[mask]
+
+
 class _PitchAppender:
     """Appends Kaldi-style pitch columns to each utterance's features.
 
@@ -334,7 +379,62 @@ def _signals_to_torch_feat_dir_parse_args(args):
         "defaults; frame_shift_ms follows the computer's). Requires a "
         "computer config.",
     )
+    parser.add_argument(
+        "--speed-perturb",
+        default=None,
+        metavar="FACTORS",
+        help="Comma-separated speed factors (e.g. '0.9,1.0,1.1', the "
+        "Kaldi perturb_data_dir_speed set). Each utterance is emitted "
+        "once per factor; copies at factor f are resampled to 1/f of "
+        "the length (sox speed semantics) and named 'sp<f>-<utt_id>' "
+        "(factor 1 keeps the plain id).",
+    )
+    _add_vad_trim_arg(parser)
     return parser.parse_args(args)
+
+
+def _add_vad_trim_arg(parser):
+    parser.add_argument(
+        "--vad-trim",
+        type=_config_type,
+        default=None,
+        metavar="CONFIG",
+        help="Keep only voiced frames (Kaldi compute-vad + "
+        "select-voiced-frames): energy VAD over the raw features' "
+        "coefficient 0 (the computer config needs include_energy=true), "
+        "trimmed after --postprocess and any --pitch columns. CONFIG is "
+        "a JSON/YAML dict of speech_tpu.ops.vad.energy_vad keyword "
+        "arguments ('{}' for Kaldi's defaults).",
+    )
+
+
+def _parse_speed_factors(spec):
+    """'0.9,1.0,1.1' -> [(out-id prefix, (up, down) or None), ...]."""
+    from fractions import Fraction
+
+    out = []
+    seen = set()
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        try:
+            f = float(tok)
+        except ValueError:
+            raise ValueError(f"--speed-perturb: {tok!r} is not a number")
+        if f <= 0:
+            raise ValueError(f"--speed-perturb: factor {tok} must be positive")
+        frac = Fraction(f).limit_denominator(32)
+        if frac in seen:
+            raise ValueError(f"--speed-perturb: duplicate factor {tok}")
+        seen.add(frac)
+        if frac == 1:
+            out.append(("", None))
+        else:
+            out.append((f"sp{f:g}-", (frac.denominator, frac.numerator)))
+    if not out:
+        raise ValueError("--speed-perturb: no factors given")
+    return out
 
 
 _PRE_LOCK = threading.Lock()
@@ -362,9 +462,21 @@ def _compact_pcm(signal: np.ndarray) -> np.ndarray:
 
 
 def _load_utt(
-    item, preprocessors, channel, force_as, seed, compact=False, resample=None
+    item,
+    preprocessors,
+    channel,
+    force_as,
+    seed,
+    compact=False,
+    resample=None,
+    speed=None,
 ):
-    idx, (utt_id, path) = item
+    idx, rest = item
+    if len(rest) == 3:
+        # --speed-perturb expansion: per-item ratio rides in the payload
+        utt_id, path, speed = rest
+    else:
+        utt_id, path = rest
     try:
         signal = read_signal(path, dtype=np.float64, force_as=force_as, key=utt_id)
     except Exception as e:
@@ -376,6 +488,14 @@ def _load_utt(
         from .ops.resample import resample_np
 
         signal = resample_np(signal, resample[0], resample[1])
+    if speed is not None:
+        # (up, down) of the reduced 1/factor ratio (sox speed semantics;
+        # after any rate conversion, before preprocessors — each
+        # perturbed copy is an independent utterance, so e.g. dither is
+        # drawn fresh per copy)
+        from .ops.resample import resample_np
+
+        signal = resample_np(signal, speed[0], speed[1])
     if preprocessors:
         # the host preprocessors draw from numpy's global RNG (reference
         # parity); serialize the seeded region so worker threads stay
@@ -452,6 +572,28 @@ def _signals_to_torch_feat_dir(options) -> int:
             )
             return 1
         utt2path[utt_id] = " ".join(ls[1:])
+    speed_factors = None
+    if options.speed_perturb is not None:
+        try:
+            speed_factors = _parse_speed_factors(options.speed_perturb)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        # expand BEFORE the manifest filter: manifest entries name the
+        # emitted (prefixed) utterances, so resume skips per copy
+        expanded = dict()
+        for utt_id, path in utt2path.items():
+            for prefix, ratio in speed_factors:
+                out_id = prefix + utt_id
+                if out_id in expanded:
+                    print(
+                        f'--speed-perturb: output id "{out_id}" collides '
+                        "with another map entry",
+                        file=sys.stderr,
+                    )
+                    return 1
+                expanded[out_id] = (path, ratio)
+        utt2path = expanded
     if options.manifest is not None:
         options.manifest.seek(0)
         for line in options.manifest:
@@ -505,6 +647,27 @@ def _signals_to_torch_feat_dir(options) -> int:
             )
             return 1
         pitch = _PitchAppender(computer, options.pitch)
+    vad_trim = None
+    if options.vad_trim is not None:
+        if computer is None:
+            print(
+                "--vad-trim requires a computer config (the VAD reads "
+                "the features' energy coefficient)",
+                file=sys.stderr,
+            )
+            return 1
+        if not isinstance(options.vad_trim, dict):
+            print(
+                f"--vad-trim expects a dict of energy_vad options, got "
+                f"{type(options.vad_trim).__name__}",
+                file=sys.stderr,
+            )
+            return 1
+        try:
+            vad_trim = _VadTrimmer(computer, options.vad_trim)
+        except (TypeError, ValueError) as e:
+            print(f"--vad-trim: {e}", file=sys.stderr)
+            return 1
     preprocessors, postprocessors = _build_processors(options)
     os.makedirs(options.dir, exist_ok=True)
     if computer is not None:
@@ -512,7 +675,12 @@ def _signals_to_torch_feat_dir(options) -> int:
 
         enable_persistent_compilation_cache()
 
-    items = list(enumerate(sorted(utt2path.items())))
+    if speed_factors is None:
+        items = list(enumerate(sorted(utt2path.items())))
+    else:
+        items = list(
+            enumerate(sorted((u, p, r) for u, (p, r) in utt2path.items()))
+        )
     if options.num_workers:
         pool = ThreadPoolExecutor(options.num_workers)
         mapper = pool.map
@@ -647,6 +815,8 @@ def _signals_to_torch_feat_dir(options) -> int:
                             feats = pitch.append(
                                 feats, p3s[j], pre_rows=raw.shape[0]
                             )
+                        if vad_trim is not None:
+                            feats = vad_trim(raw, np.asarray(feats), utt_id)
                         save_timed(utt_id, feats)
             else:
                 for utt_id, signal in loader():
@@ -658,6 +828,10 @@ def _signals_to_torch_feat_dir(options) -> int:
                                 np.asarray(feats, np.float64),
                                 pitch.one(signal),
                                 pre_rows=raw.shape[0],
+                            )
+                        if vad_trim is not None:
+                            feats = vad_trim(
+                                np.asarray(raw), np.asarray(feats), utt_id
                             )
                     save_timed(utt_id, feats)
     finally:
@@ -728,6 +902,7 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "speech_tpu.ops.pitch.pitch_feats keyword arguments ('{}' for "
         "defaults; frame_shift_ms follows the computer's).",
     )
+    _add_vad_trim_arg(parser)
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -769,6 +944,20 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             )
             return 1
         pitch = _PitchAppender(computer, options.pitch)
+    vad_trim = None
+    if options.vad_trim is not None:
+        if not isinstance(options.vad_trim, dict):
+            print(
+                f"--vad-trim expects a dict of energy_vad options, got "
+                f"{type(options.vad_trim).__name__}",
+                file=sys.stderr,
+            )
+            return 1
+        try:
+            vad_trim = _VadTrimmer(computer, options.vad_trim)
+        except (TypeError, ValueError) as e:
+            print(f"--vad-trim: {e}", file=sys.stderr)
+            return 1
     preprocessors, postprocessors = _build_processors(options)
     try:
         wav_reader = kaldi_open(options.wav_rspecifier, "wm", value_style="bsd")
@@ -850,12 +1039,23 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
 
     def emit(utt_id, feats, p3=None):
         pre_rows = feats.shape[0]
+        raw = feats
         for postprocessor in postprocessors:
             feats = postprocessor.apply(feats, axis=-1)
         if p3 is not None:
             feats = pitch.append(
                 np.asarray(feats, np.float64), p3, pre_rows=pre_rows
             )
+        if vad_trim is not None:
+            # per-utterance problems warn and skip, reference/Kaldi style
+            try:
+                feats = vad_trim(np.asarray(raw), np.asarray(feats), utt_id)
+            except ValueError as e:
+                logger.warning("%s: producing no output", e)
+                return
+            if not feats.shape[0]:
+                # Kaldi select-voiced-frames omits all-unvoiced utterances
+                return
         if not KaldiDataType.BaseMatrix.is_double:
             feats = feats.astype(np.float32)
         feat_writer.write(utt_id, feats)

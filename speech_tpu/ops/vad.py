@@ -15,8 +15,9 @@ and composes with the computers' ``include_energy`` column.
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["energy_vad"]
+__all__ = ["energy_vad", "energy_vad_np"]
 
 
 def energy_vad(
@@ -73,6 +74,52 @@ def energy_vad(
         voiced = above
     if valid is not None:
         voiced = voiced & valid
+    return voiced
+
+
+def energy_vad_np(
+    log_energy,
+    energy_threshold: float = 5.0,
+    energy_mean_scale: float = 0.5,
+    frames_context: int = 0,
+    proportion_threshold: float = 0.6,
+):
+    """Host (numpy) twin of :func:`energy_vad` for 1-D log energies.
+
+    The CLIs trim voiced frames per utterance while the next device
+    batch is in flight — a device round trip per utterance would
+    serialize the pipeline on tunneled runtimes.  Matches
+    :func:`energy_vad` exactly (tested) on unpadded 1-D input.
+    """
+    if frames_context < 0:
+        raise ValueError(f"frames_context must be >= 0, got {frames_context}")
+    if not 0.0 < proportion_threshold < 1.0:
+        raise ValueError(
+            f"proportion_threshold must be in (0, 1), got "
+            f"{proportion_threshold}"
+        )
+    e = np.asarray(log_energy)
+    if e.ndim != 1:
+        raise ValueError(f"energy_vad_np expects 1-D input, got {e.shape}")
+    T = e.shape[-1]
+    if T == 0:
+        return np.zeros(0, bool)
+    if energy_mean_scale:
+        thresh = energy_threshold + energy_mean_scale * e.mean()
+    else:
+        thresh = energy_threshold
+    above = e > thresh
+    if frames_context and T:
+        w = frames_context
+        c = np.concatenate([[0], np.cumsum(above.astype(np.int64))])
+        hi = c[np.minimum(np.arange(T) + w + 1, T)]
+        lo = c[np.maximum(np.arange(T) - w, 0)]
+        den = np.minimum(np.arange(T) + w + 1, T) - np.maximum(
+            np.arange(T) - w, 0
+        )
+        voiced = (hi - lo) >= proportion_threshold * den
+    else:
+        voiced = above
     return voiced
 
 

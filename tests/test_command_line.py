@@ -355,6 +355,164 @@ def test_signals_resample_from_zero_rejected(wav_dir, temp_dir, capsys):
     assert "positive" in capsys.readouterr().err
 
 
+def test_speed_perturb_outputs(wav_dir, temp_dir):
+    """--speed-perturb 0.9,1.0,1.1: 3 copies per utterance; factor-1 is
+    the plain id and matches an unperturbed run; others equal features
+    of the host-resampled (1/f length, sox semantics) audio."""
+    torch = pytest.importorskip("torch")
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.io import read_signal
+    from speech_tpu.ops.resample import resample_np
+
+    out_dir = os.path.join(temp_dir, "feats_sp")
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, COMPUTER_JSON, out_dir, "--speed-perturb", "0.9,1.0,1.1",
+         "--batch-size", "4"]
+    )
+    assert rc == 0
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 60
+    assert sum(f.startswith("sp0.9-") for f in files) == 20
+    assert sum(f.startswith("sp1.1-") for f in files) == 20
+
+    plain_dir = os.path.join(temp_dir, "feats_plain")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, COMPUTER_JSON, plain_dir, "--batch-size", "4"]
+        )
+        == 0
+    )
+    computer = alias_factory_subclass_from_arg(
+        FrameComputer, json.loads(COMPUTER_JSON)
+    )
+    with open(wav_dir) as f:
+        utt2path = dict(line.split() for line in f)
+    for utt, path in sorted(utt2path.items())[:4]:
+        base = torch.load(os.path.join(plain_dir, utt + ".pt"))
+        fac1 = torch.load(os.path.join(out_dir, utt + ".pt"))
+        assert torch.equal(base, fac1), utt
+        sig = read_signal(path, dtype=np.float64)
+        for tag, up, down in (("sp0.9-", 10, 9), ("sp1.1-", 10, 11)):
+            want = np.asarray(
+                computer.compute_full(resample_np(sig, up, down))
+            )
+            got = torch.load(os.path.join(out_dir, tag + utt + ".pt")).numpy()
+            assert got.shape == want.shape, (tag, utt)
+            assert np.allclose(got, want, atol=1e-4), (tag, utt)
+
+
+def test_speed_perturb_bad_factor(wav_dir, temp_dir, capsys):
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, COMPUTER_JSON, os.path.join(temp_dir, "f_sp"),
+         "--speed-perturb", "0.9,-1"]
+    )
+    assert rc == 1
+    assert "positive" in capsys.readouterr().err
+
+
+def test_speed_perturb_manifest_resume(wav_dir, temp_dir):
+    """Manifest entries name the emitted (prefixed) copies, so a resumed
+    run skips exactly the copies already written."""
+    pytest.importorskip("torch")
+    out_dir = os.path.join(temp_dir, "feats_sp_m")
+    manifest = os.path.join(temp_dir, "sp_manifest.txt")
+    args = [wav_dir, COMPUTER_JSON, out_dir, "--speed-perturb", "0.9,1.1",
+            "--manifest", manifest, "--batch-size", "4"]
+    assert command_line.signals_to_torch_feat_dir(args) == 0
+    with open(manifest) as f:
+        done = set(line.strip() for line in f)
+    assert len(done) == 40
+    before = {
+        f: os.path.getmtime(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+    }
+    assert command_line.signals_to_torch_feat_dir(args) == 0
+    after = {
+        f: os.path.getmtime(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+    }
+    assert before == after  # nothing recomputed
+
+
+def test_vad_trim_outputs(wav_dir, temp_dir):
+    """--vad-trim keeps exactly the voiced rows of the post-processed
+    features (VAD over the raw energy column, trim after postprocess)."""
+    torch = pytest.importorskip("torch")
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.io import read_signal
+    from speech_tpu.ops.vad import energy_vad_np
+    from speech_tpu.post import Standardize
+
+    cfg = json.loads(COMPUTER_JSON)
+    cfg["include_energy"] = True
+    post = json.dumps([{"name": "standardize"}])
+    out_dir = os.path.join(temp_dir, "feats_vad")
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, json.dumps(cfg), out_dir, "--vad-trim",
+         '{"frames_context": 2}', "--postprocess", post,
+         "--batch-size", "4"]
+    )
+    assert rc == 0
+    computer = alias_factory_subclass_from_arg(FrameComputer, cfg)
+    with open(wav_dir) as f:
+        utt2path = dict(line.split() for line in f)
+    trimmed_any = False
+    for utt, path in sorted(utt2path.items())[:5]:
+        raw = np.asarray(
+            computer.compute_full(read_signal(path, dtype=np.float64))
+        )
+        mask = energy_vad_np(raw[:, 0], frames_context=2)
+        want = Standardize().apply(raw, axis=-1)[mask]
+        got = torch.load(os.path.join(out_dir, utt + ".pt")).numpy()
+        assert got.shape == want.shape, utt
+        assert np.allclose(got, want, atol=1e-4), utt
+        trimmed_any |= mask.sum() < raw.shape[0]
+    assert trimmed_any  # the random wavs have some unvoiced frames
+
+
+def test_vad_trim_requires_energy(wav_dir, temp_dir, capsys):
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, COMPUTER_JSON, os.path.join(temp_dir, "f_vad"),
+         "--vad-trim", "{}"]
+    )
+    assert rc == 1
+    assert "include_energy" in capsys.readouterr().err
+
+
+def test_vad_trim_requires_computer(wav_dir, temp_dir, capsys):
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, os.path.join(temp_dir, "f_vad2"), "--vad-trim", "{}"]
+    )
+    assert rc == 1
+    assert "computer config" in capsys.readouterr().err
+
+
+def test_vad_trim_bad_key_rejected(wav_dir, temp_dir, capsys):
+    cfg = json.loads(COMPUTER_JSON)
+    cfg["include_energy"] = True
+    rc = command_line.signals_to_torch_feat_dir(
+        [wav_dir, json.dumps(cfg), os.path.join(temp_dir, "f_vad3"),
+         "--vad-trim", '{"not_a_knob": 1}']
+    )
+    assert rc == 1
+    assert "--vad-trim" in capsys.readouterr().err
+
+
+def test_vad_trim_frame_count_change_rejected(wav_dir, temp_dir):
+    """A frame-count-changing postprocessor (stack) cannot align the trim."""
+    pytest.importorskip("torch")
+    cfg = json.loads(COMPUTER_JSON)
+    cfg["include_energy"] = True
+    post = json.dumps([{"name": "stack", "num_vectors": 3}])
+    with pytest.raises(ValueError, match="frame count"):
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, json.dumps(cfg), os.path.join(temp_dir, "f_vad4"),
+             "--vad-trim", "{}", "--postprocess", post, "--batch-size", "4"]
+        )
+
+
 def test_signals_to_torch_feat_dir_pitch(wav_dir, temp_dir):
     torch = pytest.importorskip("torch")
     out_b = os.path.join(temp_dir, "feats_pitch_b")

@@ -402,3 +402,41 @@ def test_kaldi_tables_pitch(fake_kaldi, batch):
         p3, valid = np.asarray(p3), int(np.asarray(valid))
         v = min(valid, feats.shape[0])
         assert np.allclose(feats[:v, want.shape[1]:], p3[:v], atol=2e-3), utt
+
+
+@pytest.mark.parametrize("batch", ["4", "0"])
+def test_kaldi_tables_vad_trim(fake_kaldi, batch):
+    """--vad-trim keeps voiced rows in both the batched and host paths;
+    an all-silent utterance is omitted, Kaldi select-voiced-frames style."""
+    import json
+
+    from speech_tpu.ops.vad import energy_vad_np
+
+    tables, written = fake_kaldi.tables, fake_kaldi.written
+    rng = np.random.RandomState(23)
+    cfg = dict(COMPUTER_CONFIG, include_energy=True)
+    entries = {}
+    for i in range(6):
+        buff, rate, dur = _wave_entry(rng, seconds=0.4 + 0.13 * i)
+        buff[:, : buff.shape[1] // 3] *= 1e-6  # a quiet head to trim
+        entries[f"utt{i}"] = (buff, rate, dur)
+    entries["silent"] = (
+        np.full((1, 3200), 1e-8), 8000.0, 0.4)
+    tables["ark:wav.ark"] = entries
+    rc = cli.compute_feats_from_kaldi_tables(
+        ["ark:wav.ark", "ark:feats.ark", json.dumps(cfg),
+         "--vad-trim", '{"frames_context": 2}', "--batch-size", batch]
+    )
+    assert rc == 0
+    out = written["ark:feats.ark"]
+    assert "silent" not in out  # no voiced frames -> no output
+    computer = alias_factory_subclass_from_arg(FrameComputer, cfg)
+    trimmed_any = False
+    for utt in (f"utt{i}" for i in range(6)):
+        raw = np.asarray(computer.compute_full(entries[utt][0][0]))
+        mask = energy_vad_np(raw[:, 0], frames_context=2)
+        want = raw[mask].astype(np.float32)
+        assert out[utt].shape == want.shape, utt
+        assert np.allclose(out[utt], want, atol=1e-5), utt
+        trimmed_any |= mask.sum() < raw.shape[0]
+    assert trimmed_any

@@ -92,3 +92,27 @@ def test_energy_vad_with_computer_energy():
     # the burst is detected, the silent edges are not
     assert voiced[60:140].mean() > 0.9
     assert voiced[:40].mean() < 0.1 and voiced[-40:].mean() < 0.1
+
+
+@pytest.mark.parametrize("ctx,prop", [(0, 0.6), (2, 0.6), (5, 0.3), (30, 0.9)])
+def test_energy_vad_np_twin(log_energy, ctx, prop):
+    """The host twin used by the CLIs matches the device op exactly."""
+    from speech_tpu.ops.vad import energy_vad_np
+
+    want = np.asarray(
+        energy_vad(log_energy, frames_context=ctx, proportion_threshold=prop)
+    )
+    got = energy_vad_np(
+        log_energy, frames_context=ctx, proportion_threshold=prop
+    )
+    assert np.array_equal(got, want)
+    # fixed threshold + empty input edge cases
+    assert np.array_equal(
+        energy_vad_np(log_energy, energy_mean_scale=0.0, energy_threshold=7.5),
+        np.asarray(
+            energy_vad(log_energy, energy_mean_scale=0.0, energy_threshold=7.5)
+        ),
+    )
+    assert energy_vad_np(np.zeros(0)).shape == (0,)
+    with pytest.raises(ValueError, match="1-D"):
+        energy_vad_np(np.zeros((2, 3)))
