@@ -19,6 +19,8 @@ Commands:
   ``.pt`` file per utterance, with ``--manifest`` resume.
 - ``compute-feats-from-kaldi-tables`` — Kaldi wave table -> Kaldi feature
   table (requires ``pydrobert-kaldi``).
+- ``torch-feat-dir-to-signals`` — inverse of the first: feature ``.pt``
+  dir -> Griffin-Lim-recovered wav files (no reference counterpart).
 """
 
 import argparse
@@ -43,6 +45,7 @@ from .pre import PreProcessor
 __all__ = [
     "compute_feats_from_kaldi_tables",
     "signals_to_torch_feat_dir",
+    "torch_feat_dir_to_signals",
 ]
 
 logger = logging.getLogger("speech_tpu.command_line")
@@ -1158,6 +1161,204 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
     return 0 if counts["success"] else 1
 
 
+def _torch_feat_dir_to_signals_parse_args(args):
+    parser = argparse.ArgumentParser(
+        description=torch_feat_dir_to_signals.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument(
+        "dir",
+        help="Directory of (T, F) float tensors (the "
+        "signals-to-torch-feat-dir layout)",
+    )
+    parser.add_argument(
+        "computer_config",
+        type=_config_type,
+        help="JSON file or string configuring the FrameComputer the "
+        "features came from (must be an STFT computer)",
+    )
+    parser.add_argument("out_dir", help="Where to write <utt_id>.wav files")
+    parser.add_argument("--file-prefix", default="", help="Input file prefix")
+    parser.add_argument(
+        "--file-suffix", default=".pt", help="Input file suffix"
+    )
+    parser.add_argument(
+        "--n-iters",
+        type=_nonneg_int_type,
+        default=64,
+        help="Griffin-Lim phase-recovery iterations",
+    )
+    parser.add_argument(
+        "--momentum",
+        type=float,
+        default=0.99,
+        help="Fast Griffin-Lim acceleration (0 = classic Griffin-Lim)",
+    )
+    parser.add_argument(
+        "--batch-size",
+        type=_nonneg_int_type,
+        default=16,
+        help="Utterances per device batch (within pow2 length buckets)",
+    )
+    parser.add_argument(
+        "--peak-norm",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="Peak-normalize each waveform to this fraction of int16 "
+        "full scale (e.g. 0.95). Default writes the recovered sample "
+        "values directly (features extracted from int16-range audio "
+        "invert to int16-range waveforms), clipped at full scale.",
+    )
+    return parser.parse_args(args)
+
+
+def torch_feat_dir_to_signals(args: Optional[Sequence[str]] = None) -> int:
+    """Invert a directory of torch feature tensors back to wav files.
+
+    The inverse companion of ``signals-to-torch-feat-dir`` for (log)
+    filter-bank features of an STFT computer (no reference
+    counterpart): undoes the energy column / log / bank (ridge
+    pseudo-inverse), recovers phase with fast Griffin-Lim — all
+    matmuls, device-batched over power-of-two length buckets with
+    exact ragged masking (``ops/invert.py``) — and writes one 16-bit
+    PCM wav per utterance at the computer's sampling rate.  A
+    40-filter mel bank pins only 40 numbers per frame, so this
+    recovers the spectral envelope (intelligible, vocoder-grade), not
+    the original waveform.
+    """
+    try:
+        options = _torch_feat_dir_to_signals_parse_args(args)
+    except SystemExit as ex:
+        return ex.code
+    try:
+        import torch
+    except ImportError:
+        print(
+            "torch-feat-dir-to-signals requires a PyTorch installation",
+            file=sys.stderr,
+        )
+        return 1
+    if options.peak_norm is not None and not 0.0 < options.peak_norm <= 1.0:
+        print(
+            f"--peak-norm must be in (0, 1], got {options.peak_norm}",
+            file=sys.stderr,
+        )
+        return 1
+    computer = alias_factory_subclass_from_arg(
+        FrameComputer, options.computer_config
+    )
+    from .compute import ShortTimeFourierTransformFrameComputer
+
+    if not isinstance(computer, ShortTimeFourierTransformFrameComputer):
+        print(
+            "torch-feat-dir-to-signals requires an STFT computer config "
+            "(the SI computer's modulus discards phase structure the "
+            "inversion needs)",
+            file=sys.stderr,
+        )
+        return 1
+    pre, suf = options.file_prefix, options.file_suffix
+    try:
+        names = sorted(os.listdir(options.dir))
+    except OSError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    utts = [
+        n[len(pre) : len(n) - len(suf)]
+        for n in names
+        if n.startswith(pre) and n.endswith(suf) and len(n) > len(pre) + len(suf)
+    ]
+    if not utts:
+        print(f"no '{pre}*{suf}' files in {options.dir}", file=sys.stderr)
+        return 1
+    os.makedirs(options.out_dir, exist_ok=True)
+
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.invert import feats_to_signal
+    from .utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    bsz = max(1, options.batch_size)
+    F = computer.num_coeffs
+    rate = int(round(computer.bank.sampling_rate))
+    shift = computer.frame_shift
+    progs = {}
+
+    def invert(batch, counts):
+        """(B, T_pad, F) float32 + (B,) counts -> (B, T_pad*shift)."""
+        key = batch.shape
+        if key not in progs:
+            T_pad = batch.shape[1]
+            progs[key] = jax.jit(
+                lambda f, c: feats_to_signal(
+                    f,
+                    computer,
+                    n_iters=options.n_iters,
+                    momentum=options.momentum,
+                    length=T_pad * shift,
+                    lengths=c,
+                )
+            )
+        return np.asarray(progs[key](jnp.asarray(batch), jnp.asarray(counts)))
+
+    def write_wav(utt, y, n_samples):
+        y = y[:n_samples]
+        if options.peak_norm is not None:
+            peak = np.abs(y).max()
+            if peak > 0:
+                y = y * (options.peak_norm * 32767.0 / peak)
+        pcm = np.clip(np.round(y), -32767, 32767).astype(np.int16)
+        with wave.open(os.path.join(options.out_dir, utt + ".wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+
+    n_done = 0
+    buckets = {}  # T_pad -> [(utt, feats (T, F) float32), ...]
+
+    def flush(T_pad):
+        group = buckets.pop(T_pad)
+        for s in range(0, len(group), bsz):
+            part = group[s : s + bsz]
+            counts = np.zeros(bsz, np.int32)
+            batch = np.zeros((bsz, T_pad, F), np.float32)
+            for i, (_, f) in enumerate(part):
+                counts[i] = f.shape[0]
+                batch[i, : f.shape[0]] = f
+            ys = invert(batch, counts)
+            for i, (utt, f) in enumerate(part):
+                write_wav(utt, ys[i], f.shape[0] * shift)
+
+    for utt in utts:
+        path = os.path.join(options.dir, pre + utt + suf)
+        try:
+            feats = np.asarray(torch.load(path).numpy(), np.float32)
+        except Exception as e:
+            print(f"{utt}: {e}: producing no output", file=sys.stderr)
+            continue
+        if feats.ndim != 2 or feats.shape[1] != F or not feats.shape[0]:
+            print(
+                f"{utt}: expected (T > 0, {F}) features, got "
+                f"{feats.shape}: producing no output",
+                file=sys.stderr,
+            )
+            continue
+        T_pad = 1 << max(feats.shape[0] - 1, 0).bit_length()
+        buckets.setdefault(T_pad, []).append((utt, feats))
+        n_done += 1
+        if len(buckets[T_pad]) >= bsz:
+            flush(T_pad)
+    for T_pad in sorted(buckets):
+        flush(T_pad)
+    return 0 if n_done else 1
+
+
 def main(args: Optional[Sequence[str]] = None) -> int:
     """Dispatch ``python -m speech_tpu.command_line <command> ...``."""
     parser = argparse.ArgumentParser(prog="speech_tpu.command_line")
@@ -1166,6 +1367,7 @@ def main(args: Optional[Sequence[str]] = None) -> int:
         choices=(
             "signals-to-torch-feat-dir",
             "compute-feats-from-kaldi-tables",
+            "torch-feat-dir-to-signals",
         ),
     )
     if args is None:
@@ -1173,6 +1375,8 @@ def main(args: Optional[Sequence[str]] = None) -> int:
     ns, rest = parser.parse_known_args(args)
     if ns.command == "signals-to-torch-feat-dir":
         return signals_to_torch_feat_dir(rest)
+    if ns.command == "torch-feat-dir-to-signals":
+        return torch_feat_dir_to_signals(rest)
     return compute_feats_from_kaldi_tables(rest)
 
 

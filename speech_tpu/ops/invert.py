@@ -118,16 +118,22 @@ def _synthesis_params(window, dft_size: int, dtype):
     }
 
 
-def _ls_istft(re, im, params, frame_shift: int, length, eps):
+def _ls_istft(re, im, params, frame_shift: int, length, eps, frame_mask=None):
     prec = jax.lax.Precision.HIGHEST
     frames = jnp.matmul(re, params["idft_cos"], precision=prec) + jnp.matmul(
         im, params["idft_sin"], precision=prec
     )
     T = frames.shape[-2]
+    if frame_mask is not None:
+        # ragged batches: padded frames contribute neither signal nor
+        # window power, so each example's valid extent reconstructs
+        # exactly as it would solo (the OLA strands of masked frames
+        # are zeros — sums over the valid region are unchanged)
+        frames = frames * frame_mask[..., None]
+        wsq = frame_mask[..., None] * params["wsq"]
+    else:
+        wsq = jnp.broadcast_to(params["wsq"], (T, params["wsq"].shape[-1]))
     num = overlap_add(frames, frame_shift, length)
-    wsq = jnp.broadcast_to(
-        params["wsq"], (T, params["wsq"].shape[-1])
-    )
     den = overlap_add(wsq, frame_shift, length)
     dt = num.dtype
     return num / jnp.maximum(den, jnp.asarray(eps, dt))
@@ -181,6 +187,7 @@ def griffin_lim(
     n_iters: int = 64,
     momentum: float = 0.99,
     length: Optional[int] = None,
+    lengths=None,
     eps: float = 1e-12,
 ):
     """Fast Griffin-Lim: recover a waveform from an STFT magnitude.
@@ -205,10 +212,19 @@ def griffin_lim(
     prec = jax.lax.Precision.HIGHEST
     alpha = dt.type(momentum)
     tiny = dt.type(eps)
+    frame_mask = None
+    if lengths is not None:
+        # per-example valid frame counts: padded frames are zeroed out
+        # of the magnitude AND the window-power normalizer, so every
+        # example inverts exactly as it would solo (ragged batching)
+        frame_mask = (
+            jnp.arange(T) < jnp.asarray(lengths)[..., None]
+        ).astype(dt)
+        mag = mag * frame_mask[..., None]
 
     def project(re, im):
         """C1 then C2: consistency (istft -> stft), then magnitude."""
-        y = _ls_istft(re, im, params, frame_shift, None, eps)
+        y = _ls_istft(re, im, params, frame_shift, None, eps, frame_mask)
         frames = _frame_last(y, T, frame_length, frame_shift)
         re2 = jnp.matmul(frames, params["dft_cos"], precision=prec)
         im2 = jnp.matmul(frames, params["dft_sin"], precision=prec)
@@ -229,7 +245,7 @@ def griffin_lim(
         step, (re0, im0, mag, jnp.zeros_like(mag)), None,
         length=max(int(n_iters) - 1, 0),
     )
-    return _ls_istft(re, im, params, frame_shift, length, eps)
+    return _ls_istft(re, im, params, frame_shift, length, eps, frame_mask)
 
 
 def bank_pseudo_inverse(weights: np.ndarray, ridge: float = 1e-8) -> np.ndarray:
@@ -259,6 +275,7 @@ def feats_to_signal(
     n_iters: int = 64,
     momentum: float = 0.99,
     length: Optional[int] = None,
+    lengths=None,
     ridge: float = 1e-8,
 ):
     """Invert log filter-bank features back to a waveform (Griffin-Lim).
@@ -277,6 +294,12 @@ def feats_to_signal(
     mel bank only pins 40 numbers per frame, so this recovers the
     spectral envelope (intelligible, vocoder-grade), not the exact
     waveform.  All device work is matmuls + reshapes (jit/vmap-safe).
+
+    ``lengths`` (int array over the leading axes, optional) gives each
+    example's valid frame count for ragged batches: padded rows are
+    masked out of both the magnitudes and the Griffin-Lim window-power
+    normalizer, so each row inverts exactly as it would solo; samples
+    past ``lengths[i] * frame_shift`` are zero (trim on the host).
     """
     feats = jnp.asarray(feats)
     dt = feats.dtype
@@ -304,5 +327,6 @@ def feats_to_signal(
         n_iters=n_iters,
         momentum=momentum,
         length=pad_left + int(length),
+        lengths=lengths,
     )
     return y[..., pad_left:]

@@ -164,6 +164,8 @@ def test_signals_to_torch_feat_dir_postprocess(wav_dir, temp_dir):
 def test_cli_help_exits_zero(capsys):
     assert command_line.signals_to_torch_feat_dir(["--help"]) == 0
     assert "map" in capsys.readouterr().out
+    assert command_line.torch_feat_dir_to_signals(["--help"]) == 0
+    assert "Griffin-Lim" in capsys.readouterr().out
 
 
 def test_kaldi_tables_graceful_without_dep(capsys):
@@ -573,3 +575,93 @@ def test_pitch_requires_computer(wav_dir, temp_dir):
         )
         == 1
     )
+
+
+def test_torch_feat_dir_to_signals_roundtrip(wav_dir, temp_dir):
+    """Extract -> invert -> wav files whose re-analysis recovers the
+    features (envelope inversion: rel-MSE well under 1)."""
+    torch = pytest.importorskip("torch")
+    import wave as wave_mod
+
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.io import read_signal
+
+    cfg = json.loads(COMPUTER_JSON)
+    cfg["bank"]["num_filts"] = 20
+    feat_dir = os.path.join(temp_dir, "feats_inv")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [wav_dir, json.dumps(cfg), feat_dir, "--batch-size", "4"]
+        )
+        == 0
+    )
+    wav_out = os.path.join(temp_dir, "wavs_inv")
+    rc = command_line.torch_feat_dir_to_signals(
+        [feat_dir, json.dumps(cfg), wav_out, "--n-iters", "8",
+         "--batch-size", "4"]
+    )
+    assert rc == 0
+    files = sorted(os.listdir(wav_out))
+    assert len(files) == 20 and all(f.endswith(".wav") for f in files)
+    computer = alias_factory_subclass_from_arg(FrameComputer, cfg)
+    worst = 0.0
+    for f in files[:4]:
+        utt = f[:-4]
+        with wave_mod.open(os.path.join(wav_out, f)) as w:
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == 1
+        want = torch.load(os.path.join(feat_dir, utt + ".pt")).numpy()
+        y = read_signal(os.path.join(wav_out, f), dtype=np.float64)
+        assert len(y) == want.shape[0] * computer.frame_shift
+        got = np.asarray(computer.compute_full(y))[: want.shape[0]]
+        rel = float(np.mean((got - want) ** 2) / np.var(want))
+        worst = max(worst, rel)
+    assert worst < 0.2, worst
+
+
+def test_torch_feat_dir_to_signals_validation(wav_dir, temp_dir, capsys):
+    si_cfg = json.dumps(
+        {
+            "name": "si",
+            "bank": {"name": "fbank", "num_filts": 4, "sampling_rate": 8000},
+        }
+    )
+    rc = command_line.torch_feat_dir_to_signals(
+        [temp_dir, si_cfg, os.path.join(temp_dir, "w")]
+    )
+    assert rc == 1
+    assert "STFT" in capsys.readouterr().err
+    rc = command_line.torch_feat_dir_to_signals(
+        [temp_dir, COMPUTER_JSON, os.path.join(temp_dir, "w")]
+    )
+    assert rc == 1
+    assert "no '*.pt' files" in capsys.readouterr().err
+
+
+def test_torch_feat_dir_to_signals_skips_bad_files(temp_dir, capsys):
+    torch = pytest.importorskip("torch")
+    import wave as wave_mod
+
+    feat_dir = os.path.join(temp_dir, "feats_mixed")
+    os.makedirs(feat_dir)
+    rng = np.random.RandomState(4)
+    torch.save(
+        torch.as_tensor(rng.randn(50, 10).astype(np.float32)),
+        os.path.join(feat_dir, "good.pt"),
+    )
+    torch.save(
+        torch.as_tensor(rng.randn(50, 7).astype(np.float32)),  # wrong width
+        os.path.join(feat_dir, "badwidth.pt"),
+    )
+    wav_out = os.path.join(temp_dir, "wavs_mixed")
+    rc = command_line.torch_feat_dir_to_signals(
+        [feat_dir, COMPUTER_JSON, wav_out, "--n-iters", "2",
+         "--peak-norm", "0.9"]
+    )
+    assert rc == 0
+    assert "badwidth" in capsys.readouterr().err
+    assert sorted(os.listdir(wav_out)) == ["good.wav"]
+    with wave_mod.open(os.path.join(wav_out, "good.wav")) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert np.abs(pcm).max() <= int(0.9 * 32767) + 1

@@ -188,3 +188,61 @@ def test_bank_pseudo_inverse_envelope():
     rel = np.abs(back - spec)[covered] / spec[covered].max()
     assert rel.max() < 0.25
     assert np.median(rel) < 0.05
+
+
+def test_feats_to_signal_ragged_lengths_match_solo():
+    """Padded rows masked via ``lengths`` invert exactly as they would
+    solo (mag AND window-power normalizer masked), and padding is zero."""
+    rate = 8000
+    bank = Fbank(num_filts=20, sampling_rate=rate)
+    computer = ShortTimeFourierTransformFrameComputer(
+        bank, frame_length_ms=25, frame_shift_ms=10
+    )
+    rng = np.random.RandomState(5)
+    ns = [rate // 2, rate // 3]
+    xs = [rng.randn(n) for n in ns]
+    rows = [np.asarray(computer.compute_full(x)) for x in xs]
+    counts = np.array([r.shape[0] for r in rows])
+    Tmax = counts.max()
+    batch = np.stack(
+        [np.pad(r, ((0, Tmax - r.shape[0]), (0, 0))) for r in rows]
+    )
+    length = int(Tmax * computer.frame_shift)
+    got = np.asarray(
+        invert_ops.feats_to_signal(
+            jnp.asarray(batch), computer, n_iters=6, length=length,
+            lengths=jnp.asarray(counts),
+        )
+    )
+    for i, r in enumerate(rows):
+        solo = np.asarray(
+            invert_ops.feats_to_signal(
+                jnp.asarray(r), computer, n_iters=6,
+                length=int(counts[i]) * computer.frame_shift,
+            )
+        )
+        n_valid = solo.shape[-1]
+        assert np.allclose(got[i, :n_valid], solo, atol=1e-10), i
+        tail = got[
+            i, (counts[i] - 1) * computer.frame_shift + len(computer._window) :
+        ]
+        assert tail.size == 0 or np.abs(tail).max() == 0.0
+
+
+def test_griffin_lim_lengths_jit_vmap():
+    """The lengths-masked path is jittable with traced counts."""
+    window = np.asarray(HannWindow().get_impulse_response(64), np.float64)
+    rng = np.random.RandomState(8)
+    mag = np.abs(rng.randn(3, 10, 33))
+    counts = np.array([10, 7, 4])
+
+    fn = jax.jit(
+        lambda m, c: invert_ops.griffin_lim(
+            m, window, 16, n_iters=3, lengths=c, length=9 * 16 + 64
+        )
+    )
+    y = np.asarray(fn(jnp.asarray(mag), jnp.asarray(counts)))
+    assert y.shape == (3, 9 * 16 + 64)
+    assert np.isfinite(y).all()
+    # row 2's frames past 4 contribute nothing
+    assert np.abs(y[2, 3 * 16 + 64 :]).max() == 0.0
