@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     invert,
     pallas_stft,
     pitch,
+    plp,
     postops,
     resample,
     si,

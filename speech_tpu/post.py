@@ -22,6 +22,7 @@ __all__ = [
     "DCT",
     "Deltas",
     "PCEN",
+    "PLP",
     "SlidingCMVN",
     "Splice",
     "PostProcessor",
@@ -596,6 +597,87 @@ class DCT(PostProcessor):
         mat = dct_matrix(num_feats, self.num_ceps, self.lifter)
         moved = np.moveaxis(features.astype(np.float64, copy=False), axis, -1)
         out = moved @ mat
+        return np.moveaxis(out, -1, axis).astype(features.dtype, copy=False)
+
+
+class PLP(PostProcessor):
+    """Perceptual linear prediction cepstra from band powers.
+
+    Applied to *linear power* filter-bank features (computer built with
+    ``use_log=False, use_power=True``) this yields PLP cepstra, Kaldi
+    ``compute-plp-feats``-style (Hermansky 1990): equal-loudness
+    weighting at the bank's center frequencies, cube-root loudness
+    compression, autocorrelation by inverse cosine transform,
+    Levinson-Durbin, LPC -> liftered cepstra with ``c[0] = log``
+    residual energy.  No reference counterpart; the jittable device
+    twin is :func:`speech_tpu.ops.plp.plp`.
+
+    Parameters
+    ----------
+    bank
+        The filter bank the features came from (a
+        :class:`speech_tpu.filters.LinearFilterBank`, or its config
+        dict/name) — supplies the per-band center frequencies.
+        Alternatively pass ``center_hz`` directly.
+    center_hz
+        Explicit per-band center frequencies (mutually exclusive with
+        ``bank``).
+    order, num_ceps, compress, lifter, eps
+        See :func:`speech_tpu.ops.plp.plp`.
+    """
+
+    aliases = {"plp"}
+
+    def __init__(
+        self,
+        bank=None,
+        center_hz=None,
+        order: int = 12,
+        num_ceps: int = 13,
+        compress: float = 1.0 / 3.0,
+        lifter: float = 22.0,
+        eps: float = 1e-10,
+    ):
+        from .alias import alias_factory_subclass_from_arg
+        from .filters import LinearFilterBank
+        from .ops.plp import _validate
+
+        if (bank is None) == (center_hz is None):
+            raise ValueError("pass exactly one of bank= or center_hz=")
+        if bank is not None:
+            bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
+            center_hz = bank.centers_hz
+        self.center_hz = tuple(float(f) for f in center_hz)
+        _validate(len(self.center_hz), order, num_ceps, compress, lifter)
+        self.order = int(order)
+        self.num_ceps = int(num_ceps)
+        self.compress = float(compress)
+        self.lifter = float(lifter)
+        self.eps = float(eps)
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        from .ops.plp import plp_np
+
+        features = np.asarray(features)
+        axis = axis % max(features.ndim, 1)
+        if features.shape[axis] != len(self.center_hz):
+            raise RuntimeError(
+                f"expected {len(self.center_hz)} bands along axis {axis}, "
+                f"got {features.shape[axis]} (PLP applies to the bank's "
+                "linear power outputs, before any width-changing op)"
+            )
+        moved = np.moveaxis(features.astype(np.float64, copy=False), axis, -1)
+        out = plp_np(
+            moved,
+            self.center_hz,
+            order=self.order,
+            num_ceps=self.num_ceps,
+            compress=self.compress,
+            lifter=self.lifter,
+            eps=self.eps,
+        )
         return np.moveaxis(out, -1, axis).astype(features.dtype, copy=False)
 
 

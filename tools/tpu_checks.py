@@ -316,6 +316,24 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             time.time() - t0,
         )
 
+        # PLP post-op: device f32 (xlog powers, unrolled Levinson) vs the
+        # float64 host twin, on real band powers (un-logged features)
+        t0 = time.time()
+        from speech_tpu.ops.plp import plp as plp_op
+        from speech_tpu.ops.plp import plp_np
+
+        powers = np.exp(results["stft highest"][0].astype(np.float64))
+        centers = tuple(np.linspace(100.0, RATE / 2 - 200.0, powers.shape[1]))
+        dev = np.asarray(
+            jax.jit(lambda v: plp_op(v, centers))(powers.astype(np.float32))
+        )
+        battery.check(
+            "plp vs f64 host",
+            float(np.abs(dev - plp_np(powers, centers)).max()),
+            5e-3,
+            time.time() - t0,
+        )
+
         # Pitch tracker: physical oracle (known tones within 1%, and a
         # clean voiced/unvoiced POV split vs noise)
         t0 = time.time()
