@@ -20,6 +20,7 @@ __all__ = [
     "dct",
     "dct_matrix",
     "delta_filters",
+    "device_post_chain",
     "pcen",
     "sliding_cmvn",
     "splice",
@@ -44,30 +45,71 @@ def delta_filters(num_deltas: int, context_window: int = 2):
     return filts[1:]
 
 
+def _valid_mask_and_last(features, lengths, time_axis):
+    """``(scrubbed, valid (..., T), x_last (..., 1, F))`` for per-row
+    valid counts ``lengths`` over ``(..., T, F)`` features with
+    ``time_axis == -2``: rows at/after the count zero out, and the last
+    valid frame extracts by a one-hot contraction (gather-free — the
+    ragged-batch building block for edge replication)."""
+    T = features.shape[time_axis]
+    lengths = jnp.asarray(lengths, jnp.int32)[..., None]  # (..., 1)
+    pos = jnp.arange(T)
+    valid = pos < lengths  # (..., T)
+    scrubbed = jnp.where(valid[..., None], features, 0)
+    onehot = (pos == lengths - 1).astype(features.dtype)
+    x_last = jnp.einsum("...tf,...t->...f", scrubbed, onehot)[..., None, :]
+    return scrubbed, valid, x_last
+
+
 def deltas(
     features,
     filts: Sequence,
     concatenate: bool = True,
     time_axis: int = -2,
     target_axis: int = -1,
+    lengths=None,
 ):
     """Append/stack delta orders of ``features``.
 
     ``filts`` from :func:`delta_filters` (device or host arrays).  Edge
     (replication) padding, matching the reference default
     (reference: post.py:471-487).
+
+    ``lengths`` (optional, ``(...,)`` per-row valid frame counts for
+    ``(..., T, F)`` input, requires ``time_axis == -2``) makes the op
+    ragged-batch-aware: each row's edges replicate at ITS valid extent,
+    so output rows ``< lengths`` match the unbatched op on the
+    length-``lengths`` prefix exactly (rows at/after the count are
+    garbage to mask).  Realized gather-free: the zero-scrubbed
+    correlation plus a rank-1 correction ``S(count - t) * x_last``
+    where ``S(m)`` sums the filter taps that overhang the row's end.
     """
     features = jnp.asarray(features)
     time_axis = time_axis % features.ndim
-    outs = [features]
     T = features.shape[time_axis]
+    if lengths is not None:
+        if time_axis != features.ndim - 2:
+            raise ValueError("lengths-aware deltas requires time_axis=-2")
+        features, valid, x_last = _valid_mask_and_last(
+            features, lengths, time_axis
+        )
+        m = jnp.asarray(lengths, jnp.int32)[..., None] - jnp.arange(T)
+    outs = [features]
     for filt in filts:
         filt = np.asarray(filt)
         K = filt.shape[0]
         off = (K - 1) // 2
         pad = [(0, 0)] * features.ndim
         pad[time_axis] = (off, off)
-        padded = jnp.pad(features, pad, mode="edge")
+        if lengths is None:
+            padded = jnp.pad(features, pad, mode="edge")
+        else:
+            # left edge replicates frame 0 statically; the right edge is
+            # ragged — zero-pad and correct below
+            pad[time_axis] = (off, 0)
+            padded = jnp.pad(features, pad, mode="edge")
+            pad[time_axis] = (0, off)
+            padded = jnp.pad(padded, pad)
         # correlation as K static shifted slices (never a gather — TPU
         # gathers are ~200x slower than slices at production sizes)
         acc = None
@@ -75,6 +117,18 @@ def deltas(
             sl = jax.lax.slice_in_dim(padded, k, k + T, axis=time_axis)
             term = sl * features.dtype.type(filt[k])
             acc = term if acc is None else acc + term
+        if lengths is not None:
+            # taps k with t - off + k >= count read the replicated last
+            # frame: for overhang depth j = count - t in [1, off] their
+            # coefficient sum is S(j) = sum_{k >= j + off} filt[k]
+            corr = jnp.zeros(features.shape[:-1], features.dtype)
+            for j in range(1, off + 1):
+                s_j = float(filt[j + off :].sum())
+                if s_j:
+                    corr = corr + jnp.where(m == j, s_j, 0.0).astype(
+                        features.dtype
+                    )
+            acc = acc + corr[..., None] * x_last
         outs.append(acc)
     if concatenate:
         return jnp.concatenate(outs, axis=target_axis)
@@ -87,11 +141,18 @@ def stack(
     time_axis: int = -2,
     feat_axis: int = -1,
     pad: bool = False,
+    lengths=None,
 ):
     """Merge ``num_vectors`` consecutive frames into wider vectors.
 
     With ``pad``, the tail is edge-padded to divisibility; otherwise
     leftover frames are dropped (reference: post.py:536-554).
+
+    ``lengths`` (per-row valid frame counts, requires the default
+    axes) makes the op ragged-batch-aware: each row's tail
+    drops/edge-pads at ITS valid extent.  Output row counts become
+    ``lengths // num_vectors`` (``pad=False``) or the ceiling
+    (``pad=True``); rows past a row's count are garbage to mask.
     """
     features = jnp.asarray(features)
     time_axis = time_axis % features.ndim
@@ -99,6 +160,24 @@ def stack(
     if time_axis == feat_axis:
         raise RuntimeError(f"feature and time axes are the same ({time_axis})")
     T = features.shape[time_axis]
+    if lengths is not None:
+        if time_axis != features.ndim - 2 or feat_axis != features.ndim - 1:
+            raise ValueError(
+                "lengths-aware stack requires time_axis=-2, feat_axis=-1"
+            )
+        features, valid, x_last = _valid_mask_and_last(
+            features, lengths, time_axis
+        )
+        if pad:
+            # fill each row's final partial group with its last valid
+            # frame (the per-row twin of the static edge pad below)
+            cnt = jnp.asarray(lengths, jnp.int32)[..., None]
+            pos = jnp.arange(T)
+            grp_end = -(-cnt // num_vectors) * num_vectors
+            fill = ((pos >= cnt) & (pos < grp_end))[..., None]
+            features = jnp.where(
+                fill, jnp.broadcast_to(x_last, features.shape), features
+            )
     rem = T % num_vectors
     if rem and pad:
         padding = [(0, 0)] * features.ndim
@@ -212,6 +291,25 @@ def dct(
     return jnp.moveaxis(out, -1, feat_axis)
 
 
+def _pcen_compress(features, m, alpha, delta, power, eps):
+    """The PCEN gain/compression stage given the smoothed energies
+    ``m`` — shared by :func:`pcen` and the streaming twin
+    (:class:`speech_tpu.streaming_post.StreamingPCEN`) so both tiers
+    compress bit-identically."""
+    dt = features.dtype
+    alpha = jnp.asarray(alpha, dt)
+    delta = jnp.asarray(delta, dt)
+    power = jnp.asarray(power, dt)
+    # every power lowers via exp/xlog rather than lax.pow: non-integer
+    # pow expands through the TPU's hardware f32 log (~1e-4 abs error —
+    # the exact term log32 exists to remove); all bases here are >= 0,
+    # and log32(0) -> ~-88 so exp(p * .) underflows gracefully to 0
+    gain = jnp.exp(-alpha * xlog(eps + m))
+    return jnp.exp(power * xlog(features * gain + delta)) - jnp.exp(
+        power * xlog(delta)
+    )
+
+
 def pcen(
     features,
     smooth=0.025,
@@ -222,6 +320,7 @@ def pcen(
     init_state=None,
     time_axis: int = -2,
     return_state: bool = False,
+    lengths=None,
 ):
     """Per-channel energy normalization (PCEN, Wang et al. 2017).
 
@@ -244,11 +343,25 @@ def pcen(
     successive chunks to stream PCEN exactly:
     ``out_k, state = pcen(chunk_k, ..., init_state=state,
     return_state=True)`` equals one call over the concatenation.
+
+    ``lengths`` (per-row valid frame counts, requires
+    ``time_axis == -2``) makes the smoother ragged-batch-aware: rows
+    at/after a row's count are scan identities, so valid rows match the
+    unbatched op on each prefix (rows past the count are garbage).
     """
     features = jnp.asarray(features)
     time_axis = time_axis % features.ndim
     smooth = jnp.asarray(smooth, dtype=features.dtype)
     decay = 1.0 - smooth
+    valid = None
+    if lengths is not None:
+        if time_axis != features.ndim - 2:
+            raise ValueError("lengths-aware pcen requires time_axis=-2")
+        T = features.shape[-2]
+        valid = (
+            jnp.arange(T) < jnp.asarray(lengths, jnp.int32)[..., None]
+        )[..., None]
+        features = jnp.where(valid, features, 0)
     b = smooth * features
     # fold the initial state into the first element so the prefix scan
     # directly yields M_t; M_{-1} = E_0 by default (steady start)
@@ -264,6 +377,12 @@ def pcen(
         [b0, jax.lax.slice_in_dim(b, 1, None, axis=time_axis)], time_axis
     )
     a = jnp.broadcast_to(decay, features.shape)
+    if valid is not None:
+        # invalid rows are scan identities (a=1, b=0): the smoother
+        # carries through them untouched (row 0 is valid whenever the
+        # row has any valid frame, so the b0 fold is unaffected)
+        a = jnp.where(valid, a, 1.0)
+        b = jnp.where(valid, b, 0.0)
 
     def combine(left, right):
         a_l, b_l = left
@@ -271,17 +390,7 @@ def pcen(
         return a_l * a_r, b_l * a_r + b_r
 
     _, m = jax.lax.associative_scan(combine, (a, b), axis=time_axis)
-    alpha = jnp.asarray(alpha, features.dtype)
-    delta = jnp.asarray(delta, features.dtype)
-    power = jnp.asarray(power, features.dtype)
-    # every power lowers via exp/xlog rather than lax.pow: non-integer
-    # pow expands through the TPU's hardware f32 log (~1e-4 abs error —
-    # the exact term log32 exists to remove); all bases here are >= 0,
-    # and log32(0) -> ~-88 so exp(p * .) underflows gracefully to 0
-    gain = jnp.exp(-alpha * xlog(eps + m))
-    out = jnp.exp(power * xlog(features * gain + delta)) - jnp.exp(
-        power * xlog(delta)
-    )
+    out = _pcen_compress(features, m, alpha, delta, power, eps)
     if return_state:
         return out, jax.lax.index_in_dim(
             m, m.shape[time_axis] - 1, axis=time_axis, keepdims=False
@@ -296,6 +405,7 @@ def sliding_cmvn(
     norm_var: bool = False,
     min_window: int = 100,
     time_axis: int = -2,
+    lengths=None,
 ):
     """Sliding-window cepstral mean (and variance) normalization.
 
@@ -307,52 +417,112 @@ def sliding_cmvn(
     else trailing, with at least ``min_window`` frames (looking ahead
     near the start).  Windowed moments come from padded-prefix-sum
     slices — static shapes, no gathers, jit/vmap/shard-safe.
+
+    ``lengths`` (per-row valid frame counts, requires
+    ``time_axis == -2``) makes the window clipping ragged-aware: each
+    row clips at ITS valid extent, matching the unbatched op on the
+    prefix.  Where a row's count binds the window (``hi`` clamped to
+    the count) the statistics collapse to one per-row value, realized
+    as one-hot prefix-table contractions — still gather-free.
     """
     if window < 1:
         raise ValueError(f"window must be positive, got {window}")
     features = jnp.asarray(features)
     time_axis = time_axis % features.ndim
     if time_axis != features.ndim - 2:
+        if lengths is not None:
+            raise ValueError("lengths-aware sliding_cmvn requires time_axis=-2")
         moved = jnp.moveaxis(features, time_axis, -2)
         out = sliding_cmvn(moved, window, center, norm_var, min_window, -2)
         return jnp.moveaxis(out, -2, time_axis)
     T = features.shape[-2]
     idx = np.arange(T)
+    # unclamped (infinite-stream) bounds — static per frame index
     if center:
-        # kaldi: window [i - w/2, i + w/2) clipped into [0, T)
-        lo = np.maximum(idx - window // 2, 0)
-        hi = np.minimum(lo + window, T)
-        lo = np.maximum(hi - window, 0)
+        lo_nat = np.maximum(idx - window // 2, 0)
+        hi_nat = lo_nat + window
     else:
-        hi = np.minimum(np.maximum(idx + 1, min_window), T)
+        hi_nat = np.maximum(idx + 1, min_window)
+        lo_nat = np.maximum(hi_nat - window, 0)
+    if lengths is None:
+        hi = np.minimum(hi_nat, T)
         lo = np.maximum(hi - window, 0)
-    # prefix sums along time; windows are static per frame index, so the
-    # per-frame sums are two static takes of rows lo/hi — but lo/hi are
-    # nonuniform, so express them as gathers of *rows* of the (T+1, F)
-    # prefix table: one small take per tensor, not per element
+
+        # prefix sums along time; windows are static per frame index, so
+        # the per-frame sums are two static takes of rows lo/hi — but
+        # lo/hi are nonuniform, so express them as gathers of *rows* of
+        # the (T+1, F) prefix table: one small take per tensor, not per
+        # element
+        def moments(x):
+            c = jnp.cumsum(x, axis=-2)
+            zero = jnp.zeros_like(c[..., :1, :])
+            c = jnp.concatenate([zero, c], axis=-2)
+            return jnp.take(c, hi, axis=-2) - jnp.take(c, lo, axis=-2)
+
+        count = jnp.asarray((hi - lo)[:, None], features.dtype)
+        mean = moments(features) / count
+        out = features - mean
+        if norm_var:
+            var = moments(features**2) / count - mean**2
+            out = out * jax.lax.rsqrt(jnp.maximum(var, 1e-10))
+        return out
+
+    cnt = jnp.asarray(lengths, jnp.int32)[..., None]  # (..., 1)
+    pos = jnp.arange(T)
+    scrubbed = jnp.where((pos < cnt)[..., None], features, 0)
+    # where hi_nat <= count the static bounds hold (interior); where the
+    # count binds, hi = count and lo = max(count - window, 0) — ONE
+    # window per row, so its statistics are a single one-hot contraction
+    # against the prefix table (rows before the stream head are zeros,
+    # so the lo = 0 clamp reads the table's flat-zero region correctly)
+    interior = hi_nat[None] <= cnt  # (..., T) w/ leading broadcast
+    onehot_hi = (pos[:, None] + 1 == cnt[..., None, :]).astype(
+        features.dtype
+    )  # (..., T, 1): row t -> cp row t+1 == count
+    lo_tail = jnp.maximum(cnt - window, 0)  # (..., 1)
+    onehot_lo = (pos[:, None] == lo_tail[..., None, :]).astype(features.dtype)
+
     def moments(x):
         c = jnp.cumsum(x, axis=-2)
         zero = jnp.zeros_like(c[..., :1, :])
-        c = jnp.concatenate([zero, c], axis=-2)
-        return jnp.take(c, hi, axis=-2) - jnp.take(c, lo, axis=-2)
+        cp = jnp.concatenate([zero, c], axis=-2)  # (..., T+1, F)
+        static = jnp.take(cp, hi_nat, axis=-2) - jnp.take(cp, lo_nat, axis=-2)
+        # per-row tail stats: cp[count] - cp[max(count - window, 0)]
+        tail_hi = jnp.einsum("...tf,...to->...of", c, onehot_hi)
+        tail_lo = jnp.einsum("...tf,...to->...of", cp[..., :-1, :], onehot_lo)
+        return jnp.where(interior[..., None], static, tail_hi - tail_lo)
 
-    count = jnp.asarray((hi - lo)[:, None], features.dtype)
-    mean = moments(features) / count
+    # jnp.take with hi_nat may exceed T: clamp by padding the table — the
+    # interior mask discards those rows anyway, but reads must stay in
+    # bounds; simplest is clipping the static index vectors
+    hi_nat = np.minimum(hi_nat, T)
+    lo_nat = np.minimum(lo_nat, T)
+    count = jnp.minimum(jnp.asarray(hi_nat), cnt) - jnp.where(
+        interior, jnp.asarray(lo_nat), lo_tail
+    )
+    count = jnp.maximum(count, 1).astype(features.dtype)[..., None]
+    mean = moments(scrubbed) / count
     out = features - mean
     if norm_var:
-        var = moments(features**2) / count - mean**2
+        var = moments(scrubbed**2) / count - mean**2
         out = out * jax.lax.rsqrt(jnp.maximum(var, 1e-10))
     return out
 
 
-def splice(features, left: int = 4, right: int = 4, time_axis: int = -2):
+def splice(
+    features, left: int = 4, right: int = 4, time_axis: int = -2,
+    lengths=None,
+):
     """Concatenate each frame with its ``[-left, right]`` context
     (Kaldi ``splice-feats``; no reference counterpart).
 
     Edge frames replicate (Kaldi's boundary behavior).  Output feature
     width is ``(left + right + 1) * F``, context ordered oldest-first.
     Static shifted slices — the same gather-free correlation machinery
-    as :func:`deltas`.
+    as :func:`deltas`.  ``lengths`` makes the right edge ragged-aware
+    (see :func:`deltas`); with it the taps that overhang a row's valid
+    extent select its last valid frame instead (bitwise equal to the
+    unbatched op on each prefix).
     """
     if left < 0 or right < 0:
         raise ValueError(f"left/right must be >= 0, got {left}/{right}")
@@ -360,10 +530,164 @@ def splice(features, left: int = 4, right: int = 4, time_axis: int = -2):
     time_axis = time_axis % features.ndim
     T = features.shape[time_axis]
     pad = [(0, 0)] * features.ndim
-    pad[time_axis] = (left, right)
+    if lengths is None:
+        pad[time_axis] = (left, right)
+        padded = jnp.pad(features, pad, mode="edge")
+        outs = [
+            jax.lax.slice_in_dim(padded, k, k + T, axis=time_axis)
+            for k in range(left + right + 1)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+    if time_axis != features.ndim - 2:
+        raise ValueError("lengths-aware splice requires time_axis=-2")
+    features, valid, x_last = _valid_mask_and_last(
+        features, lengths, time_axis
+    )
+    pos = jnp.arange(T)
+    cnt = jnp.asarray(lengths, jnp.int32)[..., None]
+    pad[time_axis] = (left, 0)
     padded = jnp.pad(features, pad, mode="edge")
-    outs = [
-        jax.lax.slice_in_dim(padded, k, k + T, axis=time_axis)
-        for k in range(left + right + 1)
-    ]
+    pad[time_axis] = (0, right)
+    padded = jnp.pad(padded, pad)
+    outs = []
+    for k in range(left + right + 1):
+        sl = jax.lax.slice_in_dim(padded, k, k + T, axis=time_axis)
+        d = k - left  # tap offset relative to the output frame
+        if d > 0:
+            over = (pos + d >= cnt)[..., None]
+            sl = jnp.where(over, jnp.broadcast_to(x_last, sl.shape), sl)
+        outs.append(sl)
     return jnp.concatenate(outs, axis=-1)
+
+
+def device_post_chain(postprocessors):
+    """A fused, ragged-batch-aware device twin of a post-processor chain.
+
+    Maps host :mod:`speech_tpu.post` instances (and/or raw
+    ``(feats, counts) -> (feats, counts)`` callables) onto this
+    module's lengths-aware functional forms and returns one pure
+    ``apply(feats, counts) -> (feats, counts)`` over ``(..., T, F)``
+    feature blocks with per-row valid frame counts — jit/vmap/shard
+    safe, so a batched extractor fuses the whole chain into its device
+    program (see :class:`speech_tpu.parallel.ShardedExtractor`).
+
+    Semantics are the device twins' (Kaldi-style: deltas/splice/
+    stacking run along the TIME axis with per-row edge handling) —
+    matching per-utterance host application of each post-processor
+    with its natural time axis, NOT the reference CLI's literal
+    ``apply(feats, axis=-1)`` quirk (which correlates Deltas along the
+    feature axis; reference: command_line.py applies ``axis=-1``
+    everywhere).  Raises ``ValueError`` for configurations with no
+    device twin (e.g. :class:`~speech_tpu.post.Standardize` without
+    statistics).
+    """
+    from .. import post as _post
+    from .plp import plp as _plp
+
+    stages = []
+    for p in postprocessors:
+        if callable(p) and not isinstance(p, _post.PostProcessor):
+            stages.append(p)
+            continue
+        if isinstance(p, _post.Deltas):
+            if not p.concatenate:
+                raise ValueError(
+                    "device Deltas supports the concatenating form only"
+                )
+            if p._target_axis not in (-1, 1):
+                raise ValueError(
+                    "device Deltas requires target_axis -1 (feature axis)"
+                )
+            if p._pad_mode != "edge":
+                raise ValueError(
+                    f"device Deltas requires pad_mode='edge', got "
+                    f"{p._pad_mode!r}"
+                )
+            filts = [np.asarray(f) for f in p.filters[1:]]
+
+            def f(x, n, filts=filts):
+                return deltas(x, filts, lengths=n), n
+
+        elif isinstance(p, _post.Splice):
+            if p.time_axis % 2 != 0:
+                raise ValueError("device Splice requires time_axis 0")
+            left, right = p.left, p.right
+
+            def f(x, n, left=left, right=right):
+                return splice(x, left, right, lengths=n), n
+
+        elif isinstance(p, _post.Stack):
+            if p.time_axis % 2 != 0:
+                raise ValueError("device Stack requires time_axis 0")
+            if p._pad_mode not in (None, "edge"):
+                raise ValueError(
+                    f"device Stack supports pad_mode None or 'edge', got "
+                    f"{p._pad_mode!r}"
+                )
+            m, do_pad = p.num_vectors, p._pad_mode == "edge"
+
+            def f(x, n, m=m, do_pad=do_pad):
+                out = stack(x, m, pad=do_pad, lengths=n)
+                n2 = -(-n // m) if do_pad else n // m
+                return out, n2
+
+        elif isinstance(p, _post.PCEN):
+            if p.time_axis % 2 != 0:
+                raise ValueError("device PCEN requires time_axis 0")
+            kw = dict(
+                smooth=p.smooth, alpha=p.alpha, delta=p.delta,
+                power=p.power, eps=p.eps,
+            )
+
+            def f(x, n, kw=kw):
+                return pcen(x, lengths=n, **kw), n
+
+        elif isinstance(p, _post.SlidingCMVN):
+            if p.time_axis % 2 != 0:
+                raise ValueError("device SlidingCMVN requires time_axis 0")
+            kw = dict(
+                window=p.window, center=p.center, norm_var=p.norm_var,
+                min_window=p.min_window,
+            )
+
+            def f(x, n, kw=kw):
+                return sliding_cmvn(x, lengths=n, **kw), n
+
+        elif isinstance(p, _post.DCT):
+            num_ceps, lifter = p.num_ceps, p.lifter
+
+            def f(x, n, num_ceps=num_ceps, lifter=lifter):
+                return dct(x, num_ceps, lifter), n
+
+        elif isinstance(p, _post.PLP):
+            center_hz = p.center_hz
+            kw = dict(
+                order=p.order, num_ceps=p.num_ceps, compress=p.compress,
+                lifter=p.lifter, eps=p.eps,
+            )
+
+            def f(x, n, center_hz=center_hz, kw=kw):
+                return _plp(x, center_hz, **kw), n
+
+        elif isinstance(p, _post.Standardize):
+            if not p.have_stats:
+                raise ValueError(
+                    "device Standardize needs accumulated/loaded statistics"
+                )
+            stats = np.asarray(p.stats)
+            norm_var = p._norm_var
+
+            def f(x, n, stats=stats, norm_var=norm_var):
+                return standardize_with_stats(x, stats, norm_var), n
+
+        else:
+            raise ValueError(f"no device twin for {type(p).__name__}")
+        stages.append(f)
+
+    def apply(feats, counts):
+        counts = jnp.asarray(counts, jnp.int32)
+        for stage in stages:
+            feats, counts = stage(feats, counts)
+        return feats, counts
+
+    return apply

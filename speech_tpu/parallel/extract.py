@@ -84,6 +84,16 @@ class ShardedExtractor:
         waste drops from 2x to 4/3x (transfer bytes and device FLOPs
         both follow the padded length) at the cost of up to twice as
         many compiled programs over a corpus.
+    postprocessors
+        Optional host :mod:`speech_tpu.post` instances fused into the
+        device program as their lengths-aware functional twins
+        (:func:`speech_tpu.ops.postops.device_post_chain`): deltas,
+        splice, stack, PCEN, sliding CMVN, DCT, PLP, global CMVN all
+        run on-device per batch, with each row's edge handling at its
+        own valid extent.  Time-axis (Kaldi) semantics — equivalent to
+        applying each post-processor per utterance along time, not the
+        reference CLI's ``axis=-1`` quirk.  Frame counts reflect any
+        count-changing op (stack).
     """
 
     def __init__(
@@ -92,13 +102,20 @@ class ShardedExtractor:
         mesh: Optional[Mesh] = None,
         data_axis: str = "data",
         bucket: str = "pow2",
+        postprocessors=(),
     ):
+        from ..ops.postops import device_post_chain
+
         if bucket not in ("pow2", "fine"):
             raise ValueError(f"bucket must be 'pow2' or 'fine', got {bucket!r}")
         self._computer = computer
         self._mesh = mesh
         self._data_axis = data_axis
         self._bucket = bucket
+        self._post = (
+            device_post_chain(postprocessors) if postprocessors else None
+        )
+        self._post_jit = None
         self._fns = {}
 
     def bucket_len(self, n: int) -> int:
@@ -176,6 +193,8 @@ class ShardedExtractor:
                     counts = _framing.frame_count(
                         lengths, frame_length, frame_shift
                     )
+                if self._post is not None:
+                    feats, counts = self._post(feats, counts)
                 return feats, counts
 
             if use_pallas and self._mesh is not None:
@@ -214,6 +233,8 @@ class ShardedExtractor:
                 target = (lengths + shift // 2) // shift
                 after_pad = (target * shift + T - 1 - shift_eff) // shift - 1
                 counts = jnp.maximum(0, jnp.minimum(target, after_pad))
+                if self._post is not None:
+                    feats, counts = self._post(feats, counts)
                 return feats, counts
 
         if self._mesh is None:
@@ -247,8 +268,14 @@ class ShardedExtractor:
             or self._computer._use_pallas()
         ):
             # unsharded: defer to the computer's own batched path (the SI
-            # pipeline / the fused Pallas tier)
-            return self._computer.compute_batch(signals, lengths)
+            # pipeline / the fused Pallas tier); the post chain runs as
+            # its own (jitted, async) program on the device outputs
+            feats, counts = self._computer.compute_batch(signals, lengths)
+            if self._post is not None:
+                if self._post_jit is None:
+                    self._post_jit = jax.jit(self._post)
+                feats, counts = self._post_jit(feats, counts)
+            return feats, counts
         signals = _as_transfer_array(signals, self._computer._dtype)
         batch, max_len = signals.shape
         # host-known all-full lengths select the static-padding fast path

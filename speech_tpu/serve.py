@@ -80,6 +80,11 @@ class FeatureServer:
         (default) or ``"fine"`` (``{2**k, 3*2**(k-1)}`` buckets — less
         pad waste, up to 2x the programs; ``warmup`` covers whichever
         grid is active).
+    postprocessors
+        Optional host post-processor instances fused into the device
+        program (forwarded to the extractor; see
+        :func:`speech_tpu.ops.postops.device_post_chain`) — served
+        features come back with deltas/CMVN/DCT/… already applied.
 
     Attributes
     ----------
@@ -98,8 +103,11 @@ class FeatureServer:
         pad_batches: bool = True,
         max_pending: int = None,
         bucket: str = "pow2",
+        postprocessors=(),
     ):
-        self._extractor = ShardedExtractor(computer, mesh, bucket=bucket)
+        self._extractor = ShardedExtractor(
+            computer, mesh, bucket=bucket, postprocessors=postprocessors
+        )
         self._max_batch = int(max_batch)
         if pad_batches not in (True, False, "pow2"):
             raise ValueError(

@@ -412,6 +412,59 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         err = float(np.mean((feats2 - feats) ** 2) / np.var(feats))
         battery.check("invert roundtrip rel-MSE", err, 0.15, time.time() - t0)
 
+        # Streaming post-processing: an online deltas + sliding-CMVN
+        # chain fused onto the streamer equals the batch chain (host
+        # float64 post over the device's compute_full rows).  f32
+        # stream-vs-batch reduction differences (~2e-5 on log features)
+        # amplify through the variance normalization, hence the loose
+        # tolerance — the check guards alignment/flush structure, where
+        # breakage reads O(1).
+        t0 = time.time()
+        from speech_tpu import post as _hpost
+        from speech_tpu.streaming_post import StreamingPipeline
+
+        computer = STFTFrameComputer(dict(BANK_STFT), **_stft_kwargs())
+        posts = [
+            _hpost.Deltas(2, target_axis=-1),
+            _hpost.SlidingCMVN(window=300, center=True, norm_var=True),
+        ]
+        pipe = StreamingPipeline(computer, posts, chunk_size=1600)
+        got = pipe.transform(sigs32[0])
+        want = np.asarray(computer.compute_full(sigs32[0])).astype(np.float64)
+        want = posts[0].apply(want, axis=0)
+        want = posts[1].apply(want, axis=-1)
+        err = (
+            1.0
+            if got.shape != want.shape
+            else float(np.abs(got - want).max())
+        )
+        battery.check("streaming post == batch chain", err, 1e-3, time.time() - t0)
+
+        # Fused extractor post chain: ShardedExtractor(postprocessors=)
+        # applies the lengths-aware device twins inside its program; the
+        # ragged batch must match per-utterance host application
+        t0 = time.time()
+        from speech_tpu.parallel import ShardedExtractor
+
+        ragged = [
+            sigs32[0],
+            sigs32[1][: RATE + 321],
+            sigs32[2][: RATE // 2],
+            sigs32[3],
+        ]
+        ex = ShardedExtractor(computer, postprocessors=posts)
+        outs = ex.extract(ragged)
+        err = 0.0
+        for out, sig in zip(outs, ragged):
+            want = np.asarray(computer.compute_full(sig)).astype(np.float64)
+            want = posts[0].apply(want, axis=0)
+            want = posts[1].apply(want, axis=-1)
+            if out.shape != want.shape:
+                err = 1.0
+                break
+            err = max(err, float(np.abs(out - want).max()))
+        battery.check("fused extractor post chain", err, 1e-3, time.time() - t0)
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
