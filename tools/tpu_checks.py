@@ -163,6 +163,7 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
     )
 
     import jax
+    import jax.numpy as jnp
 
     if smoke:
         # force the CPU backend before any device/backend init (the
@@ -412,22 +413,67 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         err = float(np.mean((feats2 - feats) ** 2) / np.var(feats))
         battery.check("invert roundtrip rel-MSE", err, 0.15, time.time() - t0)
 
-        # Streaming post-processing: an online deltas + sliding-CMVN
-        # chain fused onto the streamer equals the batch chain (host
-        # float64 post over the device's compute_full rows).  f32
-        # stream-vs-batch reduction differences (~2e-5 on log features)
-        # amplify through the variance normalization, hence the loose
-        # tolerance — the check guards alignment/flush structure, where
-        # breakage reads O(1).
+        # Streaming post-processing, same-input leg: the streaming
+        # deltas + sliding-CMVN chain over a FIXED feature matrix (fed
+        # in chunks) equals the device batch chain on that matrix —
+        # isolates the chain's alignment/flush/carry structure from
+        # frontend stream-vs-batch noise.  Both sides are f32 on
+        # identical inputs; only window reduction orders differ
+        # (~3e-5 on white noise, measured), amplified ~1/std by the
+        # variance normalization on correlated real features (~2e-3
+        # observed) — structural breakage reads O(1).
         t0 = time.time()
         from speech_tpu import post as _hpost
-        from speech_tpu.streaming_post import StreamingPipeline
+        from speech_tpu.ops.postops import device_post_chain
+        from speech_tpu.streaming_post import (
+            StreamingPipeline,
+            StreamingPostChain,
+            streaming_post_op,
+        )
 
         computer = STFTFrameComputer(dict(BANK_STFT), **_stft_kwargs())
         posts = [
             _hpost.Deltas(2, target_axis=-1),
             _hpost.SlidingCMVN(window=300, center=True, norm_var=True),
         ]
+        feats32 = np.asarray(computer.compute_full(sigs32[0]))
+        chain = device_post_chain(posts)
+        want32, n_want = jax.jit(chain)(
+            feats32[None], jnp.array([feats32.shape[0]])
+        )
+        want32 = np.asarray(want32)[0, : int(n_want[0])]
+        sop = StreamingPostChain([streaming_post_op(p) for p in posts])
+        rows = []
+        step = jax.jit(sop._step_impl)
+        state = sop.init_state(feats32.shape[1], dtype=jnp.float32)
+        for i in range(0, feats32.shape[0], 100):
+            blk = feats32[i : i + 100]
+            pad = np.zeros((100, feats32.shape[1]), np.float32)
+            pad[: len(blk)] = blk
+            state, out, n_out = step(state, pad, len(blk))
+            rows.append(np.asarray(out)[: int(n_out)])
+        out, n_out = jax.jit(sop._finalize_impl)(state)
+        rows.append(np.asarray(out)[: int(n_out)])
+        got32 = np.concatenate(rows, axis=0)
+        err = (
+            1.0
+            if got32.shape != want32.shape
+            else float(np.abs(got32 - want32).max())
+        )
+        battery.check(
+            "streaming post == batch (same input)",
+            err,
+            5e-3,
+            time.time() - t0,
+        )
+
+        # End-to-end leg: the chain fused onto the streamer vs the host
+        # float64 batch chain over compute_full rows.  The known f32
+        # stream-vs-batch frontend differences (~2e-5 on log features)
+        # amplify through the variance normalization (1/std of the
+        # delta rows), hence the loose tolerance — alignment/flush
+        # breakage reads O(1).
+        t0 = time.time()
         pipe = StreamingPipeline(computer, posts, chunk_size=1600)
         got = pipe.transform(sigs32[0])
         want = np.asarray(computer.compute_full(sigs32[0])).astype(np.float64)
@@ -438,11 +484,13 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             if got.shape != want.shape
             else float(np.abs(got - want).max())
         )
-        battery.check("streaming post == batch chain", err, 1e-3, time.time() - t0)
+        battery.check("streaming pipeline == batch chain", err, 5e-3, time.time() - t0)
 
         # Fused extractor post chain: ShardedExtractor(postprocessors=)
         # applies the lengths-aware device twins inside its program; the
-        # ragged batch must match per-utterance host application
+        # ragged batch must match per-utterance host application.  f32
+        # device chain vs f64 host chain, amplified through norm_var as
+        # above — structural (edge/lengths) breakage reads O(1).
         t0 = time.time()
         from speech_tpu.parallel import ShardedExtractor
 
@@ -463,7 +511,7 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
                 err = 1.0
                 break
             err = max(err, float(np.abs(out - want).max()))
-        battery.check("fused extractor post chain", err, 1e-3, time.time() - t0)
+        battery.check("fused extractor post chain", err, 5e-3, time.time() - t0)
 
     n_fail = len(battery.failures)
     print(
