@@ -291,6 +291,46 @@ def dct(
     return jnp.moveaxis(out, -1, feat_axis)
 
 
+def transform(
+    features,
+    matrix,
+    feat_axis: int = -1,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Apply a linear or affine feature transform (Kaldi ``transform-feats``).
+
+    ``matrix`` is ``(out_dim, in_dim)`` for a linear transform
+    ``y = M x`` or ``(out_dim, in_dim + 1)`` for an affine one whose
+    last column is the bias, ``y = M[:, :-1] x + M[:, -1]`` — the
+    Kaldi LDA/MLLT/fMLLR matrix convention.  No reference counterpart;
+    one constant matmul on the MXU, frame-local (streams trivially).
+    """
+    features = jnp.asarray(features)
+    feat_axis = feat_axis % features.ndim
+    matrix = np.asarray(matrix)
+    if matrix.ndim != 2:
+        raise ValueError(f"expected a 2-D transform, got shape {matrix.shape}")
+    in_dim = features.shape[feat_axis]
+    if matrix.shape[1] == in_dim:
+        bias = None
+    elif matrix.shape[1] == in_dim + 1:
+        matrix, bias = matrix[:, :-1], jnp.asarray(
+            matrix[:, -1], dtype=features.dtype
+        )
+    else:
+        raise ValueError(
+            f"transform of shape {matrix.shape} does not apply to "
+            f"{in_dim}-dimensional features (expected {in_dim} columns, "
+            f"or {in_dim + 1} for an affine transform)"
+        )
+    mat = jnp.asarray(np.ascontiguousarray(matrix.T), dtype=features.dtype)
+    moved = jnp.moveaxis(features, feat_axis, -1)
+    out = jnp.matmul(moved, mat, precision=precision)
+    if bias is not None:
+        out = out + bias
+    return jnp.moveaxis(out, -1, feat_axis)
+
+
 def _pcen_compress(features, m, alpha, delta, power, eps):
     """The PCEN gain/compression stage given the smoothed energies
     ``m`` — shared by :func:`pcen` and the streaming twin
@@ -668,6 +708,12 @@ def device_post_chain(postprocessors):
 
             def f(x, n, center_hz=center_hz, kw=kw):
                 return _plp(x, center_hz, **kw), n
+
+        elif isinstance(p, _post.Transform):
+            mat = np.asarray(p.matrix)
+
+            def f(x, n, mat=mat):
+                return transform(x, mat), n
 
         elif isinstance(p, _post.Standardize):
             if not p.have_stats:

@@ -28,6 +28,7 @@ __all__ = [
     "PostProcessor",
     "Stack",
     "Standardize",
+    "Transform",
 ]
 
 
@@ -721,3 +722,90 @@ class Splice(PostProcessor):
             sl[time_axis] = slice(k, k + T)
             outs.append(padded[tuple(sl)])
         return np.concatenate(outs, axis=-1)
+
+
+class Transform(PostProcessor):
+    """Apply a linear or affine feature transform matrix.
+
+    Kaldi ``transform-feats`` semantics (no reference counterpart): a
+    ``(out_dim, in_dim)`` matrix maps each frame ``x`` to ``M x``; a
+    ``(out_dim, in_dim + 1)`` matrix is affine with the bias in the
+    last column, ``M[:, :-1] x + M[:, -1]`` — the convention Kaldi
+    uses for LDA/MLLT/fMLLR transform estimates.  The device twin is
+    :func:`speech_tpu.ops.postops.transform` (one constant matmul);
+    frame-local, so it streams trivially.
+
+    Parameters
+    ----------
+    rfilename
+        Optional file holding the matrix, loaded via
+        :func:`speech_tpu.io.read_signal` (``.npy``/``.npz``/``.pt``/
+        Kaldi ``dm``/``fm`` tables all work).
+    matrix
+        The matrix itself (mutually exclusive with ``rfilename``).
+    """
+
+    aliases = {"transform", "affine", "lda"}
+
+    def __init__(self, rfilename: Optional[str] = None, matrix=None, **kwargs):
+        if (rfilename is None) == (matrix is None):
+            raise ValueError("pass exactly one of rfilename= or matrix=")
+        if rfilename is not None:
+            from .io import read_signal
+
+            if "dtype" in kwargs:
+                matrix = read_signal(rfilename, **kwargs)
+            else:
+                # float widths first, then the Kaldi matrix dtype strings
+                # (the Standardize stats-loading convention)
+                for dtype in (np.float64, np.float32, "dm", "fm"):
+                    try:
+                        matrix = read_signal(rfilename, dtype=dtype, **kwargs)
+                        break
+                    except (IOError, ValueError, ImportError, TypeError):
+                        pass
+                if matrix is None:
+                    raise IOError(
+                        f"transform at {rfilename} was unreadable at either "
+                        "float width or as a Kaldi matrix"
+                    )
+        elif kwargs:
+            raise TypeError(f"unexpected keyword arguments: {tuple(kwargs)}")
+        matrix = np.asarray(matrix, dtype=np.float64)
+        if matrix.ndim != 2 or 0 in matrix.shape:
+            raise ValueError(
+                f"expected a nonempty 2-D transform, got shape {matrix.shape}"
+            )
+        self._matrix = matrix
+        super().__init__()
+
+    @property
+    def matrix(self) -> np.ndarray:
+        """The ``(out_dim, in_dim[+1])`` transform matrix."""
+        return self._matrix
+
+    @property
+    def out_dim(self) -> int:
+        return self._matrix.shape[0]
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        features = np.asarray(features)
+        axis = axis % max(features.ndim, 1)
+        in_dim = features.shape[axis]
+        if self._matrix.shape[1] == in_dim:
+            mat, bias = self._matrix, None
+        elif self._matrix.shape[1] == in_dim + 1:
+            mat, bias = self._matrix[:, :-1], self._matrix[:, -1]
+        else:
+            raise RuntimeError(
+                f"transform of shape {self._matrix.shape} does not apply "
+                f"to {in_dim}-dimensional features (expected {in_dim} "
+                f"columns, or {in_dim + 1} for an affine transform)"
+            )
+        moved = np.moveaxis(features.astype(np.float64, copy=False), axis, -1)
+        out = moved @ mat.T
+        if bias is not None:
+            out = out + bias
+        return np.moveaxis(out, -1, axis).astype(features.dtype, copy=False)

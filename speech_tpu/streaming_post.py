@@ -782,6 +782,12 @@ def streaming_post_op(post) -> StreamingPostOp:
         return StreamingFrameLocal(
             lambda f: _plp(f, center_hz, **kw), lambda w: kw["num_ceps"]
         )
+    if isinstance(post, _post.Transform):
+        mat = np.asarray(post.matrix)
+        out_dim = post.out_dim
+        return StreamingFrameLocal(
+            lambda f: _postops.transform(f, mat), lambda w: out_dim
+        )
     if isinstance(post, _post.Standardize):
         if not post.have_stats:
             raise ValueError(

@@ -205,3 +205,46 @@ def test_stack_3dim(pad_mode):
     else:
         assert act.shape == exp.shape
         assert np.all(act == exp)
+
+
+def test_transform_linear_affine_and_errors(temp_file_1_name):
+    rng = np.random.RandomState(7)
+    feats = rng.randn(11, 6)
+    lin = rng.randn(4, 6)
+    t = post.Transform(matrix=lin)
+    assert t.out_dim == 4
+    got = t.apply(feats)
+    assert got.shape == (11, 4)
+    assert np.allclose(got, feats @ lin.T, atol=1e-12)
+    # affine: Kaldi convention, bias in the last column
+    aff = np.concatenate([lin, rng.randn(4, 1)], axis=1)
+    got = post.Transform(matrix=aff).apply(feats)
+    assert np.allclose(got, feats @ lin.T + aff[:, -1], atol=1e-12)
+    # axis handling
+    got = post.Transform(matrix=lin).apply(feats.T, axis=0)
+    assert got.shape == (4, 11)
+    assert np.allclose(got.T, feats @ lin.T, atol=1e-12)
+    # dimension mismatch reads as a runtime error (note a (4, 6) matrix
+    # DOES apply to 5-dim features — affinely — per the Kaldi convention)
+    with pytest.raises(RuntimeError):
+        post.Transform(matrix=lin).apply(rng.randn(3, 4))
+    # constructor validation
+    with pytest.raises(ValueError):
+        post.Transform()
+    with pytest.raises(ValueError):
+        post.Transform(matrix=lin, rfilename="x.npy")
+    with pytest.raises(ValueError):
+        post.Transform(matrix=np.ones(3))
+    # alias construction (the CLI --postprocess JSON path)
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+
+    t = alias_factory_subclass_from_arg(
+        post.PostProcessor, {"name": "transform", "matrix": lin.tolist()}
+    )
+    assert isinstance(t, post.Transform)
+    assert np.allclose(t.apply(feats), feats @ lin.T, atol=1e-12)
+    # file loading round-trip (.npy at either float width)
+    name = temp_file_1_name + ".npy"
+    np.save(name, lin.astype(np.float32))
+    t = post.Transform(rfilename=name)
+    assert np.allclose(t.matrix, lin.astype(np.float32))

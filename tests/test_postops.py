@@ -244,3 +244,37 @@ def test_dct_orthonormal_and_errors():
         DCT(num_ceps=0)
     with pytest.raises(RuntimeError, match="exceeds"):
         DCT(num_ceps=40).apply(np.zeros((5, 10)), axis=-1)
+
+
+@pytest.mark.parametrize("affine", [False, True])
+def test_transform_matches_host(feats, affine):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(7, 13 + int(affine))
+    host = host_post.Transform(matrix=mat)
+    got = np.asarray(jax.jit(lambda x: postops.transform(x, mat))(feats))
+    assert got.shape == (3, 30, 7)
+    for i, f in enumerate(feats):
+        assert np.allclose(got[i], host.apply(f), atol=1e-10)
+    with pytest.raises(ValueError):
+        postops.transform(feats, rng.randn(7, 11))
+    with pytest.raises(ValueError):
+        postops.transform(feats, rng.randn(7))
+
+
+def test_transform_in_device_chain(feats):
+    rng = np.random.RandomState(4)
+    mat = rng.randn(5, 40)  # affine over Deltas(2)'s 39 outputs
+    posts = [
+        host_post.Deltas(2, target_axis=-1),
+        host_post.Transform(matrix=mat),
+    ]
+    chain = postops.device_post_chain(posts)
+    counts = np.array([30, 17, 9])
+    out, n_out = jax.jit(chain)(jnp.asarray(feats), counts)
+    out = np.asarray(out)
+    assert out.shape == (3, 30, 5)
+    assert np.all(np.asarray(n_out) == counts)
+    for i, f in enumerate(feats):
+        want = posts[0].apply(f[: counts[i]], axis=0)  # deltas: time axis
+        want = posts[1].apply(want, axis=-1)
+        assert np.allclose(out[i, : counts[i]], want, atol=1e-8)

@@ -349,3 +349,14 @@ def test_pipeline_rejects_unknown_width():
     # explicit width works
     pipe = StreamingPipeline(Opaque(), [], in_width=3)
     assert pipe.num_coeffs == 3
+
+
+def test_factory_transform_matches_host(feats):
+    rng = np.random.RandomState(9)
+    mat = rng.randn(4, feats.shape[1] + 1)  # affine
+    host = hpost.Transform(matrix=mat)
+    op = streaming_post_op(host)
+    assert op.out_width(feats.shape[1]) == 4
+    got = _stream_all(op, feats, [7, 50, 3, 90])
+    ref = host.apply(feats.copy(), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
