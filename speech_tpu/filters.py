@@ -23,7 +23,7 @@ import numpy as np
 
 from . import config
 from .alias import AliasedFactory, alias_factory_subclass_from_arg
-from .scales import MelScaling, ScalingFunction
+from .scales import MelScaling, ScalingFunction, VTLNScaling
 from .utils import angular_to_hertz, hertz_to_angular
 
 __all__ = [
@@ -362,8 +362,10 @@ class Fbank(LinearFilterBank):
         low_hz: float = 20.0,
         sampling_rate: float = 16000,
         analytic: bool = False,
+        vtln_warp: float = 1.0,
+        vtln_low_hz: float = 100.0,
+        vtln_high_hz: float = -500.0,
     ):
-        scaling_function = MelScaling()
         if low_hz < 0 or (
             high_hz and (high_hz <= low_hz or high_hz > sampling_rate // 2)
         ):
@@ -373,6 +375,19 @@ class Fbank(LinearFilterBank):
         self._rate = sampling_rate
         if high_hz is None:
             high_hz = sampling_rate // 2
+        if vtln_warp != 1.0:
+            # Kaldi compute-fbank-feats --vtln-warp: mel layout with the
+            # vertex frequencies VTLN-warped (scales.VTLNScaling)
+            scaling_function = VTLNScaling(
+                MelScaling(),
+                warp=vtln_warp,
+                low_hz=low_hz,
+                high_hz=high_hz,
+                vtln_low_hz=vtln_low_hz,
+                vtln_high_hz=vtln_high_hz,
+            )
+        else:
+            scaling_function = MelScaling()
         self._vertices = tuple(
             _layout_vertices(scaling_function, low_hz, high_hz, num_filts)
         )
