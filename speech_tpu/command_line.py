@@ -18,7 +18,7 @@ Commands:
 - ``signals-to-torch-feat-dir`` — utt/path map -> one ``(T, F)`` float32
   ``.pt`` file per utterance, with ``--manifest`` resume.
 - ``compute-feats-from-kaldi-tables`` — Kaldi wave table -> Kaldi feature
-  table (requires ``pydrobert-kaldi``).
+  table (uses ``pydrobert-kaldi`` when installed, else native table I/O).
 - ``torch-feat-dir-to-signals`` — inverse of the first: feature ``.pt``
   dir -> Griffin-Lim-recovered wav files (no reference counterpart).
 """
@@ -914,8 +914,9 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
     """Store features from a kaldi archive in a kaldi archive.
 
     Intended to replace Kaldi's "compute-<something>-feats" scripts in a
-    Kaldi pipeline (reference: command_line.py:245-359).  Requires
-    ``pydrobert-kaldi``.
+    Kaldi pipeline (reference: command_line.py:245-359).  Uses
+    ``pydrobert-kaldi`` when installed, else the native pure-Python table
+    I/O in :mod:`speech_tpu.io.kaldi_tables`.
     """
     try:
         options = _compute_feats_from_kaldi_tables_parse_args(args)
@@ -926,12 +927,14 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
     try:
         from pydrobert.kaldi.io import open as kaldi_open  # type: ignore
         from pydrobert.kaldi.io.enums import KaldiDataType  # type: ignore
+
+        base_is_double = KaldiDataType.BaseMatrix.is_double
     except ImportError:
-        print(
-            "compute-feats-from-kaldi-tables requires pydrobert-kaldi",
-            file=sys.stderr,
-        )
-        return 1
+        # native pure-Python table I/O (speech_tpu.io.kaldi_tables) — same
+        # ark/scp formats, no bindings needed
+        kaldi_open = None
+        base_is_double = False
+        logger.info("pydrobert-kaldi not found; using native table I/O")
     if options.seed is not None:
         np.random.seed(options.seed)
     computer = alias_factory_subclass_from_arg(
@@ -963,14 +966,26 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             return 1
     preprocessors, postprocessors = _build_processors(options)
     try:
-        wav_reader = kaldi_open(options.wav_rspecifier, "wm", value_style="bsd")
+        if kaldi_open is not None:
+            wav_reader = kaldi_open(
+                options.wav_rspecifier, "wm", value_style="bsd"
+            )
+        else:
+            from .io.kaldi_tables import open_wave_reader
+
+            wav_reader = open_wave_reader(options.wav_rspecifier)
     except IOError:
         logger.error(
             "Could not read the wave table %s", options.wav_rspecifier
         )
         return 1
     try:
-        feat_writer = kaldi_open(options.feats_wspecifier, "bm", mode="w")
+        if kaldi_open is not None:
+            feat_writer = kaldi_open(options.feats_wspecifier, "bm", mode="w")
+        else:
+            from .io.kaldi_tables import KaldiTableWriter
+
+            feat_writer = KaldiTableWriter(options.feats_wspecifier)
     except IOError:
         logger.error(
             "Could not open the feat table %s for writing",
@@ -1059,7 +1074,7 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             if not feats.shape[0]:
                 # Kaldi select-voiced-frames omits all-unvoiced utterances
                 return
-        if not KaldiDataType.BaseMatrix.is_double:
+        if not base_is_double:
             feats = feats.astype(np.float32)
         feat_writer.write(utt_id, feats)
         counts["success"] += 1

@@ -16,8 +16,10 @@ import numpy as np
 
 from .. import config
 from .sphere import sphere_read_signal  # noqa: F401
+from . import kaldi_tables  # noqa: F401
 
 __all__ = [
+    "kaldi_tables",
     "read_signal",
     "sphere_read_signal",
     "wds_read_signal",
@@ -25,7 +27,13 @@ __all__ = [
 
 
 def _kaldi_table_read(rfilename, dtype, key, **kwargs):
-    from pydrobert.kaldi.io import open as io_open  # optional external dep
+    try:
+        from pydrobert.kaldi.io import open as io_open  # optional bindings
+    except ImportError:
+        # native pure-Python fallback (same ark/scp formats, no bindings)
+        from .kaldi_tables import table_read
+
+        return table_read(rfilename, dtype, key)
 
     if key is None:
         key = 0
@@ -110,7 +118,12 @@ def _torch_read(rfilename, dtype, key, **kwargs):
 
 
 def _kaldi_stream_read(rfilename, dtype, key, **kwargs):
-    from pydrobert.kaldi.io import open as io_open  # optional external dep
+    try:
+        from pydrobert.kaldi.io import open as io_open  # optional bindings
+    except ImportError:
+        from .kaldi_tables import stream_read
+
+        return stream_read(rfilename, dtype)
 
     if dtype is None:
         dtype = "bm"
@@ -192,8 +205,9 @@ def read_signal(
 
     Dispatch on ``rfilename`` (reference: util.py:362-510):
 
-    1.  ``(ark|scp)(,\w+)*:`` prefix: Kaldi table (needs
-        :mod:`pydrobert.kaldi`); ``key`` selects an entry.
+    1.  ``(ark|scp)(,\w+)*:`` prefix: Kaldi table (via
+        :mod:`pydrobert.kaldi` when installed, else the native reader in
+        :mod:`speech_tpu.io.kaldi_tables`); ``key`` selects an entry.
     2.  Suffix in ``config.SOUNDFILE_SUPPORTED_FILE_TYPES``: via soundfile.
     3.  ``.wav``: scipy (falling back to :mod:`wave`).
     4.  ``.hdf5``: h5py; ``key`` or depth-first search for the first dataset.

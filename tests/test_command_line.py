@@ -169,14 +169,13 @@ def test_cli_help_exits_zero(capsys):
 
 
 def test_kaldi_tables_graceful_without_dep(capsys):
+    # without pydrobert-kaldi the CLI falls back to the native table I/O
+    # (tests/test_kaldi_native.py runs it end-to-end); a missing wave
+    # table still exits nonzero without raising
     code = command_line.compute_feats_from_kaldi_tables(
         ["scp:foo.scp", "ark:bar.ark", COMPUTER_JSON]
     )
-    try:
-        import pydrobert.kaldi  # noqa: F401
-    except ImportError:
-        assert code == 1
-        assert "pydrobert-kaldi" in capsys.readouterr().err
+    assert code == 1
 
 
 def test_signals_to_torch_feat_dir_si_computer(wav_dir, temp_dir):
