@@ -906,6 +906,39 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "defaults; frame_shift_ms follows the computer's).",
     )
     _add_vad_trim_arg(parser)
+    cmvn = parser.add_mutually_exclusive_group()
+    cmvn.add_argument(
+        "--cmvn-stats-out",
+        default=None,
+        metavar="WSPECIFIER",
+        help="Accumulate Kaldi-layout CMVN sufficient statistics (a (2, "
+        "F+1) [sums|count ; sumsqs|_] double matrix per speaker) over the "
+        "features as written, and store them in this table on exit — the "
+        "compute-cmvn-stats step of a Kaldi pipeline. Speakers come from "
+        "--utt2spk (default: one entry per utterance).",
+    )
+    cmvn.add_argument(
+        "--apply-cmvn",
+        default=None,
+        metavar="RSPECIFIER",
+        help="Normalize each utterance with its speaker's statistics from "
+        "this table before writing — the apply-cmvn step of a Kaldi "
+        "pipeline. Speakers come from --utt2spk; utterances whose speaker "
+        "has no stats warn and produce no output.",
+    )
+    parser.add_argument(
+        "--utt2spk",
+        default=None,
+        metavar="FILE",
+        help="'<utt> <spk>' map for --cmvn-stats-out/--apply-cmvn "
+        "(utterances missing from the map fall back to per-utterance keys)",
+    )
+    parser.add_argument(
+        "--cmvn-norm-vars",
+        action="store_true",
+        help="--apply-cmvn normalizes variance as well as mean (the Kaldi "
+        "apply-cmvn --norm-vars flag; default mean-only, like Kaldi)",
+    )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -963,6 +996,43 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             vad_trim = _VadTrimmer(computer, options.vad_trim)
         except (TypeError, ValueError) as e:
             print(f"--vad-trim: {e}", file=sys.stderr)
+            return 1
+    utt2spk = {}
+    if options.utt2spk is not None:
+        try:
+            with open(options.utt2spk, encoding="utf-8") as u2s:
+                for lineno, line in enumerate(u2s, 1):
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    if len(parts) != 2:
+                        print(
+                            f"--utt2spk line {lineno} is not '<utt> <spk>': "
+                            f"{line.rstrip()!r}",
+                            file=sys.stderr,
+                        )
+                        return 1
+                    utt2spk[parts[0]] = parts[1]
+        except IOError:
+            logger.error("Could not read --utt2spk %s", options.utt2spk)
+            return 1
+    cmvn_accs = {}
+    cmvn_apply = None
+    if options.apply_cmvn is not None:
+        from .io.kaldi_tables import iter_table
+        from .post import Standardize
+
+        try:
+            cmvn_apply = {
+                spk: Standardize.from_stats(
+                    mat, norm_var=options.cmvn_norm_vars
+                )
+                for spk, mat in iter_table(options.apply_cmvn)
+            }
+        except (IOError, ValueError) as e:
+            logger.error(
+                "Could not read CMVN stats %s: %s", options.apply_cmvn, e
+            )
             return 1
     preprocessors, postprocessors = _build_processors(options)
     try:
@@ -1074,6 +1144,26 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             if not feats.shape[0]:
                 # Kaldi select-voiced-frames omits all-unvoiced utterances
                 return
+        if cmvn_apply is not None:
+            spk = utt2spk.get(utt_id, utt_id)
+            std = cmvn_apply.get(spk)
+            if std is None:
+                logger.warning(
+                    "No CMVN statistics for speaker %s (utterance %s): "
+                    "producing no output",
+                    spk,
+                    utt_id,
+                )
+                return
+            feats = std.apply(np.asarray(feats, np.float64))
+        if options.cmvn_stats_out is not None and feats.shape[0]:
+            from .post import Standardize
+
+            spk = utt2spk.get(utt_id, utt_id)
+            acc = cmvn_accs.get(spk)
+            if acc is None:
+                acc = cmvn_accs[spk] = Standardize()
+            acc.accumulate(np.asarray(feats, np.float64))
         if not base_is_double:
             feats = feats.astype(np.float32)
         feat_writer.write(utt_id, feats)
@@ -1171,6 +1261,19 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
     logger.info(
         "Done %d out of %d utterances", counts["success"], counts["utts"]
     )
+    if options.cmvn_stats_out is not None:
+        from .io.kaldi_tables import KaldiTableWriter
+
+        with KaldiTableWriter(options.cmvn_stats_out) as stats_writer:
+            for spk in sorted(cmvn_accs):
+                stats_writer.write(
+                    spk, np.asarray(cmvn_accs[spk].stats, np.float64)
+                )
+        logger.info(
+            "Wrote CMVN statistics for %d speakers to %s",
+            len(cmvn_accs),
+            options.cmvn_stats_out,
+        )
     feat_writer.close()
     wav_reader.close()
     return 0 if counts["success"] else 1

@@ -131,6 +131,25 @@ class Standardize(PostProcessor):
             )
         self._stats = ok
 
+    @classmethod
+    def from_stats(
+        cls, stats: np.ndarray, norm_var: bool = True
+    ) -> "Standardize":
+        """Build a global standardizer from ``(2, F+1)`` statistics.
+
+        The layout matches Kaldi CMVN archives (``[sums | count ;
+        sumsqs | _]``), so matrices read from a ``compute-cmvn-stats``
+        table plug in directly.
+        """
+        stats = np.asarray(stats, np.float64)
+        if stats.ndim != 2 or stats.shape[0] != 2 or stats.shape[1] < 2:
+            raise ValueError(
+                f"expected (2, F+1) sufficient statistics, got {stats.shape}"
+            )
+        out = cls(norm_var=norm_var)
+        out._stats = stats
+        return out
+
     @property
     def have_stats(self) -> bool:
         """Whether at least one feature vector has been accumulated."""
