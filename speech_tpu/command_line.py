@@ -21,6 +21,9 @@ Commands:
   table (uses ``pydrobert-kaldi`` when installed, else native table I/O).
 - ``torch-feat-dir-to-signals`` — inverse of the first: feature ``.pt``
   dir -> Griffin-Lim-recovered wav files (no reference counterpart).
+- ``copy-feats-tables`` — Kaldi ``copy-feats``: table -> table copy with
+  optional compression / text conversion, or table -> ``.pt`` dir and
+  back (no reference counterpart; native table I/O).
 """
 
 import argparse
@@ -44,6 +47,7 @@ from .pre import PreProcessor
 
 __all__ = [
     "compute_feats_from_kaldi_tables",
+    "copy_feats_tables",
     "signals_to_torch_feat_dir",
     "torch_feat_dir_to_signals",
 ]
@@ -939,6 +943,17 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         help="--apply-cmvn normalizes variance as well as mean (the Kaldi "
         "apply-cmvn --norm-vars flag; default mean-only, like Kaldi)",
     )
+    parser.add_argument(
+        "--compress",
+        nargs="?",
+        const="auto",
+        default=None,
+        choices=("auto", "1", "2", "3"),
+        help="Write the feature table compressed (Kaldi compressed-matrix "
+        "format; method 1 = per-column percentile bytes, 2 = uint16, 3 = "
+        "uint8, auto = Kaldi's row-count heuristic). Always uses the "
+        "native writer.",
+    )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -1050,12 +1065,22 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         )
         return 1
     try:
-        if kaldi_open is not None:
+        if kaldi_open is not None and options.compress is None:
             feat_writer = kaldi_open(options.feats_wspecifier, "bm", mode="w")
         else:
+            # the native writer also serves --compress when bindings exist
             from .io.kaldi_tables import KaldiTableWriter
 
-            feat_writer = KaldiTableWriter(options.feats_wspecifier)
+            compress = (
+                False
+                if options.compress is None
+                else options.compress
+                if options.compress == "auto"
+                else int(options.compress)
+            )
+            feat_writer = KaldiTableWriter(
+                options.feats_wspecifier, compress=compress
+            )
     except IOError:
         logger.error(
             "Could not open the feat table %s for writing",
@@ -1477,6 +1502,100 @@ def torch_feat_dir_to_signals(args: Optional[Sequence[str]] = None) -> int:
     return 0 if n_done else 1
 
 
+def _copy_feats_tables_parse_args(args):
+    parser = argparse.ArgumentParser(
+        description=copy_feats_tables.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument(
+        "rspecifier",
+        help="Input: an ark/scp rspecifier, or 'dir:PATH' for a directory "
+        "of per-utterance .pt/.npy feature files",
+    )
+    parser.add_argument(
+        "wspecifier",
+        help="Output: an ark / ark,t / ark,scp wspecifier, or 'dir:PATH' "
+        "for a directory of per-utterance .pt files",
+    )
+    parser.add_argument(
+        "--compress",
+        nargs="?",
+        const="auto",
+        default=None,
+        choices=("auto", "1", "2", "3"),
+        help="Compress table output (Kaldi compressed-matrix methods)",
+    )
+    parser.add_argument("-v", "--verbose", action="count", default=0)
+    return parser.parse_args(args)
+
+
+def copy_feats_tables(args: Optional[Sequence[str]] = None) -> int:
+    """Copy a feature table, converting its storage format on the way.
+
+    The Kaldi ``copy-feats`` companion (no reference counterpart), on the
+    native table I/O: ark/scp <-> ark / ark,t (text) / ark,scp, with
+    ``--compress`` for Kaldi compressed matrices, plus ``dir:PATH``
+    endpoints bridging per-utterance ``.pt``/``.npy`` feature directories
+    (``signals-to-torch-feat-dir`` output) into Kaldi pipelines and back.
+    """
+    try:
+        options = _copy_feats_tables_parse_args(args)
+    except SystemExit as ex:
+        return ex.code
+    if options.verbose:
+        logging.basicConfig(level=logging.INFO)
+    from .io.kaldi_tables import KaldiTableWriter, iter_table
+
+    def entries():
+        if options.rspecifier.startswith("dir:"):
+            path = options.rspecifier[4:]
+            for fn in sorted(os.listdir(path)):
+                utt, dot, suffix = fn.rpartition(".")
+                if suffix == "pt":
+                    import torch
+
+                    yield utt, torch.load(
+                        os.path.join(path, fn), map_location="cpu"
+                    ).numpy()
+                elif suffix == "npy":
+                    yield utt, np.load(os.path.join(path, fn))
+        else:
+            yield from iter_table(options.rspecifier)
+
+    count = 0
+    try:
+        if options.wspecifier.startswith("dir:"):
+            import torch
+
+            out_dir = options.wspecifier[4:]
+            os.makedirs(out_dir, exist_ok=True)
+            for utt, mat in entries():
+                torch.save(
+                    torch.from_numpy(np.asarray(mat)),
+                    os.path.join(out_dir, f"{utt}.pt"),
+                )
+                count += 1
+        else:
+            compress = (
+                False
+                if options.compress is None
+                else options.compress
+                if options.compress == "auto"
+                else int(options.compress)
+            )
+            with KaldiTableWriter(
+                options.wspecifier, compress=compress
+            ) as writer:
+                for utt, mat in entries():
+                    writer.write(utt, np.asarray(mat))
+                    count += 1
+    except (IOError, OSError) as e:
+        logger.error("copy-feats-tables failed: %s", e)
+        return 1
+    logger.info("Copied %d entries", count)
+    return 0 if count else 1
+
+
 def main(args: Optional[Sequence[str]] = None) -> int:
     """Dispatch ``python -m speech_tpu.command_line <command> ...``."""
     parser = argparse.ArgumentParser(prog="speech_tpu.command_line")
@@ -1486,6 +1605,7 @@ def main(args: Optional[Sequence[str]] = None) -> int:
             "signals-to-torch-feat-dir",
             "compute-feats-from-kaldi-tables",
             "torch-feat-dir-to-signals",
+            "copy-feats-tables",
         ),
     )
     if args is None:
@@ -1495,6 +1615,8 @@ def main(args: Optional[Sequence[str]] = None) -> int:
         return signals_to_torch_feat_dir(rest)
     if ns.command == "torch-feat-dir-to-signals":
         return torch_feat_dir_to_signals(rest)
+    if ns.command == "copy-feats-tables":
+        return copy_feats_tables(rest)
     return compute_feats_from_kaldi_tables(rest)
 
 

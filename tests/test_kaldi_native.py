@@ -370,3 +370,81 @@ def test_cli_kaldi_tables_native_missing_table(tmp_path):
         ]
     )
     assert ret == 1
+
+
+# --------------------------------------------------------------------------
+# --compress on the CLI + copy-feats-tables
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _no_bindings(), reason="real pydrobert-kaldi present")
+def test_cli_compress_output(tmp_path):
+    wav_ark = str(tmp_path / "wav.ark")
+    with kt.KaldiTableWriter("ark:" + wav_ark) as writer:
+        writer.write("utt0", _pcm_wave(1, 4000))
+    plain_ark = str(tmp_path / "plain.ark")
+    comp_ark = str(tmp_path / "comp.ark")
+    for out, extra in ((plain_ark, []), (comp_ark, ["--compress"])):
+        assert (
+            cli.compute_feats_from_kaldi_tables(
+                ["ark:" + wav_ark, "ark:" + out, COMPUTER_CONFIG, *extra]
+            )
+            == 0
+        )
+    plain = dict(kt.iter_table("ark:" + plain_ark))["utt0"]
+    comp = dict(kt.iter_table("ark:" + comp_ark))["utt0"]
+    rng = float(plain.max() - plain.min())
+    assert np.abs(comp - plain).max() <= rng / 255 * 4
+    assert os.path.getsize(comp_ark) < os.path.getsize(plain_ark) / 2.5
+    with open(comp_ark, "rb") as f:
+        assert b"CM " in f.read()
+
+
+def test_copy_feats_tables_round_trips(tmp_path):
+    src_ark = str(tmp_path / "src.ark")
+    mats = {f"u{i}": RNG.randn(10 + i, 6).astype(np.float32) for i in range(4)}
+    with kt.KaldiTableWriter("ark:" + src_ark) as writer:
+        for key, mat in mats.items():
+            writer.write(key, mat)
+    # table -> text table -> table
+    text_ark = str(tmp_path / "t.ark")
+    assert cli.copy_feats_tables(["ark:" + src_ark, "ark,t:" + text_ark]) == 0
+    back_ark = str(tmp_path / "b.ark")
+    assert cli.copy_feats_tables(["ark:" + text_ark, "ark:" + back_ark]) == 0
+    got = dict(kt.iter_table("ark:" + back_ark))
+    for key, mat in mats.items():
+        np.testing.assert_allclose(got[key], mat, rtol=1e-6, atol=1e-30)
+    # table -> compressed table
+    comp_ark = str(tmp_path / "c.ark")
+    assert (
+        cli.copy_feats_tables(
+            ["ark:" + src_ark, "ark:" + comp_ark, "--compress", "2"]
+        )
+        == 0
+    )
+    got = dict(kt.iter_table("ark:" + comp_ark))
+    for key, mat in mats.items():
+        rng = float(mat.max() - mat.min())
+        assert np.abs(got[key] - mat).max() <= rng / 65535 * 4
+    # table -> .pt dir -> table
+    pt_dir = str(tmp_path / "ptdir")
+    assert cli.copy_feats_tables(["ark:" + src_ark, "dir:" + pt_dir]) == 0
+    assert sorted(os.listdir(pt_dir)) == [f"u{i}.pt" for i in range(4)]
+    dir_ark = str(tmp_path / "d.ark")
+    assert cli.copy_feats_tables(["dir:" + pt_dir, "ark:" + dir_ark]) == 0
+    got = dict(kt.iter_table("ark:" + dir_ark))
+    for key, mat in mats.items():
+        np.testing.assert_array_equal(got[key], mat)
+
+
+def test_copy_feats_tables_errors(tmp_path):
+    assert (
+        cli.copy_feats_tables(
+            ["ark:" + str(tmp_path / "missing.ark"), "ark:" + str(tmp_path / "o.ark")]
+        )
+        == 1
+    )
+    # empty input dir: nothing copied -> nonzero
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert cli.copy_feats_tables(["dir:" + empty, "ark:" + str(tmp_path / "e.ark")]) == 1
