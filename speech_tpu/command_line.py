@@ -954,6 +954,31 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "uint8, auto = Kaldi's row-count heuristic). Always uses the "
         "native writer.",
     )
+    parser.add_argument(
+        "--segments",
+        default=None,
+        metavar="FILE",
+        help="Kaldi segments file ('<utt> <recording> <start-sec> "
+        "<end-sec>'; end -1 = recording end): cut utterances out of each "
+        "recording before computing features (extract-segments fused in). "
+        "The wave table then holds recordings; features are written per "
+        "segment utterance, grouped by recording in table order.",
+    )
+    parser.add_argument(
+        "--min-segment-length",
+        type=float,
+        default=0.1,
+        help="Minimum --segments utterance length in seconds (Kaldi "
+        "extract-segments default 0.1); shorter segments warn and skip",
+    )
+    parser.add_argument(
+        "--max-overshoot",
+        type=float,
+        default=0.5,
+        help="How far (seconds) a segment end may overshoot its recording "
+        "and still be clamped rather than skipped (Kaldi "
+        "--max-overshoot-tolerance)",
+    )
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser.parse_args(args)
 
@@ -1031,6 +1056,40 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         except IOError:
             logger.error("Could not read --utt2spk %s", options.utt2spk)
             return 1
+    segments = None
+    if options.segments is not None:
+        segments = {}
+        try:
+            with open(options.segments, encoding="utf-8") as seg_file:
+                for lineno, line in enumerate(seg_file, 1):
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    if len(parts) != 4:
+                        print(
+                            f"--segments line {lineno} is not '<utt> <rec> "
+                            f"<start> <end>': {line.rstrip()!r}",
+                            file=sys.stderr,
+                        )
+                        return 1
+                    utt_id, rec_id = parts[0], parts[1]
+                    try:
+                        start, end = float(parts[2]), float(parts[3])
+                    except ValueError:
+                        start, end = -1.0, -1.0
+                    if start < 0 or (end != -1.0 and end <= start):
+                        print(
+                            f"--segments line {lineno} has a bad time range: "
+                            f"{line.rstrip()!r}",
+                            file=sys.stderr,
+                        )
+                        return 1
+                    segments.setdefault(rec_id, []).append(
+                        (utt_id, start, end)
+                    )
+        except IOError:
+            logger.error("Could not read --segments %s", options.segments)
+            return 1
     cmvn_accs = {}
     cmvn_apply = None
     if options.apply_cmvn is not None:
@@ -1089,12 +1148,70 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         return 1
     counts = {"utts": 0, "success": 0}
 
+    def table_utterances():
+        # one (utt, 2-D buffer, rate, duration) per utterance: the raw
+        # table entries, or --segments slices cut out of each recording
+        # (Kaldi extract-segments fused in; segment sample ranges are cut
+        # at the TABLE's rate, before any resampling)
+        if segments is None:
+            for utt_id, (buff, samp_freq, duration) in wav_reader.items():
+                yield utt_id, buff, samp_freq, duration
+            return
+        seen = set()
+        for rec_id, (buff, samp_freq, _) in wav_reader.items():
+            seen.add(rec_id)
+            for utt_id, start, end in segments.get(rec_id, ()):
+                first = int(round(start * samp_freq))
+                last = (
+                    buff.shape[1]
+                    if end == -1.0
+                    else int(round(end * samp_freq))
+                )
+                if last > buff.shape[1]:
+                    if last - buff.shape[1] > options.max_overshoot * samp_freq:
+                        logger.warning(
+                            "Segment %s ends at %.2f but recording %s is "
+                            "only %.2f long: producing no output",
+                            utt_id,
+                            end,
+                            rec_id,
+                            buff.shape[1] / samp_freq,
+                        )
+                        continue
+                    last = buff.shape[1]
+                if first >= last or (
+                    last - first < options.min_segment_length * samp_freq
+                ):
+                    logger.warning(
+                        "Segment %s is too short (%.3f sec): producing no "
+                        "output",
+                        utt_id,
+                        (last - first) / samp_freq,
+                    )
+                    continue
+                yield (
+                    utt_id,
+                    buff[:, first:last],
+                    samp_freq,
+                    (last - first) / samp_freq,
+                )
+        missing = sorted(
+            rec for rec in segments if rec not in seen
+        )
+        if missing:
+            logger.warning(
+                "%d recordings in --segments were not in the wave table "
+                "(e.g. %s)",
+                len(missing),
+                missing[0],
+            )
+
     def valid_signals():
         # LAZY walk of the wave table — O(1) table entries in flight
         # (the reference iterates the same way: command_line.py:332-359);
         # validation/skip semantics and preprocessing happen here, in
         # table order, so --seed determinism is batch-size independent
-        for utt_id, (buff, samp_freq, duration) in wav_reader.items():
+        for utt_id, buff, samp_freq, duration in table_utterances():
             counts["utts"] += 1
             if duration < options.min_duration:
                 logger.warning(

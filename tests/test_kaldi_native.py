@@ -448,3 +448,80 @@ def test_copy_feats_tables_errors(tmp_path):
     empty = str(tmp_path / "empty")
     os.makedirs(empty)
     assert cli.copy_feats_tables(["dir:" + empty, "ark:" + str(tmp_path / "e.ark")]) == 1
+
+
+# --------------------------------------------------------------------------
+# --segments (extract-segments fused into the CLI)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not _no_bindings(), reason="real pydrobert-kaldi present")
+def test_cli_segments(tmp_path):
+    import json
+
+    wav_ark = str(tmp_path / "wav.ark")
+    recs = {"recA": _pcm_wave(1, 16000), "recB": _pcm_wave(1, 8000)}
+    with kt.KaldiTableWriter("ark:" + wav_ark) as writer:
+        for rec, wave in recs.items():
+            writer.write(rec, wave)
+    seg_path = str(tmp_path / "segments")
+    with open(seg_path, "w") as f:
+        f.write("recA-1 recA 0.25 1.00\n")       # plain cut
+        f.write("recA-2 recA 1.50 -1\n")          # to the end
+        f.write("recA-3 recA 1.90 2.25\n")        # overshoots 0.25s: clamp
+        f.write("recA-4 recA 1.00 3.00\n")        # overshoots 1s: skip
+        f.write("recA-5 recA 0.50 0.55\n")        # < 0.1 s: skip
+        f.write("recB-1 recB 0.00 0.50\n")
+        f.write("recC-1 recC 0.00 1.00\n")        # recording absent: warn
+    feat_ark = str(tmp_path / "feat.ark")
+    assert (
+        cli.compute_feats_from_kaldi_tables(
+            [
+                "ark:" + wav_ark,
+                "ark:" + feat_ark,
+                COMPUTER_CONFIG,
+                "--segments",
+                seg_path,
+            ]
+        )
+        == 0
+    )
+    got = dict(kt.iter_table("ark:" + feat_ark))
+    assert sorted(got) == ["recA-1", "recA-2", "recA-3", "recB-1"]
+    computer = alias_factory_subclass_from_arg(
+        FrameComputer, json.loads(COMPUTER_CONFIG)
+    )
+    cuts = {
+        "recA-1": ("recA", 2000, 8000),
+        "recA-2": ("recA", 12000, 16000),
+        "recA-3": ("recA", 15200, 16000),
+        "recB-1": ("recB", 0, 4000),
+    }
+    for utt, (rec, s, e) in cuts.items():
+        want = computer.compute_full(
+            recs[rec].data[0, s:e].astype(np.float64)
+        ).astype(np.float32)
+        assert got[utt].shape == want.shape
+        np.testing.assert_allclose(got[utt], want, atol=2e-4, rtol=2e-5)
+
+
+@pytest.mark.skipif(not _no_bindings(), reason="real pydrobert-kaldi present")
+def test_cli_segments_bad_lines(tmp_path, capsys):
+    wav_ark = str(tmp_path / "wav.ark")
+    with kt.KaldiTableWriter("ark:" + wav_ark) as writer:
+        writer.write("rec", _pcm_wave(1, 800))
+    for bad in ("utt rec 0.5\n", "utt rec 1.0 0.5\n", "utt rec x y\n"):
+        seg = str(tmp_path / "seg")
+        with open(seg, "w") as f:
+            f.write(bad)
+        ret = cli.compute_feats_from_kaldi_tables(
+            [
+                "ark:" + wav_ark,
+                "ark:" + str(tmp_path / "f.ark"),
+                COMPUTER_CONFIG,
+                "--segments",
+                seg,
+            ]
+        )
+        assert ret == 1, bad
+        assert "--segments" in capsys.readouterr().err
