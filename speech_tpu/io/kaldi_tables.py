@@ -129,17 +129,39 @@ def parse_wspecifier(wspecifier: str) -> Tuple[Optional[str], Optional[str], set
     )
 
 
-def _open_read(path: str) -> BinaryIO:
+class _PipeReader:
+    """Streaming binary read pipe ("cmd |") — lazy, O(1) memory.
+
+    Closing reaps the subprocess; an early close (a partial table read)
+    lets the command die on SIGPIPE without raising.
+    """
+
+    def __init__(self, command: str):
+        self._proc = subprocess.Popen(
+            command, shell=True, stdout=subprocess.PIPE
+        )
+        self._stdout = self._proc.stdout
+        self._eof = False
+
+    def read(self, n: int = -1) -> bytes:
+        data = self._stdout.read(n)
+        if n is None or n < 0 or not data or len(data) < n:
+            self._eof = True  # read-all, empty, or short read: stream ended
+        return data
+
+    def close(self) -> None:
+        self._stdout.close()
+        ret = self._proc.wait()
+        # a nonzero exit only matters if we believed the stream was whole
+        if ret and self._eof:
+            raise IOError(f"read pipe exited with status {ret}")
+
+
+def _open_read(path: str):
     if path == "-" or path == "":
         return sys.stdin.buffer
     if path.endswith("|"):
-        # read pipe: "gunzip -c foo.gz |"
-        proc = subprocess.run(
-            path[:-1], shell=True, stdout=subprocess.PIPE, check=True
-        )
-        import io as _io
-
-        return _io.BytesIO(proc.stdout)
+        return _PipeReader(path[:-1])
     return open(path, "rb")
 
 
@@ -504,9 +526,11 @@ def read_value(f: BinaryIO) -> Union[np.ndarray, WaveData]:
         rows.append(row)
     # trailing newline (if any) is consumed as leading whitespace by the
     # next _read_key call; don't read past the ']' here
+    # text carries full decimal precision but no width token; decode at
+    # float64 so double values (e.g. CMVN statistics) round-trip losslessly
     if is_matrix:
-        return np.array(rows if rows else [[]], dtype=np.float32)
-    return np.array(rows[0] if rows else [], dtype=np.float32)
+        return np.array(rows if rows else [[]], dtype=np.float64)
+    return np.array(rows[0] if rows else [], dtype=np.float64)
 
 
 def write_value(
@@ -579,8 +603,8 @@ def _read_key(f: BinaryIO) -> Optional[str]:
             if chars:
                 return b"".join(chars).decode("utf-8")
             continue  # leading whitespace
-        if c == b"\n" and not chars:
-            continue
+        if c in b"\r\n" and not chars:
+            continue  # line endings between entries (incl. CRLF archives)
         chars.append(c)
 
 
@@ -607,10 +631,10 @@ def _scp_lines(path: str):
             line = line.strip()
             if not line:
                 continue
-            key, _, target = line.partition(" ")
-            if not target:
+            parts = line.split(None, 1)  # any whitespace separator (Kaldi)
+            if len(parts) != 2:
                 raise IOError(f"bad scp line (no target): {line!r}")
-            yield key, target.strip()
+            yield parts[0], parts[1].strip()
     finally:
         if lines is not sys.stdin:
             lines.close()
@@ -677,13 +701,14 @@ def iter_table(
 
 
 def table_read(
-    rspecifier: str, dtype: Optional[str], key: Union[str, int, None]
+    rspecifier: str, dtype, key: Union[str, int, None]
 ) -> np.ndarray:
     """Random/sequential single-entry read, ``read_signal`` semantics.
 
-    ``dtype`` is the pydrobert-kaldi-style type hint ('bm'/'fm'/'dm'/'bv'/
-    'fv'/'dv'/'wm' or None); the stored value self-describes, the hint only
-    selects the wave interpretation and the output cast.
+    ``dtype`` is a pydrobert-kaldi-style type hint ('bm'/'fm'/'dm'/'bv'/
+    'fv'/'dv'/'wm' or None) or a numpy dtype; the stored value
+    self-describes, the hint only selects the wave interpretation and the
+    output cast.
     """
     wave = dtype == "wm"
     if key is None:
@@ -707,14 +732,20 @@ def table_read(
     return _cast_value(found, dtype)
 
 
-def _cast_value(found, dtype: Optional[str]) -> np.ndarray:
+def _cast_value(found, dtype) -> np.ndarray:
     if isinstance(found, WaveData):
-        return found.data
-    if dtype in ("dm", "dv"):
-        return np.asarray(found, np.float64)
-    if dtype in ("fm", "fv"):
-        return np.asarray(found, np.float32)
-    return np.asarray(found)
+        found = found.data
+        if dtype == "wm":
+            return found
+    if dtype is None or isinstance(dtype, str):
+        if dtype in ("dm", "dv"):
+            return np.asarray(found, np.float64)
+        if dtype in ("fm", "fv"):
+            return np.asarray(found, np.float32)
+        return np.asarray(found)
+    # a numpy dtype: honor it as the output cast (read_signal callers,
+    # e.g. Standardize's float64-first stats probing, pass real dtypes)
+    return np.asarray(found, dtype)
 
 
 def stream_read(rfilename: str, dtype: Optional[str] = None) -> np.ndarray:

@@ -525,3 +525,79 @@ def test_cli_segments_bad_lines(tmp_path, capsys):
         )
         assert ret == 1, bad
         assert "--segments" in capsys.readouterr().err
+
+
+# --------------------------------------------------------------------------
+# review regressions: CRLF archives, tab scp, dtype hints, text precision,
+# streaming pipes
+# --------------------------------------------------------------------------
+
+
+def test_crlf_text_archive(tmp_path):
+    path = str(tmp_path / "crlf.ark")
+    with open(path, "wb") as f:
+        f.write(b"utt1  [ 1 2 3 ]\r\nutt2  [ 4 5 6 ]\r\n")
+    got = dict(kt.iter_table("ark:" + path))
+    assert sorted(got) == ["utt1", "utt2"]
+    np.testing.assert_array_equal(got["utt2"], [4.0, 5.0, 6.0])
+
+
+def test_tab_separated_scp(tmp_path):
+    ark = str(tmp_path / "x.ark")
+    mat = RNG.randn(3, 2).astype(np.float32)
+    with kt.KaldiTableWriter(f"ark,scp:{ark},{tmp_path}/x.scp") as writer:
+        writer.write("u", mat)
+    with open(str(tmp_path / "x.scp")) as f:
+        key, target = f.read().split(None, 1)
+    with open(str(tmp_path / "tab.scp"), "w") as f:
+        f.write(f"{key}\t{target.strip()}\n")
+    (entry,) = list(kt.iter_table("scp:" + str(tmp_path / "tab.scp")))
+    np.testing.assert_array_equal(entry[1], mat)
+
+
+def test_table_read_numpy_dtype_hint(tmp_path):
+    ark = str(tmp_path / "d.ark")
+    mat = RNG.randn(4, 3).astype(np.float32)
+    with kt.KaldiTableWriter("ark:" + ark) as writer:
+        writer.write("s", mat)
+    got = kt.table_read("ark:" + ark, np.float64, "s")
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, mat.astype(np.float64))
+
+
+def test_text_round_trip_preserves_double_precision(tmp_path):
+    # CMVN-style sufficient statistics: huge sums whose low bits matter
+    stats = np.array(
+        [[1234567890.123456, 42.0], [9876543210.987654, 0.0]], np.float64
+    )
+    a1 = str(tmp_path / "a1.ark")
+    t = str(tmp_path / "t.ark")
+    a2 = str(tmp_path / "a2.ark")
+    with kt.KaldiTableWriter("ark:" + a1) as w:
+        w.write("s", stats)
+    import speech_tpu.command_line as _cli
+
+    assert _cli.copy_feats_tables(["ark:" + a1, "ark,t:" + t]) == 0
+    assert _cli.copy_feats_tables(["ark:" + t, "ark:" + a2]) == 0
+    got = dict(kt.iter_table("ark:" + a2))["s"]
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, stats)
+
+
+def test_read_pipe_streams_and_propagates_failure(tmp_path):
+    ark = str(tmp_path / "p.ark")
+    mats = {f"u{i}": RNG.randn(5, 4).astype(np.float32) for i in range(3)}
+    with kt.KaldiTableWriter("ark:" + ark) as writer:
+        for key, mat in mats.items():
+            writer.write(key, mat)
+    # full drain through a pipe
+    got = dict(kt.iter_table(f"ark:cat {ark} |"))
+    for key, mat in mats.items():
+        np.testing.assert_array_equal(got[key], mat)
+    # a command that fails after EOF surfaces as IOError on full drain
+    with pytest.raises(IOError):
+        list(kt.iter_table(f"ark:cat {ark}; exit 3 |"))
+    # ...but an early close (partial read) does not raise
+    gen = kt.iter_table(f"ark:cat {ark}; exit 3 |")
+    next(gen)
+    gen.close()
