@@ -207,7 +207,7 @@ def _read_int32(f: BinaryIO) -> int:
     size = f.read(1)
     if size != b"\x04":
         raise IOError(f"expected int32 size byte, got {size!r}")
-    return struct.unpack("<i", f.read(4))[0]
+    return struct.unpack("<i", _read_exact(f, 4))[0]
 
 
 def _write_int32(f, value: int) -> None:
@@ -276,6 +276,8 @@ def _floats_to_chars(x: np.ndarray, p: np.ndarray) -> np.ndarray:
 
 def _read_compressed(f: BinaryIO, fmt: int) -> np.ndarray:
     min_value, range_, rows, cols = struct.unpack("<ffii", _read_exact(f, 16))
+    if rows < 0 or cols < 0:
+        raise IOError(f"bad compressed-matrix dims ({rows}, {cols})")
     if rows == 0 or cols == 0:
         return np.zeros((rows, cols), np.float32)
     if fmt == 1:
@@ -476,6 +478,8 @@ def read_value(f: BinaryIO) -> Union[np.ndarray, WaveData]:
         if token in _MATRIX_TOKENS:
             rows = _read_int32(f)
             cols = _read_int32(f)
+            if rows < 0 or cols < 0:
+                raise IOError(f"bad matrix dims ({rows}, {cols})")
             dt = np.dtype(_MATRIX_TOKENS[token])
             data = np.frombuffer(
                 _read_exact(f, rows * cols * dt.itemsize), dtype=dt
@@ -483,6 +487,8 @@ def read_value(f: BinaryIO) -> Union[np.ndarray, WaveData]:
             return data.reshape(rows, cols).copy()
         if token in _VECTOR_TOKENS:
             size = _read_int32(f)
+            if size < 0:
+                raise IOError(f"bad vector size {size}")
             dt = np.dtype(_VECTOR_TOKENS[token])
             return np.frombuffer(
                 _read_exact(f, size * dt.itemsize), dtype=dt

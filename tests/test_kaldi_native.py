@@ -601,3 +601,26 @@ def test_read_pipe_streams_and_propagates_failure(tmp_path):
     gen = kt.iter_table(f"ark:cat {ark}; exit 3 |")
     next(gen)
     gen.close()
+
+
+def test_fuzz_malformed_archives_fail_cleanly(tmp_path):
+    """Random garbage raises a clean error (never hangs or asserts)."""
+    fuzz_rng = np.random.RandomState(99)
+    path = str(tmp_path / "fuzz.ark")
+    # seed corpus: a valid entry prefix with random corruptions appended
+    with kt.KaldiTableWriter("ark:" + path) as writer:
+        writer.write("ok", np.ones((2, 2), np.float32))
+    with open(path, "rb") as f:
+        valid = f.read()
+    for trial in range(60):
+        blob = bytes(fuzz_rng.bytes(fuzz_rng.randint(1, 120)))
+        if trial % 3 == 0:
+            blob = valid[: fuzz_rng.randint(1, len(valid))] + blob
+        with open(path, "wb") as f:
+            f.write(blob)
+        try:
+            entries = list(kt.iter_table("ark:" + path))
+            for _, value in entries:
+                assert isinstance(value, (np.ndarray, kt.WaveData))
+        except (IOError, EOFError, ValueError):
+            pass  # clean, typed failure
