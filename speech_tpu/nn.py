@@ -29,6 +29,7 @@ from .compute import STFTFrameComputer
 from .ops import framing as _framing
 
 __all__ = [
+    "GaborFrontend",
     "PCEN",
     "STFTFrontend",
 ]
@@ -178,6 +179,199 @@ class STFTFrontend:
             return {
                 k: jnp.asarray(data[k], dtype=self.dtype) for k in data.files
             }
+
+
+class GaborFrontend:
+    """LEAF-style learnable Gabor filterbank frontend.
+
+    The trainable twin of the SI computer, the way :class:`STFTFrontend` is
+    of the STFT computer (the reference's torch layer only wraps SI in a
+    numpy round trip: reference torch.py:475-522).  Structure follows LEAF
+    (Zeghidour et al. 2021): a time-domain complex Gabor correlation,
+    squared modulus, then per-channel Gaussian lowpass pooling at the frame
+    shift — but every stage is parameterized for gradients:
+
+    - per-filter center frequency ``eta`` (angular) and envelope width
+      ``sigma`` (samples, learned through its log so it stays positive),
+      seeded from a :class:`~speech_tpu.filters.GaborFilterBank` layout;
+    - per-channel pooling width ``pool_sigma`` (learned through its log).
+
+    Filters MATERIALIZE inside ``apply`` from ``(eta, log_sigma)`` — two
+    scalars per filter — so gradients move the filters' centers/bandwidths
+    rather than their taps (LEAF's key trick; a free-tap variant is just
+    :class:`STFTFrontend`).  Compute is one stride-1 multi-channel
+    correlation (XLA lowers it onto the MXU) followed by slice-framed
+    pooling contractions — no gathers, static shapes.
+
+    Functional module::
+
+        frontend = GaborFrontend(bank, frame_shift_ms=10)
+        params, consts = frontend.init()
+        feats = frontend.apply(params, consts, signals, lengths)
+
+    Compose with :class:`PCEN` (``use_log=False``) for the full LEAF
+    recipe, or keep the default log compression for fbank-style features.
+    """
+
+    def __init__(
+        self,
+        bank=None,
+        frame_shift_ms: float = 10.0,
+        filter_size: Optional[int] = None,
+        pool_size: Optional[int] = None,
+        use_log: bool = True,
+        dtype=jnp.float32,
+    ):
+        from .alias import alias_factory_subclass_from_arg
+        from .filters import GaborFilterBank, LinearFilterBank
+
+        if bank is None:
+            bank = GaborFilterBank("mel")
+        elif not isinstance(bank, LinearFilterBank):
+            bank = alias_factory_subclass_from_arg(LinearFilterBank, bank)
+        if not isinstance(bank, GaborFilterBank):
+            raise ValueError(
+                "GaborFrontend seeds from a GaborFilterBank layout; got "
+                f"{type(bank).__name__}"
+            )
+        self._eta0 = np.asarray(bank._centers_ang, np.float64)
+        self._sigma0 = np.asarray(bank._stds, np.float64)
+        self.num_filts = bank.num_filts
+        self.sampling_rate = float(bank.sampling_rate)
+        self.frame_shift = max(
+            1, int(0.001 * frame_shift_ms * self.sampling_rate)
+        )
+        if filter_size is None:
+            # wide enough for the widest envelope at init (3 sigma each
+            # side), in the ballpark of LEAF's 401 taps at 16 kHz
+            filter_size = 2 * int(np.ceil(3 * self._sigma0.max())) + 1
+            filter_size = min(filter_size, 2 * self.frame_shift * 4 + 1)
+        if pool_size is None:
+            pool_size = 2 * self.frame_shift + 1
+        if filter_size % 2 == 0 or pool_size % 2 == 0:
+            raise ValueError("filter_size and pool_size must be odd")
+        self.filter_size = int(filter_size)
+        self.pool_size = int(pool_size)
+        self.use_log = bool(use_log)
+        self.dtype = dtype
+
+    def init(self) -> Tuple[dict, dict]:
+        """Build ``(params, consts)``: LEAF seeds from the bank layout."""
+        params = {
+            "eta": jnp.asarray(self._eta0, dtype=self.dtype),
+            "log_sigma": jnp.asarray(np.log(self._sigma0), dtype=self.dtype),
+            # LEAF initializes the pooling Gaussian at 0.4 * hop
+            "log_pool_sigma": jnp.full(
+                (self.num_filts,),
+                float(np.log(0.4 * self.frame_shift)),
+                dtype=self.dtype,
+            ),
+        }
+        half = self.filter_size // 2
+        phalf = self.pool_size // 2
+        consts = {
+            "t": jnp.arange(-half, half + 1, dtype=self.dtype),
+            "pool_t": jnp.arange(-phalf, phalf + 1, dtype=self.dtype),
+        }
+        return params, consts
+
+    def filters(self, params: dict, consts: dict):
+        """Materialize ``(filter_size, F)`` cosine and sine tap banks.
+
+        Envelopes normalize to unit area so each filter's frequency
+        response peaks at ~1 regardless of its width (the bank's
+        peak-response convention).
+        """
+        t = consts["t"][:, None]
+        sigma = jnp.exp(params["log_sigma"])[None, :]
+        env = jnp.exp(-0.5 * (t / sigma) ** 2)
+        env = env / jnp.sum(env, axis=0, keepdims=True)
+        phase = params["eta"][None, :] * t
+        return env * jnp.cos(phase), env * jnp.sin(phase)
+
+    def pool_window(self, params: dict, consts: dict):
+        """Materialize the ``(pool_size, F)`` unit-sum Gaussian pooling."""
+        t = consts["pool_t"][:, None]
+        sigma = jnp.exp(params["log_pool_sigma"])[None, :]
+        win = jnp.exp(-0.5 * (t / sigma) ** 2)
+        return win / jnp.sum(win, axis=0, keepdims=True)
+
+    def frame_counts(self, lengths):
+        """Valid frame counts for true signal ``lengths``."""
+        shift = self.frame_shift
+        return (jnp.asarray(lengths) + shift // 2) // shift
+
+    def apply(self, params: dict, consts: dict, signals, lengths=None):
+        """Features for padded signals ``(batch, max_len)``.
+
+        Returns ``(batch, max_frames, num_filts)`` with frame ``k``
+        centered at sample ``k * frame_shift`` (the computers' centered
+        framing); rows past a signal's true frame count are pooled zeros
+        the caller masks.  Zero-pad ``signals`` beyond each true length.
+        """
+        signals = jnp.asarray(signals, dtype=self.dtype)
+        batch, max_len = signals.shape
+        shift = self.frame_shift
+        max_frames = int(frame_count_np_int(max_len, shift))
+        cos_f, sin_f = self.filters(params, consts)
+        # one stride-1 correlation for all 2F tap banks: (B, 1, T) x
+        # (2F, 1, W) SAME -> (B, 2F, T) modulation energies
+        taps = jnp.concatenate([cos_f.T, sin_f.T], axis=0)[:, None, :]
+        resp = jax.lax.conv_general_dilated(
+            signals[:, None, :],
+            taps,
+            window_strides=(1,),
+            padding="SAME",
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        energy = (
+            resp[:, : self.num_filts] ** 2
+            + resp[:, self.num_filts :] ** 2
+        )  # (B, F, T)
+        # Gaussian pooling at stride `shift`, slice-framed (no gathers):
+        # window p of frame k reads sample k*shift + p - P//2
+        P = self.pool_size
+        pad = P // 2
+        padded = jnp.pad(energy, ((0, 0), (0, 0), (pad, pad)))
+        need = (max_frames - 1) * shift + P
+        if need > padded.shape[-1]:
+            padded = jnp.pad(
+                padded, ((0, 0), (0, 0), (0, need - padded.shape[-1]))
+            )
+        win = self.pool_window(params, consts)  # (P, F)
+        strided = jnp.stack(
+            [
+                jax.lax.slice_in_dim(
+                    padded, p, p + (max_frames - 1) * shift + 1, shift, axis=2
+                )
+                for p in range(P)
+            ],
+            axis=-1,
+        )  # (B, F, frames, P)
+        feats = jnp.einsum(
+            "bfkp,pf->bkf",
+            strided,
+            win,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.use_log:
+            feats = xlog(jnp.maximum(feats, config.LOG_FLOOR_VALUE))
+        return feats
+
+    # checkpointing --------------------------------------------------------
+
+    save_params = staticmethod(STFTFrontend.save_params)
+
+    def load_params(self, rfilename: str) -> dict:
+        with np.load(rfilename) as data:
+            return {
+                k: jnp.asarray(data[k], dtype=self.dtype) for k in data.files
+            }
+
+
+def frame_count_np_int(sig_len: int, shift: int) -> int:
+    """Centered frame count at pure pooling stride (window-free)."""
+    return (sig_len + shift // 2) // shift
 
 
 class PCEN:
