@@ -754,25 +754,33 @@ def _cast_value(found, dtype) -> np.ndarray:
     return np.asarray(found, dtype)
 
 
-def stream_read(rfilename: str, dtype: Optional[str] = None) -> np.ndarray:
+def stream_read(rfilename: str, dtype=None) -> np.ndarray:
     """Read ONE value from a Kaldi input stream (file, '-', or 'cmd |').
 
     Kaldi input streams carry a bare value with no key (reference:
-    util.py:293-300 reads them via the bindings' stream mode).
+    util.py:293-300 reads them via the bindings' stream mode).  Raw RIFF
+    output (the classic ``sph2pipe -f wav x.sph |`` idiom) is sniffed and
+    returned as samples — ``(samples,)`` mono, ``(samples, channels)``
+    otherwise, matching the wav reader's layout — with or without a
+    leading archive ``\\0B`` marker.
     """
+    import io as _io
+
     f = _open_read(rfilename)
     try:
-        if dtype == "wm":
-            # wave streams are raw RIFF (e.g. sph2pipe output), possibly
-            # \0B-prefixed when cut out of an archive
-            head = f.read(2)
-            if head == _BINARY_MAGIC:
-                head = b""
-            return _cast_value(_parse_riff(head + f.read()), dtype)
-        return _cast_value(read_value(f), dtype)
+        blob = f.read()  # streams hold a single value; read it whole
     finally:
         if f is not sys.stdin.buffer:
             f.close()
+    if blob[:2] == _BINARY_MAGIC and blob[2:6] == b"RIFF":
+        blob = blob[2:]
+    if blob[:4] == b"RIFF" or dtype == "wm":
+        wave = _parse_riff(blob)
+        if dtype == "wm":
+            return _cast_value(wave, dtype)
+        data = wave.data[0] if wave.data.shape[0] == 1 else wave.data.T
+        return _cast_value(data, dtype)
+    return _cast_value(read_value(_io.BytesIO(blob)), dtype)
 
 
 class _NativeWaveReader:

@@ -624,3 +624,23 @@ def test_fuzz_malformed_archives_fail_cleanly(tmp_path):
                 assert isinstance(value, (np.ndarray, kt.WaveData))
         except (IOError, EOFError, ValueError):
             pass  # clean, typed failure
+
+
+@pytest.mark.skipif(not _no_bindings(), reason="real pydrobert-kaldi present")
+def test_read_signal_wav_pipe_stream(tmp_path):
+    # the classic Kaldi idiom: a command producing RIFF on stdout,
+    # consumed through read_signal's trailing-| stream dispatch
+    wav_path = str(tmp_path / "x.wav")
+    wave = _pcm_wave(1, 300, 16000.0)
+    with open(wav_path, "wb") as f:
+        kt.write_wave(f, wave)
+    got = read_signal(f"cat {wav_path} |")
+    np.testing.assert_array_equal(got, wave.data[0])
+    # stereo comes back (samples, channels), the wav reader's layout
+    wav2 = str(tmp_path / "x2.wav")
+    wave2 = _pcm_wave(2, 200, 16000.0)
+    with open(wav2, "wb") as f:
+        kt.write_wave(f, wave2)
+    got2 = read_signal(f"cat {wav2} |", dtype=np.float64)
+    assert got2.shape == (200, 2) and got2.dtype == np.float64
+    np.testing.assert_array_equal(got2, wave2.data.T)
