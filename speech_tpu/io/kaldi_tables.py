@@ -50,6 +50,7 @@ from typing import (
 import numpy as np
 
 __all__ = [
+    "KaldiRandomReader",
     "KaldiTableWriter",
     "WaveData",
     "compress_matrix",
@@ -807,6 +808,74 @@ class _NativeWaveReader:
 def open_wave_reader(rspecifier: str) -> _NativeWaveReader:
     """Open a wave table for sequential ``items()`` iteration."""
     return _NativeWaveReader(rspecifier)
+
+
+class KaldiRandomReader:
+    """Random-access table reader (the bindings' ``mode="r+"`` analog).
+
+    ``scp``: targets load into a dict up front; each ``[key]`` opens and
+    reads just that entry.  ``ark``: the archive is scanned forward on
+    demand, memoizing each key's value offset, so earlier keys never
+    re-scan (requires a seekable file — not ``-``/pipes).
+    """
+
+    def __init__(self, rspecifier: str, wave: bool = False):
+        self._kind, _, self._path = parse_rspecifier(rspecifier)
+        self._wave = wave
+        if self._kind == "scp":
+            self._targets = dict(_scp_lines(self._path))
+            self._f = None
+        else:
+            if self._path in ("", "-") or self._path.endswith("|"):
+                raise IOError(
+                    "random access needs a seekable ark file, not a stream"
+                )
+            self._targets = {}  # key -> value offset (memoized scan)
+            self._f = open(self._path, "rb")
+            self._scanned_to = 0
+
+    def _scan_until(self, key: str) -> bool:
+        self._f.seek(self._scanned_to)
+        while True:
+            k = _read_key(self._f)
+            if k is None:
+                self._scanned_to = self._f.tell()
+                return False
+            self._targets.setdefault(k, self._f.tell())
+            read_value(self._f)  # skip over the value
+            self._scanned_to = self._f.tell()
+            if k == key:
+                return True
+
+    def __contains__(self, key: str) -> bool:
+        if key in self._targets:
+            return True
+        return self._kind == "ark" and self._scan_until(key)
+
+    def __getitem__(self, key: str):
+        if key not in self:
+            raise KeyError(key)
+        if self._kind == "scp":
+            return _read_scp_target(self._targets[key], self._wave)
+        self._f.seek(self._targets[key])
+        return read_value(self._f)
+
+    def keys(self):
+        if self._kind == "ark":
+            self._scan_until("\x00never matches\x00")  # scan to EOF
+        return self._targets.keys()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 class KaldiTableWriter:

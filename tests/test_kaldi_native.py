@@ -644,3 +644,38 @@ def test_read_signal_wav_pipe_stream(tmp_path):
     got2 = read_signal(f"cat {wav2} |", dtype=np.float64)
     assert got2.shape == (200, 2) and got2.dtype == np.float64
     np.testing.assert_array_equal(got2, wave2.data.T)
+
+
+def test_random_reader_ark_memoized(tmp_path):
+    ark = str(tmp_path / "r.ark")
+    mats = {f"u{i}": RNG.randn(3 + i, 4).astype(np.float32) for i in range(5)}
+    with kt.KaldiTableWriter("ark:" + ark) as writer:
+        for key, mat in mats.items():
+            writer.write(key, mat)
+    with kt.KaldiRandomReader("ark:" + ark) as reader:
+        np.testing.assert_array_equal(reader["u3"], mats["u3"])
+        np.testing.assert_array_equal(reader["u0"], mats["u0"])  # memoized
+        np.testing.assert_array_equal(reader["u4"], mats["u4"])
+        assert "u2" in reader and "nope" not in reader
+        with pytest.raises(KeyError):
+            reader["missing"]
+        assert sorted(reader.keys()) == sorted(mats)
+
+
+def test_random_reader_scp(tmp_path):
+    ark = str(tmp_path / "s.ark")
+    scp = str(tmp_path / "s.scp")
+    mats = {f"u{i}": RNG.randn(2, 3).astype(np.float32) for i in range(3)}
+    with kt.KaldiTableWriter(f"ark,scp:{ark},{scp}") as writer:
+        for key, mat in mats.items():
+            writer.write(key, mat)
+    with kt.KaldiRandomReader("scp:" + scp) as reader:
+        np.testing.assert_array_equal(reader["u1"], mats["u1"])
+        assert sorted(reader.keys()) == sorted(mats)
+        with pytest.raises(KeyError):
+            reader["zz"]
+
+
+def test_random_reader_rejects_pipes():
+    with pytest.raises(IOError):
+        kt.KaldiRandomReader("ark:cat foo |")
