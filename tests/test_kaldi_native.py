@@ -679,3 +679,26 @@ def test_random_reader_scp(tmp_path):
 def test_random_reader_rejects_pipes():
     with pytest.raises(IOError):
         kt.KaldiRandomReader("ark:cat foo |")
+
+
+@pytest.mark.skipif(not _no_bindings(), reason="real pydrobert-kaldi present")
+def test_signals_cli_wav_scp_pipe_entries(tmp_path):
+    # a Kaldi wav.scp with 'cmd |' entries drives signals-to-torch-feat-dir
+    torch = pytest.importorskip("torch")
+    wav_path = str(tmp_path / "a.wav")
+    wave = _pcm_wave(1, 4000)
+    with open(wav_path, "wb") as f:
+        kt.write_wave(f, wave)
+    map_path = str(tmp_path / "wav.scp")
+    with open(map_path, "w") as f:
+        f.write(f"piped cat {wav_path} |\n")
+        f.write(f"plain {wav_path}\n")
+    out_dir = str(tmp_path / "feats")
+    assert (
+        cli.signals_to_torch_feat_dir([map_path, COMPUTER_CONFIG, out_dir])
+        == 0
+    )
+    piped = torch.load(os.path.join(out_dir, "piped.pt")).numpy()
+    plain = torch.load(os.path.join(out_dir, "plain.pt")).numpy()
+    assert piped.shape == plain.shape and piped.shape[1] == 10
+    np.testing.assert_allclose(piped, plain, atol=1e-5)
