@@ -63,6 +63,7 @@ def test_docs_files_exist():
         "config.md",
         "tutorial.md",
         "migration.md",
+        "kaldi-pipeline.md",
     ):
         assert os.path.exists(os.path.join(DOCS, fname)), fname
 
