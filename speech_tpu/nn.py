@@ -32,6 +32,7 @@ __all__ = [
     "GaborFrontend",
     "PCEN",
     "STFTFrontend",
+    "SincFrontend",
 ]
 
 
@@ -330,24 +331,8 @@ class GaborFrontend:
         )  # (B, F, T)
         # Gaussian pooling at stride `shift`, slice-framed (no gathers):
         # window p of frame k reads sample k*shift + p - P//2
-        P = self.pool_size
-        pad = P // 2
-        padded = jnp.pad(energy, ((0, 0), (0, 0), (pad, pad)))
-        need = (max_frames - 1) * shift + P
-        if need > padded.shape[-1]:
-            padded = jnp.pad(
-                padded, ((0, 0), (0, 0), (0, need - padded.shape[-1]))
-            )
         win = self.pool_window(params, consts)  # (P, F)
-        strided = jnp.stack(
-            [
-                jax.lax.slice_in_dim(
-                    padded, p, p + (max_frames - 1) * shift + 1, shift, axis=2
-                )
-                for p in range(P)
-            ],
-            axis=-1,
-        )  # (B, F, frames, P)
+        strided = _pooled_windows(energy, max_frames, shift, self.pool_size)
         feats = jnp.einsum(
             "bfkp,pf->bkf",
             strided,
@@ -372,6 +357,202 @@ class GaborFrontend:
 def frame_count_np_int(sig_len: int, shift: int) -> int:
     """Centered frame count at pure pooling stride (window-free)."""
     return (sig_len + shift // 2) // shift
+
+
+def _pooled_windows(energy, max_frames: int, shift: int, pool_size: int):
+    """Slice-framed pooling windows (no gathers).
+
+    ``energy`` is ``(B, F, T)``; returns ``(B, F, max_frames, pool_size)``
+    where window position ``p`` of frame ``k`` reads sample
+    ``k * shift + p - pool_size // 2`` (zero past either edge).
+    """
+    pad = pool_size // 2
+    padded = jnp.pad(energy, ((0, 0), (0, 0), (pad, pad)))
+    need = (max_frames - 1) * shift + pool_size
+    if need > padded.shape[-1]:
+        padded = jnp.pad(
+            padded, ((0, 0), (0, 0), (0, need - padded.shape[-1]))
+        )
+    return jnp.stack(
+        [
+            jax.lax.slice_in_dim(
+                padded, p, p + (max_frames - 1) * shift + 1, shift, axis=2
+            )
+            for p in range(pool_size)
+        ],
+        axis=-1,
+    )
+
+
+class SincFrontend:
+    """SincNet-style learnable band-edge frontend (Ravanelli & Bengio 2018).
+
+    The third point in the learnable-frontend family: where
+    :class:`STFTFrontend` learns free filter taps and
+    :class:`GaborFrontend` learns Gabor centers/widths, ``SincFrontend``
+    learns only each band-pass filter's two *edge frequencies* — the filter
+    materializes inside ``apply`` as a windowed difference of ideal-lowpass
+    sincs, so gradients move band edges, never individual taps:
+
+    .. math:: g_k[n] = 2 f_2 \\mathrm{sinc}(2 f_2 n) - 2 f_1 \\mathrm{sinc}(2 f_1 n)
+
+    (normalized frequencies), Hamming-windowed.  Band edges are seeded
+    equally spaced on a perceptual scale (mel by default) and constrained
+    positive through the paper's ``min_low_hz + |low|`` / ``f1 +
+    min_band_hz + |band|`` reparameterization, clipped at Nyquist.
+
+    Compute follows the frontend convention used throughout
+    (:class:`GaborFrontend`): one stride-1 multi-channel correlation on the
+    MXU, squared response, pooling at the frame shift (``"avg"`` default or
+    SincNet's ``"max"``), optional log compression.  Static shapes, no
+    gathers.
+
+    Functional module::
+
+        frontend = SincFrontend(num_filts=40, sampling_rate=16000)
+        params, consts = frontend.init()
+        feats = frontend.apply(params, consts, signals)
+    """
+
+    def __init__(
+        self,
+        num_filts: int = 40,
+        sampling_rate: float = 16000.0,
+        scaling_function="mel",
+        frame_shift_ms: float = 10.0,
+        filter_size: Optional[int] = None,
+        pool_size: Optional[int] = None,
+        pooling: str = "avg",
+        use_log: bool = True,
+        min_low_hz: float = 30.0,
+        min_band_hz: float = 50.0,
+        dtype=jnp.float32,
+    ):
+        from .alias import alias_factory_subclass_from_arg
+        from .scales import ScalingFunction
+
+        if num_filts < 1:
+            raise ValueError(f"num_filts must be positive, got {num_filts}")
+        if pooling not in ("avg", "max"):
+            raise ValueError(f"pooling must be 'avg' or 'max', got {pooling}")
+        scale = alias_factory_subclass_from_arg(
+            ScalingFunction, scaling_function
+        )
+        self.num_filts = int(num_filts)
+        self.sampling_rate = float(sampling_rate)
+        self.min_low_hz = float(min_low_hz)
+        self.min_band_hz = float(min_band_hz)
+        nyquist = self.sampling_rate / 2
+        # seed: num_filts+1 edges equally spaced on the perceptual scale
+        # (the SincNet initialization), leaving headroom for the
+        # min_low/min_band floors the forward constraints re-add
+        s_lo = scale.hertz_to_scale(self.min_low_hz)
+        s_hi = scale.hertz_to_scale(
+            max(nyquist - (self.min_low_hz + self.min_band_hz), self.min_low_hz + 1)
+        )
+        edges = np.asarray(
+            [
+                scale.scale_to_hertz(s)
+                for s in np.linspace(s_lo, s_hi, self.num_filts + 1)
+            ],
+            np.float64,
+        )
+        self._low0 = np.maximum(edges[:-1] - self.min_low_hz, 1.0)
+        self._band0 = np.maximum(np.diff(edges) - self.min_band_hz, 1.0)
+        self.frame_shift = max(
+            1, int(0.001 * frame_shift_ms * self.sampling_rate)
+        )
+        if filter_size is None:
+            # ~12.5 ms of taps (SincNet's 251 at 16 kHz is ~16 ms)
+            filter_size = 2 * int(0.00625 * self.sampling_rate) + 1
+        if pool_size is None:
+            pool_size = 2 * self.frame_shift + 1
+        if filter_size % 2 == 0 or pool_size % 2 == 0:
+            raise ValueError("filter_size and pool_size must be odd")
+        self.filter_size = int(filter_size)
+        self.pool_size = int(pool_size)
+        self.pooling = pooling
+        self.use_log = bool(use_log)
+        self.dtype = dtype
+
+    def init(self) -> Tuple[dict, dict]:
+        """Build ``(params, consts)``: mel-spaced band edges, Hamming."""
+        half = self.filter_size // 2
+        n = np.arange(-half, half + 1, dtype=np.float64)
+        # periodic-style Hamming over the full support (SincNet's window)
+        window = 0.54 + 0.46 * np.cos(np.pi * n / max(half, 1))
+        params = {
+            "low_hz": jnp.asarray(self._low0, dtype=self.dtype),
+            "band_hz": jnp.asarray(self._band0, dtype=self.dtype),
+        }
+        consts = {
+            "t": jnp.asarray(n, dtype=self.dtype),
+            "window": jnp.asarray(window, dtype=self.dtype),
+        }
+        return params, consts
+
+    def band_edges(self, params: dict):
+        """Constrained ``(f1, f2)`` band edges in Hz, each ``(F,)``."""
+        f1 = self.min_low_hz + jnp.abs(params["low_hz"])
+        f2 = jnp.clip(
+            f1 + self.min_band_hz + jnp.abs(params["band_hz"]),
+            max=self.sampling_rate / 2,
+        )
+        return f1, f2
+
+    def filters(self, params: dict, consts: dict):
+        """Materialize the ``(filter_size, F)`` windowed-sinc tap bank."""
+        f1, f2 = self.band_edges(params)
+        t = consts["t"][:, None]  # sample offsets
+        g1 = 2 * (f1 / self.sampling_rate)[None, :]
+        g2 = 2 * (f2 / self.sampling_rate)[None, :]
+        taps = g2 * jnp.sinc(g2 * t) - g1 * jnp.sinc(g1 * t)
+        return taps * consts["window"][:, None]
+
+    def frame_counts(self, lengths):
+        """Valid frame counts for true signal ``lengths``."""
+        shift = self.frame_shift
+        return (jnp.asarray(lengths) + shift // 2) // shift
+
+    def apply(self, params: dict, consts: dict, signals, lengths=None):
+        """Features for padded signals ``(batch, max_len)``.
+
+        Returns ``(batch, max_frames, num_filts)`` with frame ``k``
+        centered at sample ``k * frame_shift``; rows past a signal's true
+        frame count pool zeros the caller masks.  Zero-pad ``signals``
+        beyond each true length.
+        """
+        signals = jnp.asarray(signals, dtype=self.dtype)
+        batch, max_len = signals.shape
+        shift = self.frame_shift
+        max_frames = int(frame_count_np_int(max_len, shift))
+        taps = self.filters(params, consts)  # (W, F)
+        resp = jax.lax.conv_general_dilated(
+            signals[:, None, :],
+            taps.T[:, None, :],
+            window_strides=(1,),
+            padding="SAME",
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, F, T)
+        energy = resp * resp
+        windows = _pooled_windows(energy, max_frames, shift, self.pool_size)
+        if self.pooling == "max":
+            feats = jnp.max(windows, axis=-1).transpose(0, 2, 1)
+        else:
+            feats = jnp.mean(windows, axis=-1).transpose(0, 2, 1)
+        if self.use_log:
+            feats = xlog(jnp.maximum(feats, config.LOG_FLOOR_VALUE))
+        return feats
+
+    # checkpointing --------------------------------------------------------
+
+    save_params = staticmethod(STFTFrontend.save_params)
+
+    def load_params(self, rfilename: str) -> dict:
+        with np.load(rfilename) as data:
+            return {
+                k: jnp.asarray(data[k], dtype=self.dtype) for k in data.files
+            }
 
 
 class PCEN:
