@@ -50,6 +50,7 @@ __all__ = [
     "StreamingSlidingCMVN",
     "StreamingSplice",
     "StreamingStack",
+    "StreamingVAD",
     "streaming_post_op",
 ]
 
@@ -623,6 +624,235 @@ class StreamingStack(StreamingPostOp):
         idx = jnp.clip(jnp.arange(m), 0, jnp.maximum(cnt - 1, 0))
         out = jnp.take(carry, idx, axis=0).reshape(1, m * F)
         return out, (cnt > 0).astype(jnp.int32)
+
+
+class StreamingVAD(StreamingPostOp):
+    """Online energy VAD with voiced-frame selection.
+
+    The streaming twin of :func:`speech_tpu.ops.vad.energy_vad` +
+    ``select-voiced-frames`` (the batch CLIs' ``--vad-trim`` step), for
+    serving stacks that must endpoint/trim online.  A frame is voiced
+    when at least ``proportion_threshold`` of its ``[-w, w]`` context
+    window's log energies (``w = frames_context``, edge-clipped like
+    Kaldi's ``den_count``) exceed a threshold; emission is therefore
+    delayed ``w`` frames and ``finalize`` flushes the tail.
+
+    Threshold semantics: with ``energy_mean_scale == 0`` the threshold
+    is the fixed ``energy_threshold`` and the stream's selected frames
+    equal the batch op's **exactly**, any chunking.  With a nonzero
+    scale the batch op's utterance-global mean is not causal; the
+    stream uses the *running* mean over the first ``o + w + 1``
+    energies — every frame that has arrived when frame ``o``'s decision
+    is due — which makes decisions chunk-size invariant by
+    construction (and equal to the batch rule in the limit of a
+    lookahead covering the utterance).
+
+    ``emit="select"`` (default) compacts voiced rows to the block
+    prefix (``n_out`` = voiced count) so the op composes in a
+    :class:`StreamingPostChain` as a true frame filter;
+    ``emit="flag"`` passes every decided frame through with a trailing
+    0/1 voiced column for caller-side policies (endpointing).
+
+    Parameters follow :func:`~speech_tpu.ops.vad.energy_vad`;
+    ``energy_idx`` selects the log-energy column (the computers'
+    ``include_energy`` convention puts it first).
+    """
+
+    def __init__(
+        self,
+        energy_threshold: float = 5.0,
+        energy_mean_scale: float = 0.5,
+        frames_context: int = 0,
+        proportion_threshold: float = 0.6,
+        energy_idx: int = 0,
+        emit: str = "select",
+    ):
+        if frames_context < 0:
+            raise ValueError(
+                f"frames_context must be >= 0, got {frames_context}"
+            )
+        if not 0.0 < proportion_threshold < 1.0:
+            raise ValueError(
+                f"proportion_threshold must be in (0, 1), got "
+                f"{proportion_threshold}"
+            )
+        if energy_mean_scale < 0:
+            raise ValueError(
+                f"energy_mean_scale must be >= 0, got {energy_mean_scale}"
+            )
+        if emit not in ("select", "flag"):
+            raise ValueError(f"emit must be 'select' or 'flag', got {emit}")
+        self.energy_threshold = float(energy_threshold)
+        self.energy_mean_scale = float(energy_mean_scale)
+        self.w = int(frames_context)
+        self.proportion_threshold = float(proportion_threshold)
+        self.energy_idx = int(energy_idx)
+        self.emit = emit
+
+    def out_width(self, in_width: int) -> int:
+        return in_width if self.emit == "select" else in_width + 1
+
+    def fin_cap(self) -> int:
+        return self.w
+
+    def init_state(self, in_width: int, dtype=None):
+        w = self.w
+        zf = jnp.zeros((), dtype)
+        return (
+            jnp.zeros((w, in_width), dtype),  # frames [seen-w, seen)
+            jnp.zeros((2 * w,), zf.dtype),  # energies [seen-2w, seen)
+            zf,  # sum of energies [0, seen-2w)
+            jnp.zeros((), jnp.int32),  # frames seen
+        )
+
+    def _decide(self, ewin, base_abs, pre_total, total_frames, cap):
+        """Voiced flags for ``cap`` outputs whose first absolute frame
+        index is ``base_abs``; ``ewin[i + k]`` is the energy of output
+        ``i``'s window tap ``k`` (absolute frame ``base_abs + i - w +
+        k``), zero outside the stream.  ``total_frames`` bounds the
+        right edge (traced; only binds at finalize)."""
+        w = self.w
+        i_idx = jnp.arange(cap)
+        o_abs = base_abs + i_idx
+        if self.energy_mean_scale:
+            cume = jnp.cumsum(ewin)
+            # threshold for output o: running mean over energies
+            # [0, min(o + w, total - 1)]; rows of ewin before/after the
+            # stream are zeros, so the clipped cumulative read is exact
+            hi = jnp.minimum(o_abs + w, total_frames - 1)
+            n_hi = (hi - (base_abs - w)).astype(jnp.int32)  # ewin row of hi
+            cnt = jnp.maximum(hi + 1, 1)
+            run = pre_total + jnp.take(cume, jnp.clip(n_hi, 0, cap + 2 * w - 1))
+            thresh = self.energy_threshold + self.energy_mean_scale * (
+                run / cnt.astype(ewin.dtype)
+            )
+        else:
+            thresh = jnp.full((cap,), self.energy_threshold, ewin.dtype)
+        num = jnp.zeros((cap,), jnp.int32)
+        den = jnp.zeros((cap,), jnp.int32)
+        for k in range(2 * w + 1):
+            j_abs = o_abs - w + k
+            tap = jax.lax.slice_in_dim(ewin, k, k + cap, axis=0)
+            ok = (j_abs >= 0) & (j_abs < total_frames)
+            num = num + (ok & (tap > thresh)).astype(jnp.int32)
+            den = den + ok.astype(jnp.int32)
+        return num >= self.proportion_threshold * jnp.maximum(den, 1)
+
+    def _emit_block(self, out_frames, voiced, nout):
+        cap = out_frames.shape[0]
+        decided = jnp.arange(cap) < nout
+        if self.emit == "flag":
+            flags = jnp.where(decided, voiced, False)
+            out = jnp.concatenate(
+                [out_frames, flags.astype(out_frames.dtype)[:, None]], -1
+            )
+            return out, nout.astype(jnp.int32)
+        # select: stable-partition voiced decided rows to the prefix
+        # (0 = keep, 1 = decided unvoiced, 2 = undecided garbage)
+        key = jnp.where(decided, jnp.where(voiced, 0, 1), 2)
+        order = jnp.argsort(key, stable=True)
+        out = jnp.take(out_frames, order, axis=0)
+        n_sel = jnp.sum((key == 0).astype(jnp.int32))
+        return out, n_sel
+
+    def _step_impl(self, state, frames, n_valid):
+        feat_buf, e_buf, ptot, seen = state
+        frames, nin = _scrub(frames, n_valid)
+        cap, F = frames.shape
+        if cap == 0:
+            out = jnp.zeros((0, self.out_width(F)), frames.dtype)
+            return state, out, jnp.zeros((), jnp.int32)
+        w = self.w
+        feat_buf = feat_buf.astype(frames.dtype)
+        e_buf = e_buf.astype(frames.dtype)
+        ptot = ptot.astype(frames.dtype)
+        fstream = jnp.concatenate([feat_buf, frames])  # [seen-w, seen+cap)
+        estream = jnp.concatenate(
+            [e_buf, frames[:, self.energy_idx]]
+        )  # [seen-2w, seen+cap)
+        old_em = jnp.maximum(0, seen - w)
+        new_em = jnp.maximum(0, seen + nin - w)
+        nout = (new_em - old_em).astype(jnp.int32)
+        # align once (contiguous dynamic slice), then static shifts
+        fbase = (old_em - (seen - w)).astype(jnp.int32)  # in [0, w]
+        out_frames = jax.lax.dynamic_slice_in_dim(fstream, fbase, cap, axis=0)
+        ewin = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([estream, jnp.zeros((w,), estream.dtype)]),
+            fbase,
+            cap + 2 * w,
+            axis=0,
+        )
+        # running-mean bookkeeping: ewin row 0 is absolute frame
+        # old_em - w; pre_total covers [0, seen-2w) plus the fbase
+        # stream rows before the window
+        if self.energy_mean_scale:
+            head = estream[: 2 * w] if w else estream[:0]
+            pre = ptot + jnp.sum(
+                jnp.where(jnp.arange(head.shape[0]) < fbase, head, 0)
+            )
+        else:
+            pre = ptot
+        voiced = self._decide(
+            ewin, old_em, pre, seen + nin + w + 1, cap  # right edge unbound
+        )
+        out, n_sel = self._emit_block(out_frames, voiced, nout)
+        new_feat = (
+            jax.lax.dynamic_slice_in_dim(fstream, nin, w, axis=0)
+            if w
+            else feat_buf
+        )
+        new_e = (
+            jax.lax.dynamic_slice_in_dim(estream, nin, 2 * w, axis=0)
+            if w
+            else e_buf
+        )
+        shed = jnp.sum(
+            jnp.where(jnp.arange(estream.shape[0]) < nin, estream, 0)
+        )
+        new_ptot = jnp.where(nin > 0, ptot + shed, ptot)
+        return (
+            (new_feat, new_e, new_ptot, (seen + nin).astype(jnp.int32)),
+            out,
+            n_sel,
+        )
+
+    def _fin_width(self, state) -> int:
+        return self.out_width(state[0].shape[1])
+
+    def _finalize_impl(self, state):
+        feat_buf, e_buf, ptot, seen = state
+        w = self.w
+        F = feat_buf.shape[1]
+        if w == 0:
+            return (
+                jnp.zeros((0, self.out_width(F)), feat_buf.dtype),
+                jnp.zeros((), jnp.int32),
+            )
+        nout = jnp.minimum(seen, w).astype(jnp.int32)
+        fb_base = (w - nout).astype(jnp.int32)
+        out_frames = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([feat_buf, jnp.zeros((w, F), feat_buf.dtype)]),
+            fb_base,
+            w,
+            axis=0,
+        )
+        ewin = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([e_buf, jnp.zeros((2 * w,), e_buf.dtype)]),
+            fb_base,
+            3 * w,
+            axis=0,
+        )
+        base_abs = seen - nout
+        if self.energy_mean_scale:
+            # ewin row 0 is absolute frame base_abs - w = seen - 2w +
+            # fb_base; pre covers [0, seen-2w) plus the fb_base rows
+            pre = ptot + jnp.sum(
+                jnp.where(jnp.arange(2 * w) < fb_base, e_buf, 0)
+            )
+        else:
+            pre = ptot
+        voiced = self._decide(ewin, base_abs, pre, seen, w)
+        return self._emit_block(out_frames, voiced, nout)
 
 
 class StreamingPostChain(StreamingPostOp):
