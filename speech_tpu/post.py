@@ -29,6 +29,7 @@ __all__ = [
     "Stack",
     "Standardize",
     "Transform",
+    "VADTrim",
 ]
 
 
@@ -828,3 +829,78 @@ class Transform(PostProcessor):
         if bias is not None:
             out = out + bias
         return np.moveaxis(out, -1, axis).astype(features.dtype, copy=False)
+
+
+class VADTrim(PostProcessor):
+    """Drop unvoiced frames by energy VAD (Kaldi ``compute-vad`` +
+    ``select-voiced-frames`` fused).
+
+    The PostProcessor form of the CLIs' ``--vad-trim`` step, so voiced
+    selection composes anywhere a ``--postprocess`` chain does (no
+    reference counterpart).  The decision runs
+    :func:`speech_tpu.ops.vad.energy_vad_np` over the log-energy column
+    (``energy_idx``; the computers' ``include_energy`` convention puts
+    it first) of a ``(time, features)`` matrix and keeps voiced rows.
+    The streaming twin is
+    :class:`speech_tpu.streaming_post.StreamingVAD` (exact for
+    ``energy_mean_scale == 0``; the adaptive threshold's utterance
+    mean is inherently not causal).
+    """
+
+    aliases = {"vad_trim", "vad"}
+
+    def __init__(
+        self,
+        energy_threshold: float = 5.0,
+        energy_mean_scale: float = 0.5,
+        frames_context: int = 0,
+        proportion_threshold: float = 0.6,
+        energy_idx: int = 0,
+        time_axis: int = 0,
+    ):
+        from .ops.vad import energy_vad_np  # validate eagerly
+
+        if frames_context < 0:
+            raise ValueError(
+                f"frames_context must be >= 0, got {frames_context}"
+            )
+        if not 0.0 < proportion_threshold < 1.0:
+            raise ValueError(
+                f"proportion_threshold must be in (0, 1), got "
+                f"{proportion_threshold}"
+            )
+        if energy_mean_scale < 0:
+            raise ValueError(
+                f"energy_mean_scale must be >= 0, got {energy_mean_scale}"
+            )
+        self.energy_threshold = float(energy_threshold)
+        self.energy_mean_scale = float(energy_mean_scale)
+        self.frames_context = int(frames_context)
+        self.proportion_threshold = float(proportion_threshold)
+        self.energy_idx = int(energy_idx)
+        self.time_axis = time_axis
+
+    def apply(
+        self, features: np.ndarray, axis: int = -1, in_place: bool = False
+    ) -> np.ndarray:
+        from .ops.vad import energy_vad_np
+
+        features = np.asarray(features)
+        if features.ndim != 2:
+            raise RuntimeError(
+                f"VADTrim expects (time, features) matrices, got shape "
+                f"{features.shape}"
+            )
+        axis = axis % 2
+        time_axis = self.time_axis % 2
+        if axis == time_axis:
+            raise RuntimeError(f"feature and time axes are the same ({axis})")
+        energy = np.moveaxis(features, time_axis, 0)[:, self.energy_idx]
+        voiced = energy_vad_np(
+            np.asarray(energy, np.float64),
+            energy_threshold=self.energy_threshold,
+            energy_mean_scale=self.energy_mean_scale,
+            frames_context=self.frames_context,
+            proportion_threshold=self.proportion_threshold,
+        )
+        return np.compress(voiced, features, axis=time_axis)

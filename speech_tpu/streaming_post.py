@@ -1018,6 +1018,22 @@ def streaming_post_op(post) -> StreamingPostOp:
         return StreamingFrameLocal(
             lambda f: _postops.transform(f, mat), lambda w: out_dim
         )
+    if isinstance(post, _post.VADTrim):
+        if post.time_axis % 2 != 0:
+            raise ValueError("streaming VADTrim requires time_axis 0")
+        if post.energy_mean_scale:
+            raise ValueError(
+                "streaming VADTrim requires energy_mean_scale 0 (the "
+                "utterance-global mean threshold is not causal); build "
+                "StreamingVAD directly for the running-mean form"
+            )
+        return StreamingVAD(
+            energy_threshold=post.energy_threshold,
+            energy_mean_scale=0.0,
+            frames_context=post.frames_context,
+            proportion_threshold=post.proportion_threshold,
+            energy_idx=post.energy_idx,
+        )
     if isinstance(post, _post.Standardize):
         if not post.have_stats:
             raise ValueError(

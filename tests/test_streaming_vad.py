@@ -193,3 +193,47 @@ def test_rejects_bad_config():
         StreamingVAD(energy_mean_scale=-0.1)
     with pytest.raises(ValueError):
         StreamingVAD(emit="gate")
+
+
+# --- host VADTrim PostProcessor + factory mapping ---------------------
+
+
+def test_vadtrim_host_matches_energy_vad_np(feats):
+    from speech_tpu.ops.vad import energy_vad_np
+    from speech_tpu.post import VADTrim
+
+    post = VADTrim(energy_mean_scale=0.5, frames_context=3)
+    got = post.apply(feats.copy(), axis=-1)
+    mask = energy_vad_np(
+        feats[:, 0], energy_mean_scale=0.5, frames_context=3
+    )
+    np.testing.assert_array_equal(got, feats[mask])
+    with pytest.raises(RuntimeError):
+        post.apply(feats[None], axis=-1)  # 3-D
+    with pytest.raises(RuntimeError):
+        post.apply(feats, axis=0)  # axis collision
+
+
+def test_vadtrim_constructs_from_config_alias(feats):
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.post import PostProcessor, VADTrim
+
+    post = alias_factory_subclass_from_arg(
+        PostProcessor, {"name": "vad_trim", "energy_mean_scale": 0.0}
+    )
+    assert isinstance(post, VADTrim)
+    assert post.energy_mean_scale == 0.0
+
+
+def test_streaming_factory_maps_vadtrim(feats):
+    from speech_tpu.post import VADTrim
+    from speech_tpu.streaming_post import streaming_post_op
+
+    host = VADTrim(energy_mean_scale=0.0, frames_context=2)
+    op = streaming_post_op(host)
+    assert isinstance(op, StreamingVAD)
+    got = _stream_all(op, feats, [40, 40, 60])
+    want = host.apply(feats.copy(), axis=-1)
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):
+        streaming_post_op(VADTrim(energy_mean_scale=0.5))
