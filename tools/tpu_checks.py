@@ -152,6 +152,39 @@ def _gabor_oracle(frontend, params, signal):
     return feats
 
 
+def _sinc_oracle(frontend, params, signal):
+    """float64 numpy re-statement of SincFrontend.apply for one signal."""
+    sr = frontend.sampling_rate
+    f1 = frontend.min_low_hz + np.abs(np.asarray(params["low_hz"], np.float64))
+    f2 = np.minimum(
+        f1
+        + frontend.min_band_hz
+        + np.abs(np.asarray(params["band_hz"], np.float64)),
+        sr / 2,
+    )
+    half = frontend.filter_size // 2
+    n = np.arange(-half, half + 1, dtype=np.float64)[:, None]
+    g1, g2 = 2 * f1[None, :] / sr, 2 * f2[None, :] / sr
+    taps = (g2 * np.sinc(g2 * n) - g1 * np.sinc(g1 * n)) * (
+        0.54 + 0.46 * np.cos(np.pi * n / half)
+    )
+    shift, P = frontend.frame_shift, frontend.pool_size
+    T = len(signal)
+    num_frames = (T + shift // 2) // shift
+    energy = np.zeros((frontend.num_filts, T))
+    for k in range(frontend.num_filts):
+        r = np.correlate(signal, taps[:, k], mode="same")
+        energy[k] = r * r
+    padded = np.pad(energy, ((0, 0), (P // 2, P // 2 + P + shift)))
+    feats = np.zeros((num_frames, frontend.num_filts))
+    for k in range(num_frames):
+        seg = padded[:, k * shift : k * shift + P]
+        feats[k] = seg.max(-1) if frontend.pooling == "max" else seg.mean(-1)
+    if frontend.use_log:
+        feats = np.log(np.maximum(feats, 1e-5))
+    return feats
+
+
 class Battery:
     def __init__(self):
         self.failures = []
@@ -565,6 +598,68 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
     want = _gabor_oracle(gabor, g_params, np.asarray(g_sig, np.float64))
     err = 1.0 if got.shape != want.shape else float(np.abs(got - want).max())
     battery.check("gabor frontend vs f64 oracle", err, 5e-5, time.time() - t0)
+
+    # SincNet learnable band-edge frontend: device f32 forward vs an
+    # in-process float64 numpy oracle at the init parameters
+    t0 = time.time()
+    from speech_tpu.nn import SincFrontend
+
+    sinc = SincFrontend(
+        num_filts=40, sampling_rate=RATE, frame_shift_ms=10, dtype=jnp.float32
+    )
+    s_params, s_consts = sinc.init()
+    s_sig = sigs32[2][:RATE] / np.float32(32768.0)
+    got = np.asarray(
+        jax.jit(lambda p: sinc.apply(p, s_consts, s_sig[None]))(s_params)
+    )[0]
+    want = _sinc_oracle(sinc, s_params, np.asarray(s_sig, np.float64))
+    err = 1.0 if got.shape != want.shape else float(np.abs(got - want).max())
+    battery.check("sinc frontend vs f64 oracle", err, 5e-5, time.time() - t0)
+
+    # Streaming VAD (fixed threshold): chunked on-device voiced-frame
+    # selection over real f32 features == the batch energy_vad selection,
+    # row-bitwise (same rows of the same array must come out)
+    t0 = time.time()
+    from speech_tpu.ops.vad import energy_vad_np
+    from speech_tpu.streaming_post import StreamingVAD
+
+    e_computer = STFTFrameComputer(
+        dict(BANK_STFT), dtype="float32", include_energy=True, **_stft_kwargs()
+    )
+    v_feats = np.asarray(
+        _batch_valid(e_computer, sigs32[:1] / np.float32(32768.0))[0],
+        np.float32,
+    )
+    vad = StreamingVAD(
+        energy_threshold=float(np.median(v_feats[:, 0])),
+        energy_mean_scale=0.0,
+        frames_context=2,
+    )
+    v_state = vad.init_state(v_feats.shape[1], np.float32)
+    v_step = jax.jit(vad._step_impl)
+    v_rows = []
+    for s in range(0, len(v_feats), 64):
+        blk = np.zeros((64, v_feats.shape[1]), np.float32)
+        n = min(64, len(v_feats) - s)
+        blk[:n] = v_feats[s : s + n]
+        v_state, v_out, v_n = v_step(v_state, jnp.asarray(blk), n)
+        v_rows.append(np.asarray(v_out)[: int(v_n)])
+    v_out, v_n = jax.jit(vad._finalize_impl)(v_state)
+    v_rows.append(np.asarray(v_out)[: int(v_n)])
+    v_got = np.concatenate(v_rows)
+    v_mask = energy_vad_np(
+        np.asarray(v_feats[:, 0], np.float64),
+        energy_threshold=float(np.median(v_feats[:, 0])),
+        energy_mean_scale=0.0,
+        frames_context=2,
+    )
+    v_want = v_feats[v_mask]
+    err = (
+        1.0
+        if v_got.shape != v_want.shape
+        else float(np.abs(v_got - v_want).max())
+    )
+    battery.check("streaming vad == batch select", err, 0.0, time.time() - t0)
 
     n_fail = len(battery.failures)
     print(
