@@ -237,3 +237,30 @@ def test_streaming_factory_maps_vadtrim(feats):
     np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError):
         streaming_post_op(VADTrim(energy_mean_scale=0.5))
+
+
+def test_vad_in_streaming_pipeline_matches_batch():
+    """Endpointing-style serving path: computer + VADTrim streamed as a
+    pipeline equals compute_full + host VADTrim on the whole signal."""
+    from speech_tpu.compute import STFTFrameComputer
+    from speech_tpu.post import VADTrim
+    from speech_tpu.streaming_post import StreamingPipeline
+
+    comp = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 6, "sampling_rate": 8000},
+        dtype="float64",
+        include_energy=True,
+    )
+    rng = np.random.default_rng(99)
+    # speech-ish: loud and quiet stretches so the trim bites
+    sig = rng.standard_normal(8000 + 240)
+    sig[2000:5000] *= 0.01
+    post = VADTrim(energy_mean_scale=0.0, energy_threshold=-2.0,
+                   frames_context=2)
+    pipe = StreamingPipeline(comp, [post], chunk_size=800)
+    got = pipe.transform(sig)
+    ref = comp.compute_full(sig)
+    want = post.apply(ref, axis=-1)
+    assert 0 < want.shape[0] < ref.shape[0]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-10)
