@@ -17,6 +17,7 @@ from ..compute import (  # noqa: F401
     frame_by_frame_calculation,
 )
 from ..nn import STFTFrontend  # noqa: F401
+from .kws import ConvClassifier, KWSModel, make_train_step  # noqa: F401
 from .presets import PRESETS, create, preset_config  # noqa: F401
 from ..streaming import (  # noqa: F401
     SIStreamState,
@@ -27,7 +28,10 @@ from ..streaming import (  # noqa: F401
 
 __all__ = [
     "PRESETS",
+    "ConvClassifier",
+    "KWSModel",
     "create",
+    "make_train_step",
     "preset_config",
     "FrameComputer",
     "LinearFilterBankFrameComputer",

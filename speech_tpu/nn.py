@@ -113,7 +113,15 @@ class STFTFrontend:
             windowed, consts["dft_sin"], precision=jax.lax.Precision.HIGHEST
         )
         power = re * re + im * im
-        spec = power if self.use_power else jnp.sqrt(jnp.maximum(power, 0))
+        if self.use_power:
+            spec = power
+        else:
+            # safe sqrt: d(sqrt)/dp is inf at p == 0 (an all-zero padded
+            # frame reaches it), which would NaN the window/weight grads;
+            # the where-guard keeps the primal bit-identical and picks the
+            # zero one-sided subgradient there
+            pos = power > 0
+            spec = jnp.where(pos, jnp.sqrt(jnp.where(pos, power, 1)), 0)
         feats = jnp.matmul(
             spec, params["weights"], precision=jax.lax.Precision.HIGHEST
         )
@@ -122,7 +130,10 @@ class STFTFrontend:
         if self.include_energy:
             energy = jnp.sum(frames * frames, axis=-1) / self.frame_length
             if not self.use_power:
-                energy = jnp.sqrt(energy)
+                epos = energy > 0
+                energy = jnp.where(
+                    epos, jnp.sqrt(jnp.where(epos, energy, 1)), 0
+                )
             if self.use_log:
                 energy = xlog(jnp.maximum(energy, config.LOG_FLOOR_VALUE))
             feats = jnp.concatenate([energy[..., None], feats], axis=-1)
