@@ -27,6 +27,7 @@ from .ops.xmath import xlog
 from . import config
 from .compute import STFTFrameComputer
 from .ops import framing as _framing
+from .ops import stft as _stft
 
 __all__ = [
     "GaborFrontend",
@@ -175,6 +176,53 @@ class STFTFrontend:
     def frame_counts(self, lengths):
         """Valid frame counts for true signal ``lengths``."""
         return _framing.frame_count(lengths, self.frame_length, self.frame_shift)
+
+    def export_computer(self, params: dict) -> STFTFrameComputer:
+        """Bake trained parameters into a fresh host computer.
+
+        Closes the train->serve loop: the returned
+        :class:`~speech_tpu.compute.STFTFrameComputer` carries the learned
+        analysis ``window`` and half-spectrum filter ``weights`` — every
+        downstream consumer (``compute_full``/``compute_batch``, the
+        streaming classes, ``FeatureServer``/``StreamPool``, the CLIs,
+        ``ShardedExtractor``) then runs the trained frontend unchanged,
+        including the exact digit-matmul precision tiers, which re-derive
+        their plane decompositions from the new weights.  The reference has
+        no path back from its learnable torch parameters to the numpy
+        computer (reference: torch.py:368-412 converts one way only).
+        """
+        import copy
+
+        window = np.asarray(params["window"], dtype=np.float64)
+        weights = np.asarray(params["weights"], dtype=np.float64)
+        c = self._computer
+        if window.shape != c._window.shape:
+            raise ValueError(
+                f"window shape {window.shape} != {c._window.shape}"
+            )
+        if weights.shape != c._weights.shape:
+            raise ValueError(
+                f"weights shape {weights.shape} != {c._weights.shape}"
+            )
+        # drop device/jit caches before the deep copy (they hold compiled
+        # programs and device arrays tied to the OLD parameters)
+        saved = (c._device_params, c._full_fns, c._frames_fns)
+        c._device_params, c._full_fns, c._frames_fns = None, {}, {}
+        try:
+            out = copy.deepcopy(c)
+        finally:
+            c._device_params, c._full_fns, c._frames_fns = saved
+        out._window = window
+        out._weights = weights
+        out._dft_cos, out._dft_sin = _stft.windowed_dft_matrices(
+            window, out._dft_size
+        )
+        # fresh streaming state
+        out._tail = np.zeros(0, dtype=np.float64)
+        out._skip = 0
+        out._first_frame = True
+        out._started = False
+        return out
 
     # checkpointing --------------------------------------------------------
 

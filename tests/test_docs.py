@@ -64,6 +64,7 @@ def test_docs_files_exist():
         "tutorial.md",
         "migration.md",
         "kaldi-pipeline.md",
+        "training.md",
     ):
         assert os.path.exists(os.path.join(DOCS, fname)), fname
 
