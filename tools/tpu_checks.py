@@ -661,6 +661,80 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
     )
     battery.check("streaming vad == batch select", err, 0.0, time.time() - t0)
 
+    # KWS model family: one on-device adam step must produce a finite
+    # loss AND a nonzero window gradient (the magnitude-mode sqrt used
+    # to NaN the frontend grads on all-zero padded frames)
+    t0 = time.time()
+    import optax
+
+    from speech_tpu.models.kws import KWSModel, make_train_step
+    from speech_tpu.nn import STFTFrontend
+
+    k_computer = STFTFrameComputer(
+        dict(BANK_STFT), dtype="float32", **_stft_kwargs()
+    )
+    k_frontend = STFTFrontend(k_computer, dtype=jnp.float32)
+    kws = KWSModel(k_frontend, num_classes=4, channels=(16,))
+    k_params, k_consts = kws.init(jax.random.PRNGKey(0))
+    k_rng = np.random.RandomState(11)
+    k_sigs = jnp.asarray(
+        np.concatenate(
+            [sigs32[:4, : RATE // 2] / np.float32(32768.0),
+             np.zeros((4, RATE // 4), np.float32)],
+            axis=1,
+        )
+    )
+    k_lens = jnp.asarray([RATE // 2 + RATE // 8, RATE // 2, RATE // 3, RATE // 4], jnp.int32)
+    k_labels = jnp.asarray(k_rng.randint(0, 4, size=4), jnp.int32)
+    k_tx = optax.adam(1e-3)
+    k_step = make_train_step(kws, k_consts, k_tx)
+    k_params2, _, k_metrics = k_step(
+        k_params, k_tx.init(k_params), k_sigs, k_lens, k_labels
+    )
+    k_grad = jax.grad(
+        lambda p: kws.loss(p, k_consts, k_sigs, k_lens, k_labels)[0]
+    )(k_params2)
+    k_leaves = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, k_grad))
+    finite = np.isfinite(float(k_metrics["loss"])) and all(
+        np.isfinite(x).all() for x in k_leaves
+    )
+    wg = float(np.abs(np.asarray(k_grad["frontend"]["window"])).max())
+    err = 0.0 if (finite and wg > 0) else 1.0
+    battery.check("kws train step finite grads", err, 0.0, time.time() - t0)
+
+    # Train->serve export: the exported host computer's batch path must
+    # match the trained frontend's apply (two independently compiled f32
+    # programs; ~2e-5 reduction-order contract)
+    t0 = time.time()
+    e_rng = np.random.RandomState(12)
+    trained = {
+        "window": k_params2["frontend"]["window"],
+        "weights": k_params2["frontend"]["weights"]
+        * jnp.asarray(
+            np.abs(
+                1 + 0.05 * e_rng.randn(*k_params2["frontend"]["weights"].shape)
+            ).astype(np.float32)
+        ),
+    }
+    served = k_frontend.export_computer(trained)
+    x_sigs = np.asarray(k_sigs)
+    x_lens = np.asarray(k_lens)
+    x_feats, x_counts = served.compute_batch(x_sigs, x_lens)
+    x_feats, x_counts = np.asarray(x_feats), np.asarray(x_counts)
+    w_feats = np.asarray(
+        jax.jit(lambda p: k_frontend.apply(p, k_consts, k_sigs, k_lens))(trained)
+    )
+    err = max(
+        float(np.abs(x_feats[i, : x_counts[i]] - w_feats[i, : x_counts[i]]).max())
+        for i in range(len(x_counts))
+    )
+    # same smoke relaxation as the "highest" tiers: CPU f32 matmuls have
+    # no HIGHEST accumulation, so the two programs drift further off-TPU
+    battery.check(
+        "export == trained frontend", err, hi_tol if smoke else 5e-5,
+        time.time() - t0,
+    )
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
