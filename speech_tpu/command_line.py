@@ -125,6 +125,43 @@ def _select_channel(signal: np.ndarray, channel: int, utt_id: str) -> np.ndarray
     return signal
 
 
+def _apply_learned_params(computer, rfilename: str):
+    """Bake a trained ``STFTFrontend`` checkpoint into ``computer``.
+
+    Accepts either a frontend-only checkpoint
+    (:meth:`speech_tpu.nn.STFTFrontend.save_params`: keys
+    ``window``/``weights``) or a full KWS model checkpoint
+    (:func:`speech_tpu.models.kws.save_params`: keys under ``frontend/``),
+    and returns a fresh computer carrying the learned parameters (see
+    :meth:`~speech_tpu.nn.STFTFrontend.export_computer`).
+    """
+    from .compute import ShortTimeFourierTransformFrameComputer
+    from .nn import STFTFrontend
+
+    if not isinstance(computer, ShortTimeFourierTransformFrameComputer):
+        raise ValueError(
+            "--learned-params requires an STFT computer config (learned "
+            "checkpoints hold an analysis window + half-spectrum weights)"
+        )
+    with np.load(rfilename) as data:
+        prefix = (
+            "frontend/"
+            if any(name.startswith("frontend/") for name in data.files)
+            else ""
+        )
+        try:
+            params = {
+                "window": np.asarray(data[prefix + "window"], np.float64),
+                "weights": np.asarray(data[prefix + "weights"], np.float64),
+            }
+        except KeyError as e:
+            raise ValueError(
+                f"checkpoint {rfilename} is missing {e.args[0]!r}; expected "
+                "an STFTFrontend or models.kws checkpoint"
+            ) from None
+    return STFTFrontend(computer).export_computer(params)
+
+
 def _build_processors(options):
     preprocessors = [
         alias_factory_subclass_from_arg(PreProcessor, cfg)
@@ -316,6 +353,14 @@ def _signals_to_torch_feat_dir_parse_args(args):
     parser.add_argument("--postprocess", type=_config_type, default=tuple())
     parser.add_argument("--force-as", default=None, choices=_FORCE_AS_CHOICES)
     parser.add_argument("--seed", type=_nonneg_int_type, default=None)
+    parser.add_argument(
+        "--learned-params",
+        default=None,
+        metavar="NPZ",
+        help="Checkpoint of a trained STFTFrontend (or a models.kws "
+        "checkpoint); its learned window/weights are baked into the "
+        "computer before extraction",
+    )
     parser.add_argument("--file-prefix", default="")
     parser.add_argument("--file-suffix", default=".pt")
     parser.add_argument(
@@ -611,6 +656,18 @@ def _signals_to_torch_feat_dir(options) -> int:
         computer = alias_factory_subclass_from_arg(
             FrameComputer, options.computer_config
         )
+    if options.learned_params is not None:
+        if computer is None:
+            print(
+                "--learned-params requires a computer config",
+                file=sys.stderr,
+            )
+            return 1
+        try:
+            computer = _apply_learned_params(computer, options.learned_params)
+        except (ValueError, OSError) as e:
+            print(str(e), file=sys.stderr)
+            return 1
     resample_rates = None
     if options.resample_from is not None:
         if options.resample_from <= 0:
@@ -864,6 +921,14 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         help="JSON file or string configuring a FrameComputer",
     )
     parser.add_argument("--min-duration", type=float, default=0.0)
+    parser.add_argument(
+        "--learned-params",
+        default=None,
+        metavar="NPZ",
+        help="Checkpoint of a trained STFTFrontend (or a models.kws "
+        "checkpoint); its learned window/weights are baked into the "
+        "computer before extraction",
+    )
     parser.add_argument("--channel", type=int, default=-1)
     parser.add_argument("--preprocess", type=_config_type, default=tuple())
     parser.add_argument("--postprocess", type=_config_type, default=tuple())
@@ -1013,6 +1078,12 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
     computer = alias_factory_subclass_from_arg(
         FrameComputer, options.computer_config
     )
+    if options.learned_params is not None:
+        try:
+            computer = _apply_learned_params(computer, options.learned_params)
+        except (ValueError, OSError) as e:
+            logger.error(str(e))
+            return 1
     pitch = None
     if options.pitch is not None:
         if not isinstance(options.pitch, dict):

@@ -139,3 +139,125 @@ def test_exported_double_tier_rederives_digits():
     np.testing.assert_allclose(
         np.asarray(feats)[0, : int(np.asarray(counts)[0])], full, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# CLI integration: --learned-params
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import wave
+
+
+@pytest.fixture
+def tiny_wav_map(tmp_path):
+    rng = np.random.RandomState(51)
+    map_path = tmp_path / "map.txt"
+    with open(map_path, "w") as mf:
+        for i in range(3):
+            n = int(rng.randint(1600, 4000))
+            sig = (rng.randn(n) * 1000).astype(np.int16)
+            path = tmp_path / f"u{i}.wav"
+            with wave.open(str(path), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(sig.tobytes())
+            mf.write(f"u{i} {path}\n")
+    return str(map_path)
+
+
+_CLI_JSON = json.dumps(
+    {
+        "name": "stft",
+        "bank": {"name": "fbank", "num_filts": 8, "sampling_rate": 8000},
+        "frame_length_ms": 25,
+        "frame_shift_ms": 10,
+    }
+)
+
+
+def test_cli_learned_params_runs_trained_frontend(tiny_wav_map, tmp_path):
+    torch = pytest.importorskip("torch")
+    from speech_tpu import command_line
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.io import read_signal
+
+    computer = alias_factory_subclass_from_arg(
+        FrameComputer, json.loads(_CLI_JSON)
+    )
+    frontend = STFTFrontend(computer)
+    params, _ = frontend.init()
+    trained = _perturbed(params)
+    ckpt = str(tmp_path / "frontend.npz")
+    frontend.save_params(ckpt, trained)
+
+    out_dir = str(tmp_path / "feats")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [tiny_wav_map, _CLI_JSON, out_dir, "--learned-params", ckpt]
+        )
+        == 0
+    )
+    served = frontend.export_computer(trained)
+    with open(tiny_wav_map) as f:
+        utt, path = f.readline().split()
+    sig = read_signal(path, dtype=np.float64)
+    want = np.asarray(served.compute_full(sig), np.float32)
+    got = torch.load(os.path.join(out_dir, utt + ".pt")).numpy()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # and the checkpoint actually changed the features
+    plain = np.asarray(computer.compute_full(sig), np.float32)
+    assert np.abs(plain - got).max() > 1e-3
+
+
+def test_cli_learned_params_accepts_kws_checkpoint(tiny_wav_map, tmp_path):
+    pytest.importorskip("torch")
+    from speech_tpu import command_line
+    from speech_tpu.alias import alias_factory_subclass_from_arg
+    from speech_tpu.compute import FrameComputer
+    from speech_tpu.models.kws import KWSModel, save_params
+
+    computer = alias_factory_subclass_from_arg(
+        FrameComputer, json.loads(_CLI_JSON)
+    )
+    model = KWSModel(
+        STFTFrontend(computer), num_classes=2, channels=(8,)
+    )
+    params, _ = model.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "kws.npz")
+    save_params(ckpt, params)
+    out_dir = str(tmp_path / "feats")
+    assert (
+        command_line.signals_to_torch_feat_dir(
+            [tiny_wav_map, _CLI_JSON, out_dir, "--learned-params", ckpt]
+        )
+        == 0
+    )
+    assert len(os.listdir(out_dir)) == 3
+
+
+def test_cli_learned_params_rejects_si_config(tiny_wav_map, tmp_path, capsys):
+    from speech_tpu import command_line
+
+    ckpt = str(tmp_path / "x.npz")
+    np.savez(ckpt, window=np.zeros(3), weights=np.zeros((3, 3)))
+    si_json = json.dumps(
+        {
+            "name": "si",
+            "bank": {
+                "name": "gammatone",
+                "scaling_function": "mel",
+                "num_filts": 4,
+                "sampling_rate": 8000,
+            },
+        }
+    )
+    rc = command_line.signals_to_torch_feat_dir(
+        [tiny_wav_map, si_json, str(tmp_path / "o"), "--learned-params", ckpt]
+    )
+    assert rc == 1
+    assert "STFT computer" in capsys.readouterr().err
