@@ -41,6 +41,7 @@ import optax
 __all__ = [
     "ConvClassifier",
     "KWSModel",
+    "StreamingKWS",
     "make_train_step",
     "save_params",
     "load_params",
@@ -262,6 +263,109 @@ class KWSModel:
         loss = jnp.mean(nll)
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(log_p.dtype))
         return loss, {"accuracy": acc, "logits": logits}
+
+
+class StreamingKWS:
+    """Online sliding-window scoring of a trained :class:`KWSModel`.
+
+    The trained STFT frontend is baked into a host computer
+    (:meth:`~speech_tpu.nn.STFTFrontend.export_computer`) whose jittable
+    :class:`~speech_tpu.streaming.StreamingSTFT` emits features chunk by
+    chunk; a ring of the last ``window_frames`` frames is re-scored by the
+    conv classifier on every tick — the standard low-latency keyword-
+    spotting deployment.  All shapes are static under ``jit``: the ring
+    update and the window re-alignment are single contiguous
+    ``dynamic_slice`` ops (TPU-friendly; no gathers), and fewer-than-window
+    frames mask exactly like the batch path, so once ``window_frames``
+    covers the whole utterance the finalize-tick logits equal
+    ``model.apply`` on the full signal.
+
+    Example::
+
+        skws = StreamingKWS(model, params, window_frames=100,
+                            chunk_size=1600)
+        state = skws.init_state()
+        for chunk in chunks:                    # (1600,) each
+            state, logits = skws.process(state, chunk)
+        logits = skws.finalize(state)           # flushes the stream tail
+    """
+
+    def __init__(
+        self,
+        model: KWSModel,
+        params: dict,
+        *,
+        window_frames: int,
+        chunk_size: int,
+    ):
+        from ..streaming import StreamingSTFT
+
+        if window_frames < 1:
+            raise ValueError(
+                f"window_frames must be positive, got {window_frames}"
+            )
+        self.model = model
+        self.window_frames = int(window_frames)
+        computer = model.frontend.export_computer(params["frontend"])
+        self._stream = StreamingSTFT(computer, chunk_size)
+        self.chunk_size = self._stream.chunk_size
+        self.num_coeffs = int(computer.num_coeffs)
+        if self.num_coeffs != model.classifier.feature_dim:
+            raise ValueError(
+                f"classifier expects {model.classifier.feature_dim} "
+                f"coefficients, computer produces {self.num_coeffs}"
+            )
+        self._clf_params = params["classifier"]
+        self._dtype = model.dtype
+        self._tick = jax.jit(self._tick_impl)
+
+    def init_state(self):
+        return {
+            "stft": self._stream.init_state(),
+            "ring": jnp.zeros(
+                (self.window_frames, self.num_coeffs), dtype=self._dtype
+            ),
+            "count": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def _tick_impl(self, ring, count, feats, n):
+        W = self.window_frames
+        feats = feats.astype(self._dtype)
+        appended = jnp.concatenate([ring, feats], axis=0)
+        # rows [W + n, W + M) of `appended` are garbage emitted past the
+        # valid count; the new ring slice [n, n + W) ends exactly at the
+        # last valid row, and the scoring window is left-aligned so the
+        # classifier's first-v-rows mask matches the batch semantics
+        ring = jax.lax.dynamic_slice(
+            appended, (n, jnp.int32(0)), (W, self.num_coeffs)
+        )
+        count = count + n
+        v = jnp.minimum(count, W)
+        # left-align the v valid rows (the ring's tail) for the classifier's
+        # first-v-rows mask; the zero extension keeps the slice in bounds
+        # for every v without clamping
+        padded = jnp.concatenate([ring, jnp.zeros_like(ring)], axis=0)
+        window = jax.lax.dynamic_slice(
+            padded, (W - v, jnp.int32(0)), (W, self.num_coeffs)
+        )
+        logits = self.model.classifier.apply(
+            self._clf_params, window[None], v[None]
+        )[0]
+        return ring, count, logits
+
+    def process(self, state: dict, chunk, valid_len=None):
+        """Feed one chunk; returns ``(state, logits)`` for the new window."""
+        stft, feats, n = self._stream.process(state["stft"], chunk, valid_len)
+        ring, count, logits = self._tick(
+            state["ring"], state["count"], feats, n
+        )
+        return {"stft": stft, "ring": ring, "count": count}, logits
+
+    def finalize(self, state: dict):
+        """Flush the stream tail; returns the final-window logits."""
+        feats, n = self._stream.finalize(state["stft"])
+        _, _, logits = self._tick(state["ring"], state["count"], feats, n)
+        return logits
 
 
 def make_train_step(model: KWSModel, consts: dict, tx):

@@ -265,3 +265,86 @@ def test_classifier_rejects_bad_config():
         ConvClassifier(8, 2, channels=(8, 8), strides=(2,))
     with pytest.raises(ValueError):
         ConvClassifier(8, 2, kernel_width=0)
+
+
+def test_streaming_kws_matches_batch_at_full_window():
+    from speech_tpu.models.kws import StreamingKWS
+
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(8),
+        params["classifier"]["head"]["w"].shape,
+        dtype=jnp.float64,
+    )
+    signals, lengths, _ = _tone_batch(RNG, 1, max_len=3200)
+    sig = np.asarray(signals)[0][: int(lengths[0])]
+    want = np.asarray(
+        model.apply(
+            params,
+            consts,
+            jnp.asarray(sig)[None],
+            jnp.asarray([len(sig)], jnp.int32),
+        )
+    )[0]
+
+    skws = StreamingKWS(model, params, window_frames=200, chunk_size=800)
+    state = skws.init_state()
+    for start in range(0, len(sig), 800):
+        chunk = np.zeros(800)
+        piece = sig[start : start + 800]
+        chunk[: len(piece)] = piece
+        state, logits = skws.process(state, jnp.asarray(chunk), len(piece))
+    final = np.asarray(skws.finalize(state))
+    np.testing.assert_allclose(final, want, atol=1e-9)
+
+
+def test_streaming_kws_mid_stream_window_consistent():
+    """Each tick's logits == the classifier over the last-W emitted rows."""
+    from speech_tpu.models.kws import StreamingKWS
+
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(8),
+        params["classifier"]["head"]["w"].shape,
+        dtype=jnp.float64,
+    )
+    signals, _, _ = _tone_batch(RNG, 1, max_len=4000)
+    sig = np.asarray(signals)[0]
+    W = 12
+    skws = StreamingKWS(model, params, window_frames=W, chunk_size=640)
+    served = model.frontend.export_computer(params["frontend"])
+    state = skws.init_state()
+    emitted = []
+    for start in range(0, 3840, 640):
+        rows_state = state
+        state, logits = skws.process(
+            state, jnp.asarray(sig[start : start + 640])
+        )
+        # reconstruct what was emitted this tick through the raw stream
+        s2, feats, n = skws._stream.process(
+            rows_state["stft"], jnp.asarray(sig[start : start + 640])
+        )
+        emitted.extend(np.asarray(feats)[: int(n)])
+        tail = np.asarray(emitted[-W:])
+        v = len(tail)
+        window = np.zeros((W, tail.shape[1] if v else skws.num_coeffs))
+        window[:v] = tail
+        want = np.asarray(
+            model.classifier.apply(
+                params["classifier"],
+                jnp.asarray(window)[None],
+                jnp.asarray([v], jnp.int32),
+            )
+        )[0]
+        np.testing.assert_allclose(np.asarray(logits), want, atol=1e-9)
+
+
+def test_streaming_kws_validates_config():
+    from speech_tpu.models.kws import StreamingKWS
+
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        StreamingKWS(model, params, window_frames=0, chunk_size=800)
