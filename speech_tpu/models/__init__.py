@@ -17,8 +17,19 @@ from ..compute import (  # noqa: F401
     frame_by_frame_calculation,
 )
 from ..nn import STFTFrontend  # noqa: F401
-from .kws import ConvClassifier, KWSModel, make_train_step  # noqa: F401
+from .kws import (  # noqa: F401
+    ConvClassifier,
+    KWSModel,
+    StreamingKWS,
+    make_train_step,
+)
 from .presets import PRESETS, create, preset_config  # noqa: F401
+from .speaker import (  # noqa: F401
+    SpeakerModel,
+    TDNNEncoder,
+    aam_softmax_loss,
+    cosine_scores,
+)
 from ..streaming import (  # noqa: F401
     SIStreamState,
     StreamingSI,
@@ -30,6 +41,11 @@ __all__ = [
     "PRESETS",
     "ConvClassifier",
     "KWSModel",
+    "SpeakerModel",
+    "StreamingKWS",
+    "TDNNEncoder",
+    "aam_softmax_loss",
+    "cosine_scores",
     "create",
     "make_train_step",
     "preset_config",
