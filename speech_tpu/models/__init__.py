@@ -23,6 +23,11 @@ from .kws import (  # noqa: F401
     StreamingKWS,
     make_train_step,
 )
+from .ctc import (  # noqa: F401
+    CTCModel,
+    TransformerEncoder,
+    greedy_decode,
+)
 from .presets import PRESETS, create, preset_config  # noqa: F401
 from .speaker import (  # noqa: F401
     SpeakerModel,
@@ -39,13 +44,16 @@ from ..streaming import (  # noqa: F401
 
 __all__ = [
     "PRESETS",
+    "CTCModel",
     "ConvClassifier",
     "KWSModel",
     "SpeakerModel",
     "StreamingKWS",
     "TDNNEncoder",
+    "TransformerEncoder",
     "aam_softmax_loss",
     "cosine_scores",
+    "greedy_decode",
     "create",
     "make_train_step",
     "preset_config",
