@@ -26,6 +26,7 @@ from .kws import (  # noqa: F401
 from .ctc import (  # noqa: F401
     CTCModel,
     TransformerEncoder,
+    beam_search_decode,
     greedy_decode,
 )
 from .presets import PRESETS, create, preset_config  # noqa: F401
@@ -52,6 +53,7 @@ __all__ = [
     "TDNNEncoder",
     "TransformerEncoder",
     "aam_softmax_loss",
+    "beam_search_decode",
     "cosine_scores",
     "greedy_decode",
     "create",

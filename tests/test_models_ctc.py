@@ -15,9 +15,12 @@ import jax.numpy as jnp
 import optax
 
 from speech_tpu.compute import STFTFrameComputer
+import itertools
+
 from speech_tpu.models.ctc import (
     CTCModel,
     TransformerEncoder,
+    beam_search_decode,
     greedy_decode,
     load_params,
     make_train_step,
@@ -169,6 +172,73 @@ def test_greedy_decode_collapse_semantics():
     # empty
     (got,) = greedy_decode(lp, np.asarray([0]))
     assert got.size == 0
+
+
+def _exhaustive_ctc_best(lp, count, blank=0):
+    """Enumerate every alignment path; sum per label sequence; return best."""
+    lp = np.asarray(lp, dtype=np.float64)
+    totals = {}
+    for path in itertools.product(range(lp.shape[1]), repeat=int(count)):
+        score = sum(lp[t, s] for t, s in enumerate(path))
+        # CTC collapse: merge repeats, then drop blanks
+        seq = []
+        prev = None
+        for s in path:
+            if s != prev:
+                seq.append(s)
+            prev = s
+        seq = tuple(s for s in seq if s != blank)
+        if seq in totals:
+            hi, lo = max(totals[seq], score), min(totals[seq], score)
+            totals[seq] = hi + np.log1p(np.exp(lo - hi))
+        else:
+            totals[seq] = score
+    best = max(totals.items(), key=lambda kv: kv[1])
+    return np.asarray(best[0], dtype=np.int64), best[1]
+
+
+def test_beam_search_matches_exhaustive_enumeration():
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        logits = rng.randn(1, 4, 3)  # T=4, vocab=2 + blank
+        lp = logits - np.log(
+            np.exp(logits).sum(axis=-1, keepdims=True)
+        )
+        want_seq, want_lp = _exhaustive_ctc_best(lp[0], 4)
+        ((got_seq, got_lp),) = beam_search_decode(
+            lp, np.asarray([4]), beam_width=1000
+        )
+        np.testing.assert_array_equal(got_seq, want_seq)
+        np.testing.assert_allclose(got_lp, want_lp, atol=1e-12)
+
+
+def test_beam_search_beats_greedy_on_path_mass():
+    # classic case: blank is the per-frame argmax, but label 1's three
+    # alignments sum past the single all-blank path
+    p = np.asarray([[0.6, 0.25, 0.15], [0.6, 0.25, 0.15]])
+    lp = np.log(p)[None]
+    (greedy,) = greedy_decode(lp, np.asarray([2]))
+    assert greedy.size == 0  # best path is blank-blank
+    ((seq, score),) = beam_search_decode(lp, np.asarray([2]), beam_width=8)
+    np.testing.assert_array_equal(seq, [1])
+    # mass check: 0.25*0.6 + 0.6*0.25 + 0.25*0.25 vs 0.36
+    np.testing.assert_allclose(np.exp(score), 0.3625, atol=1e-12)
+
+
+def test_beam_search_count_masking_and_validation():
+    lp = np.log(
+        np.asarray(
+            [
+                [[0.1, 0.9, 0.0001], [0.9, 0.05, 0.05], [0.05, 0.05, 0.9]],
+                [[0.3, 0.4, 0.3], [0.3, 0.4, 0.3], [0.3, 0.4, 0.3]],
+            ]
+        )
+    )
+    got = beam_search_decode(lp, np.asarray([1, 0]), beam_width=4)
+    np.testing.assert_array_equal(got[0][0], [1])
+    assert got[1][0].size == 0 and got[1][1] == 0.0
+    with pytest.raises(ValueError):
+        beam_search_decode(lp, np.asarray([1, 0]), beam_width=0)
 
 
 def test_training_learns_tone_transcription():

@@ -735,6 +735,139 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         time.time() - t0,
     )
 
+    # Speaker-embedding family: on-device embeddings must be invariant to
+    # how far the batch is padded (masked TDNN + masked stats pooling; the
+    # two paddings compile to different programs, so this is a real
+    # reduction-order contract, not a bitwise one)
+    t0 = time.time()
+    from speech_tpu.models.speaker import SpeakerModel
+    from speech_tpu.models.speaker import make_train_step as _mk_spk_step
+
+    spk = SpeakerModel(
+        STFTFrontend(
+            STFTFrameComputer(
+                dict(BANK_STFT), dtype="float32", **_stft_kwargs()
+            ),
+            dtype=jnp.float32,
+        ),
+        num_speakers=4,
+        embed_dim=16,
+        channels=(16, 16),
+        kernel_widths=(3, 1),
+    )
+    sp_params, sp_consts = spk.init(jax.random.PRNGKey(4))
+    sp_sigs = jnp.asarray(sigs32[:4, : RATE // 2] / np.float32(32768.0))
+    sp_lens = jnp.asarray(
+        [RATE // 2, RATE // 3, RATE // 4, RATE // 8], jnp.int32
+    )
+    sp_base = np.asarray(
+        jax.jit(lambda s, l: spk.embed(sp_params, sp_consts, s, l))(
+            sp_sigs, sp_lens
+        )
+    )
+    sp_wide = np.asarray(
+        jax.jit(lambda s, l: spk.embed(sp_params, sp_consts, s, l))(
+            jnp.concatenate(
+                [sp_sigs, jnp.full((4, RATE // 8), 0.5, jnp.float32)], axis=1
+            ),
+            sp_lens,
+        )
+    )
+    sp_scale = max(float(np.abs(sp_base).max()), 1e-6)
+    finite = np.isfinite(sp_base).all() and np.isfinite(sp_wide).all()
+    err = float(np.abs(sp_wide - sp_base).max()) / sp_scale if finite else 1.0
+    battery.check(
+        "speaker embed padding-invariant", err, 1e-4, time.time() - t0
+    )
+
+    # Speaker train step: one on-device AAM-softmax adam step, finite loss
+    # and finite grads everywhere (the normalized-cosine sqrt chain is the
+    # NaN risk here)
+    t0 = time.time()
+    sp_tx = optax.adam(1e-3)
+    sp_step = _mk_spk_step(spk, sp_consts, sp_tx)
+    sp_labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    sp_params2, _, sp_metrics = sp_step(
+        sp_params, sp_tx.init(sp_params), sp_sigs, sp_lens, sp_labels
+    )
+    sp_grad = jax.grad(
+        lambda p: spk.loss(p, sp_consts, sp_sigs, sp_lens, sp_labels)[0]
+    )(sp_params2)
+    sp_leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, sp_grad)
+    )
+    ok = np.isfinite(float(sp_metrics["loss"])) and all(
+        np.isfinite(x).all() for x in sp_leaves
+    )
+    ok = ok and float(np.abs(np.asarray(sp_grad["head"]["w"])).max()) > 0
+    battery.check(
+        "speaker train step finite grads", 0.0 if ok else 1.0, 0.0,
+        time.time() - t0,
+    )
+
+    # CTC acoustic model: one on-device adam step (optax.ctc_loss through
+    # the masked transformer), finite loss/grads, and the valid-frame
+    # log-probs padding-invariant like the speaker leg
+    t0 = time.time()
+    from speech_tpu.models.ctc import CTCModel, greedy_decode
+    from speech_tpu.models.ctc import make_train_step as _mk_ctc_step
+
+    ctc = CTCModel(
+        STFTFrontend(
+            STFTFrameComputer(
+                dict(BANK_STFT), dtype="float32", **_stft_kwargs()
+            ),
+            dtype=jnp.float32,
+        ),
+        vocab_size=4,
+        model_dim=16,
+        num_layers=1,
+        num_heads=2,
+        ffn_dim=32,
+        subsample_strides=(2,),
+    )
+    ct_params, ct_consts = ctc.init(jax.random.PRNGKey(5))
+    ct_rng = np.random.RandomState(13)
+    ct_params["head"]["w"] = jnp.asarray(
+        0.1 * ct_rng.randn(*ct_params["head"]["w"].shape), jnp.float32
+    )
+    ct_labels = jnp.asarray(ct_rng.randint(1, 5, size=(4, 3)), jnp.int32)
+    ct_lab_lens = jnp.asarray([3, 2, 1, 3], jnp.int32)
+    ct_apply = jax.jit(
+        lambda p, s, l: ctc.apply(p, ct_consts, s, l)
+    )
+    ct_base, ct_counts = ct_apply(ct_params, sp_sigs, sp_lens)
+    ct_wide, _ = ct_apply(
+        ct_params,
+        jnp.concatenate(
+            [sp_sigs, jnp.full((4, RATE // 8), 0.5, jnp.float32)], axis=1
+        ),
+        sp_lens,
+    )
+    ct_base, ct_wide = np.asarray(ct_base), np.asarray(ct_wide)
+    ct_counts = np.asarray(ct_counts)
+    err = max(
+        float(
+            np.abs(
+                ct_wide[i, : ct_counts[i]] - ct_base[i, : ct_counts[i]]
+            ).max()
+        )
+        for i in range(len(ct_counts))
+    )
+    greedy_decode(ct_base, ct_counts)
+    ct_tx = optax.adam(1e-3)
+    ct_step = _mk_ctc_step(ctc, ct_consts, ct_tx)
+    _, _, ct_metrics = ct_step(
+        ct_params, ct_tx.init(ct_params), sp_sigs, sp_lens,
+        ct_labels, ct_lab_lens,
+    )
+    if not np.isfinite(float(ct_metrics["loss"])):
+        err = 1.0
+    battery.check(
+        "ctc step + padding-invariant log-probs", err, 1e-4,
+        time.time() - t0,
+    )
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
