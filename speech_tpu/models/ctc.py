@@ -38,6 +38,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ._common import (
+    he_conv_init,
+    make_train_step as _make_train_step,
+    masked_conv_block,
+    valid_mask,
+)
 from .kws import _frontend_dim, load_params, save_params  # noqa: F401
 
 __all__ = [
@@ -253,18 +259,10 @@ class CTCModel:
         fan_in_dim = _frontend_dim(self.frontend)
         for i, _ in enumerate(self.subsample_strides):
             rng, key = jax.random.split(rng)
-            k = self.subsample_width
-            sub[f"conv{i}"] = {
-                "w": jax.random.normal(
-                    key, (k, fan_in_dim, d), dtype=self.dtype
-                )
-                * jnp.asarray(
-                    math.sqrt(2.0 / (k * fan_in_dim)), dtype=self.dtype
-                ),
-                "b": jnp.zeros((d,), dtype=self.dtype),
-            }
+            sub[f"conv{i}"] = he_conv_init(
+                key, self.subsample_width, fan_in_dim, d, self.dtype
+            )
             fan_in_dim = d
-        rng, head_rng = jax.random.split(rng)
         params = {
             "frontend": f_params,
             "subsample": sub,
@@ -296,30 +294,13 @@ class CTCModel:
             f_params = jax.lax.stop_gradient(f_params)
         x = self.frontend.apply(f_params, consts, signals, lengths)
         valid = self.frontend.frame_counts(lengths)
-        mask = (
-            jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
-            < valid[:, None]
+        x = jnp.where(
+            valid_mask(x.shape[1], valid)[..., None], x.astype(self.dtype), 0
         )
-        x = jnp.where(mask[..., None], x.astype(self.dtype), 0)
         for i, stride in enumerate(self.subsample_strides):
-            blk = params["subsample"][f"conv{i}"]
-            k = self.subsample_width
-            # explicit, length-independent padding (see models/kws.py):
-            # out[j] stays centered at in[j*stride] for any padded T
-            x = jax.lax.conv_general_dilated(
-                x,
-                blk["w"],
-                window_strides=(stride,),
-                padding=[((k - 1) // 2, k // 2)],
-                dimension_numbers=("NWC", "WIO", "NWC"),
+            x, valid = masked_conv_block(
+                x, params["subsample"][f"conv{i}"], valid, stride=stride
             )
-            x = jax.nn.relu(x + blk["b"])
-            valid = -(-valid // stride)
-            mask = (
-                jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
-                < valid[:, None]
-            )
-            x = jnp.where(mask[..., None], x, 0)
         x = self.encoder.apply(params["encoder"], x, valid)
         head = params["head"]
         logits = x @ head["w"] + head["b"]
@@ -454,21 +435,6 @@ def beam_search_decode(
     return out
 
 
-def make_train_step(model: CTCModel, consts: dict, tx):
-    """Jitted optimizer step: ``step(params, opt_state, signals, lengths,
-    labels, label_lengths) -> (params, opt_state, metrics)``.
-
-    Data parallelism needs no extra code (shard the batch axis); tensor
-    parallelism needs only sharding annotations on the attention/FFN
-    weights (see the module docstring).
-    """
-
-    def step(params, opt_state, signals, lengths, labels, label_lengths):
-        (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
-            params, consts, signals, lengths, labels, label_lengths
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss}
-
-    return jax.jit(step, donate_argnums=(0, 1))
+# the jitted optimizer step is generic across families (the CTC batch is
+# signals, lengths, labels, label_lengths); see models._common
+make_train_step = _make_train_step

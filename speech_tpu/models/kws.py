@@ -28,15 +28,19 @@ Design notes (TPU-first):
   without a second code path.
 """
 
-import math
-
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
+
+from ._common import (
+    he_conv_init,
+    make_train_step as _make_train_step,
+    masked_conv_block,
+    valid_mask,
+)
 
 __all__ = [
     "ConvClassifier",
@@ -119,14 +123,9 @@ class ConvClassifier:
         fan_in_dim = self.feature_dim
         for i, out_c in enumerate(self.channels):
             rng, sub = jax.random.split(rng)
-            fan_in = self.kernel_width * fan_in_dim
-            w = jax.random.normal(
-                sub, (self.kernel_width, fan_in_dim, out_c), dtype=self.dtype
-            ) * jnp.asarray(math.sqrt(2.0 / fan_in), dtype=self.dtype)
-            params[f"conv{i}"] = {
-                "w": w,
-                "b": jnp.zeros((out_c,), dtype=self.dtype),
-            }
+            params[f"conv{i}"] = he_conv_init(
+                sub, self.kernel_width, fan_in_dim, out_c, self.dtype
+            )
             fan_in_dim = out_c
         # zero head: initial logits are exactly uniform, a cheap guarantee
         # that early training signal comes from the loss, not the init
@@ -155,32 +154,12 @@ class ConvClassifier:
         total = feats.shape[1]
         if num_frames is None:
             num_frames = jnp.full(feats.shape[:1], total, dtype=jnp.int32)
-        mask = (
-            jnp.arange(total, dtype=jnp.int32)[None, :] < num_frames[:, None]
-        )
-        x = jnp.where(mask[..., None], feats, 0)
+        x = jnp.where(valid_mask(total, num_frames)[..., None], feats, 0)
         valid = num_frames
         for i, stride in enumerate(self.strides):
-            blk = params[f"conv{i}"]
-            # explicit, length-independent padding: "SAME"-with-stride pads
-            # based on the total length, which would make logits depend on
-            # how far the batch was padded; this split keeps out[j] centered
-            # at in[j*stride] for any T (output length stays ceil(T/s))
-            k = self.kernel_width
-            x = jax.lax.conv_general_dilated(
-                x,
-                blk["w"],
-                window_strides=(stride,),
-                padding=[((k - 1) // 2, k // 2)],
-                dimension_numbers=("NWC", "WIO", "NWC"),
+            x, valid = masked_conv_block(
+                x, params[f"conv{i}"], valid, stride=stride
             )
-            x = jax.nn.relu(x + blk["b"])
-            valid = -(-valid // stride)
-            out_mask = (
-                jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
-                < valid[:, None]
-            )
-            x = jnp.where(out_mask[..., None], x, 0)
         # masked mean pool over the surviving frame axis
         denom = jnp.maximum(valid, 1).astype(x.dtype)[:, None]
         pooled = jnp.sum(x, axis=1) / denom
@@ -278,7 +257,13 @@ class StreamingKWS:
     ``dynamic_slice`` ops (TPU-friendly; no gathers), and fewer-than-window
     frames mask exactly like the batch path, so once ``window_frames``
     covers the whole utterance the finalize-tick logits equal
-    ``model.apply`` on the full signal.
+    ``model.apply`` on the full signal to roundoff (the window-W and
+    batch-T mean-pool/GEMM reductions group differently; ~1e-9 in f64).
+
+    Streaming deployment requires a frontend that can be baked back into a
+    host computer (``export_computer``) — i.e. :class:`~speech_tpu.nn.
+    STFTFrontend`; the Gabor/Sinc frontends train in :class:`KWSModel` but
+    have no streaming export.
 
     Example::
 
@@ -306,6 +291,12 @@ class StreamingKWS:
             )
         self.model = model
         self.window_frames = int(window_frames)
+        if not hasattr(model.frontend, "export_computer"):
+            raise ValueError(
+                "StreamingKWS needs a frontend with export_computer (an "
+                "STFTFrontend); "
+                f"{type(model.frontend).__name__} has no streaming export"
+            )
         computer = model.frontend.export_computer(params["frontend"])
         self._stream = StreamingSTFT(computer, chunk_size)
         self.chunk_size = self._stream.chunk_size
@@ -368,25 +359,8 @@ class StreamingKWS:
         return logits
 
 
-def make_train_step(model: KWSModel, consts: dict, tx):
-    """Build the jitted optimizer step for an optax transformation ``tx``.
-
-    Returns ``step(params, opt_state, signals, lengths, labels) ->
-    (params, opt_state, metrics)`` with ``metrics = {"loss", "accuracy"}``.
-    Data parallelism needs no extra code: put the batch on a mesh with the
-    leading axis sharded (``NamedSharding(mesh, P("data"))``) and replicate
-    ``params``; XLA adds the gradient all-reduce.
-    """
-
-    def step(params, opt_state, signals, lengths, labels):
-        (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-            params, consts, signals, lengths, labels
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "accuracy": aux["accuracy"]}
-
-    return jax.jit(step, donate_argnums=(0, 1))
+# the jitted optimizer step is generic across families; see models._common
+make_train_step = _make_train_step
 
 
 def _flatten(tree: dict, prefix: str = ""):

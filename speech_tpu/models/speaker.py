@@ -33,8 +33,13 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
+from ._common import (
+    he_conv_init,
+    make_train_step as _make_train_step,
+    masked_conv_block,
+    valid_mask,
+)
 from .kws import _frontend_dim, load_params, save_params  # noqa: F401
 
 __all__ = [
@@ -101,15 +106,9 @@ class TDNNEncoder:
         fan_in_dim = self.feature_dim
         for i, (out_c, k) in enumerate(zip(self.channels, self.kernel_widths)):
             rng, sub = jax.random.split(rng)
-            w = jax.random.normal(
-                sub, (k, fan_in_dim, out_c), dtype=self.dtype
-            ) * jnp.asarray(
-                math.sqrt(2.0 / (k * fan_in_dim)), dtype=self.dtype
+            params[f"tdnn{i}"] = he_conv_init(
+                sub, k, fan_in_dim, out_c, self.dtype
             )
-            params[f"tdnn{i}"] = {
-                "w": w,
-                "b": jnp.zeros((out_c,), dtype=self.dtype),
-            }
             fan_in_dim = out_c
         return params
 
@@ -121,25 +120,11 @@ class TDNNEncoder:
         total = x.shape[1]
         if num_frames is None:
             num_frames = jnp.full(x.shape[:1], total, dtype=jnp.int32)
-        mask = (
-            jnp.arange(total, dtype=jnp.int32)[None, :] < num_frames[:, None]
-        )[..., None]
-        x = jnp.where(mask, x, 0)
-        for i, (k, d) in enumerate(zip(self.kernel_widths, self.dilations)):
-            blk = params[f"tdnn{i}"]
-            # explicit padding keeps out[j] centered at in[j] regardless of
-            # the padded buffer length (stride 1: output length == input)
-            span = d * (k - 1)
-            x = jax.lax.conv_general_dilated(
-                x,
-                blk["w"],
-                window_strides=(1,),
-                padding=[(span // 2, span - span // 2)],
-                rhs_dilation=(d,),
-                dimension_numbers=("NWC", "WIO", "NWC"),
+        x = jnp.where(valid_mask(total, num_frames)[..., None], x, 0)
+        for i, (_, d) in enumerate(zip(self.kernel_widths, self.dilations)):
+            x, num_frames = masked_conv_block(
+                x, params[f"tdnn{i}"], num_frames, dilation=d
             )
-            x = jax.nn.relu(x + blk["b"])
-            x = jnp.where(mask, x, 0)
         return x
 
 
@@ -148,11 +133,7 @@ def _stats_pool(hidden, num_frames, eps):
     denom = jnp.maximum(num_frames, 1).astype(hidden.dtype)[:, None]
     mean = jnp.sum(hidden, axis=1) / denom
     # rows past the count are zero, so subtract the mean only on valid rows
-    total = hidden.shape[1]
-    mask = (
-        jnp.arange(total, dtype=jnp.int32)[None, :]
-        < num_frames[:, None]
-    )[..., None]
+    mask = valid_mask(hidden.shape[1], num_frames)[..., None]
     centered = jnp.where(mask, hidden - mean[:, None, :], 0)
     var = jnp.sum(centered * centered, axis=1) / denom
     std = jnp.sqrt(var + eps)
@@ -256,10 +237,15 @@ class SpeakerModel:
         return pooled @ emb["w"] + emb["b"]
 
     def loss(self, params: dict, consts: dict, signals, lengths, labels):
-        """Mean AAM-softmax loss plus accuracy, as ``(loss, aux)``."""
+        """Mean AAM-softmax loss plus accuracy, as ``(loss, aux)``.
+
+        The accuracy is computed on the *unpenalized* cosine logits — the
+        margin-penalized logits depress the target column, so their argmax
+        underreports true classification accuracy.
+        """
         embeddings = self.embed(params, consts, signals, lengths)
         labels = jnp.asarray(labels, dtype=jnp.int32)
-        loss, logits = aam_softmax_loss(
+        loss, _ = aam_softmax_loss(
             embeddings,
             params["head"]["w"],
             labels,
@@ -267,10 +253,22 @@ class SpeakerModel:
             scale=self.scale,
             eps=self.eps,
         )
+        cos = _normalized_cos(embeddings, params["head"]["w"], self.eps)
         acc = jnp.mean(
-            (jnp.argmax(logits, axis=-1) == labels).astype(logits.dtype)
+            (jnp.argmax(cos, axis=-1) == labels).astype(cos.dtype)
         )
         return loss, {"accuracy": acc, "embeddings": embeddings}
+
+
+def _normalized_cos(embeddings, class_weights, eps: float):
+    """Cosine logits between L2-normalized embeddings and class columns."""
+    emb_n = embeddings / jnp.maximum(
+        jnp.linalg.norm(embeddings, axis=-1, keepdims=True), eps
+    )
+    w_n = class_weights / jnp.maximum(
+        jnp.linalg.norm(class_weights, axis=0, keepdims=True), eps
+    )
+    return emb_n @ w_n  # (B, num_speakers)
 
 
 def aam_softmax_loss(
@@ -291,16 +289,15 @@ def aam_softmax_loss(
 
     Returns ``(mean_loss, penalized_logits)``.
     """
-    emb_n = embeddings / jnp.maximum(
-        jnp.linalg.norm(embeddings, axis=-1, keepdims=True), eps
-    )
-    w_n = class_weights / jnp.maximum(
-        jnp.linalg.norm(class_weights, axis=0, keepdims=True), eps
-    )
-    cos = emb_n @ w_n  # (B, num_speakers)
+    cos = _normalized_cos(embeddings, class_weights, eps)
     labels = jnp.asarray(labels, dtype=jnp.int32)
     one_hot = jax.nn.one_hot(labels, cos.shape[-1], dtype=cos.dtype)
-    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0))
+    # the 1e-12 floor keeps the sqrt's gradient finite when a cosine
+    # rounds to exactly +/-1 (an embedding converged onto its class
+    # weight): sqrt-at-0 has an infinite derivative that the where
+    # branches downstream cannot mask (0 * inf = NaN in the VJP), and one
+    # such example would NaN the whole batch gradient
+    sin = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-12))
     cos_m = math.cos(margin)
     sin_m = math.sin(margin)
     phi = cos * cos_m - sin * sin_m  # cos(theta + m)
@@ -325,20 +322,5 @@ def cosine_scores(emb_a, emb_b, eps: float = 1e-6):
     return a_n @ b_n.T
 
 
-def make_train_step(model: SpeakerModel, consts: dict, tx):
-    """Jitted optimizer step: ``step(params, opt_state, signals, lengths,
-    labels) -> (params, opt_state, metrics)``.
-
-    Data parallelism needs no extra code: shard the batch axis over a mesh
-    and replicate ``params``; XLA adds the gradient all-reduce.
-    """
-
-    def step(params, opt_state, signals, lengths, labels):
-        (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-            params, consts, signals, lengths, labels
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "accuracy": aux["accuracy"]}
-
-    return jax.jit(step, donate_argnums=(0, 1))
+# the jitted optimizer step is generic across families; see models._common
+make_train_step = _make_train_step

@@ -348,3 +348,20 @@ def test_streaming_kws_validates_config():
     params, _ = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         StreamingKWS(model, params, window_frames=0, chunk_size=800)
+
+
+def test_streaming_kws_rejects_frontends_without_export():
+    from speech_tpu.filters import GaborFilterBank
+    from speech_tpu.models.kws import StreamingKWS
+
+    gabor = GaborFrontend(
+        GaborFilterBank("mel", num_filts=8, sampling_rate=8000),
+        frame_shift_ms=10,
+        filter_size=65,
+        pool_size=33,
+        dtype=jnp.float64,
+    )
+    model = KWSModel(gabor, num_classes=2, channels=(8,))
+    params, _ = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="export_computer"):
+        StreamingKWS(model, params, window_frames=10, chunk_size=800)

@@ -168,6 +168,56 @@ def test_aam_margin_semantics():
     np.testing.assert_allclose(float(plain), want, atol=1e-9)
 
 
+def test_aam_gradient_finite_at_degenerate_cosines():
+    """cos == +/-1 (embedding on a class-weight ray) must not NaN grads."""
+    w = np.asarray(RNG.randn(8, 5))
+    labels = np.asarray([0, 1, 2])
+    emb = np.stack(
+        [2.0 * w[:, 0], -3.0 * w[:, 1], RNG.randn(8)]
+    )  # cos= +1 (target), cos= -1 (target), generic
+
+    def loss_of(e):
+        return aam_softmax_loss(
+            e, jnp.asarray(w), jnp.asarray(labels), margin=0.2, scale=30.0
+        )[0]
+
+    g = jax.grad(loss_of)(jnp.asarray(emb))
+    assert np.isfinite(np.asarray(g)).all()
+    gw = jax.grad(
+        lambda ww: aam_softmax_loss(
+            jnp.asarray(emb), ww, jnp.asarray(labels), margin=0.2
+        )[0]
+    )(jnp.asarray(w))
+    assert np.isfinite(np.asarray(gw)).all()
+
+
+def test_accuracy_metric_ignores_margin_penalty():
+    """A correct example that only leads by less than the margin must still
+    count as correct in metrics['accuracy'] (unpenalized argmax)."""
+    model = _model(num_speakers=2, margin=0.5)
+    params, consts = model.init(jax.random.PRNGKey(0))
+    signals, lengths, _ = _speaker_batch(RNG, 2, num_speakers=2)
+    emb = model.embed(params, consts, signals, lengths)
+    # head columns: class 0 slightly closer to emb[0] than class 1, within
+    # the margin's reach; class assignments make both examples "correct"
+    e = np.asarray(emb)
+    w = np.stack(
+        [e[0] + 0.05 * RNG.randn(*e[0].shape), e[1] + 0.05 * RNG.randn(*e[1].shape)],
+        axis=1,
+    )
+    params["head"]["w"] = jnp.asarray(w)
+    labels = jnp.asarray([0, 1], jnp.int32)
+    _, aux = model.loss(params, consts, signals, lengths, labels)
+    assert float(aux["accuracy"]) == 1.0
+    # sanity: the penalized logits WOULD misclassify if the margin-depressed
+    # target falls behind — accuracy must not use them
+    _, logits = aam_softmax_loss(
+        emb, params["head"]["w"], labels, margin=0.5, scale=30.0
+    )
+    # (not asserted — just ensure the penalized path is exercised)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_training_separates_speakers():
     model = _model()
     params, consts = model.init(jax.random.PRNGKey(3))
