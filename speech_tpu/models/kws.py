@@ -358,6 +358,36 @@ class StreamingKWS:
         _, _, logits = self._tick(state["ring"], state["count"], feats, n)
         return logits
 
+    # -- StreamPool streamer contract -----------------------------------
+    # StreamingKWS honors the pool's duck-typed streamer interface
+    # (init_state / _process_impl / _finalize_impl with valid-0 bitwise
+    # no-op steps), so ``serve.StreamPool(skws, slots=N)`` multiplexes N
+    # concurrent keyword-spotting sessions through one vmapped,
+    # occupancy-tiered device tick — each tick "emits" a single
+    # (1, num_classes) logits row for the window after the newly consumed
+    # audio (a k-chunk wide drain scores once, after all k chunks).
+
+    def _process_impl(self, state: dict, chunk, valid_len):
+        stft, feats, n = self._stream._process_impl(
+            state["stft"], chunk, valid_len
+        )
+        ring, count, logits = self._tick_impl(
+            state["ring"], state["count"], feats, n
+        )
+        # a 0-valid step leaves ring/count bitwise unchanged (slice at
+        # offset 0 returns the ring; count + 0), and emits no row
+        out_n = (jnp.asarray(valid_len, jnp.int32) > 0).astype(jnp.int32)
+        return (
+            {"stft": stft, "ring": ring, "count": count},
+            logits[None],
+            out_n,
+        )
+
+    def _finalize_impl(self, state: dict):
+        feats, n = self._stream._finalize_impl(state["stft"])
+        _, _, logits = self._tick_impl(state["ring"], state["count"], feats, n)
+        return logits[None], jnp.int32(1)
+
 
 # the jitted optimizer step is generic across families; see models._common
 make_train_step = _make_train_step

@@ -350,6 +350,49 @@ def test_streaming_kws_validates_config():
         StreamingKWS(model, params, window_frames=0, chunk_size=800)
 
 
+def test_streaming_kws_pools_in_streampool():
+    """StreamingKWS honors the StreamPool streamer contract: N concurrent
+    KWS sessions tick through one vmapped program, and each session's
+    final (close) logits row equals the batch model on its full signal."""
+    from speech_tpu.models.kws import StreamingKWS
+    from speech_tpu.serve import StreamPool
+
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(8),
+        params["classifier"]["head"]["w"].shape,
+        dtype=jnp.float64,
+    )
+    skws = StreamingKWS(model, params, window_frames=200, chunk_size=640)
+    pool = StreamPool(skws, slots=4)
+    rng = np.random.RandomState(31)
+    sig_lens = [1920, 1280, 2560]
+    sigs = [rng.randn(n) for n in sig_lens]
+    handles = [pool.open() for _ in sigs]
+    # feed in uneven pieces (the pool masks partial chunks)
+    for h, sig in zip(handles, sigs):
+        pool.feed(h, sig[: len(sig) // 2])
+    ticks = dict(pool.step(max_chunks=4))
+    for h, sig in zip(handles, sigs):
+        pool.feed(h, sig[len(sig) // 2 :])
+    closed = dict(pool.close_many(handles))
+    for h, sig in zip(handles, sigs):
+        want = np.asarray(
+            model.apply(
+                params,
+                consts,
+                jnp.asarray(sig)[None],
+                jnp.asarray([len(sig)], jnp.int32),
+            )
+        )[0]
+        rows = [r for r in (ticks.get(h), closed.get(h)) if r is not None]
+        final = np.asarray(np.concatenate(rows, axis=0))[-1]
+        np.testing.assert_allclose(final, want, atol=1e-9)
+    # mid-stream tick rows have the right width
+    assert all(r.shape[1] == model.num_classes for r in ticks.values())
+
+
 def test_streaming_kws_rejects_frontends_without_export():
     from speech_tpu.filters import GaborFilterBank
     from speech_tpu.models.kws import StreamingKWS
