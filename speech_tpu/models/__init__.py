@@ -32,6 +32,7 @@ from .ctc import (  # noqa: F401
 from .presets import PRESETS, create, preset_config  # noqa: F401
 from .speaker import (  # noqa: F401
     SpeakerModel,
+    StreamingSpeaker,
     TDNNEncoder,
     aam_softmax_loss,
     cosine_scores,
@@ -50,6 +51,7 @@ __all__ = [
     "KWSModel",
     "SpeakerModel",
     "StreamingKWS",
+    "StreamingSpeaker",
     "TDNNEncoder",
     "TransformerEncoder",
     "aam_softmax_loss",

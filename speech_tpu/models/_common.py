@@ -21,7 +21,121 @@ __all__ = [
     "he_conv_init",
     "masked_conv_block",
     "make_train_step",
+    "SlidingWindowStream",
 ]
+
+
+class SlidingWindowStream:
+    """Chunked frontend -> ring of the last ``window_frames`` frames ->
+    a per-tick score over the masked window.
+
+    The shared machinery behind online model deployment
+    (:class:`~speech_tpu.models.kws.StreamingKWS` scores classifier
+    logits; :class:`~speech_tpu.models.speaker.StreamingSpeaker` scores
+    embeddings).  All shapes are static under ``jit``: the ring update and
+    the window re-alignment are single contiguous ``dynamic_slice`` ops
+    (TPU-friendly; no gathers), and fewer-than-window frames mask exactly
+    like the batch path, so once ``window_frames`` covers the whole
+    utterance the finalize-tick score equals the batch model on the full
+    signal to roundoff.
+
+    Subclasses implement ``_score(window, v) -> (K,)`` over one
+    left-aligned ``(window_frames, num_coeffs)`` window with ``v`` valid
+    leading rows.
+
+    Also honors the :class:`~speech_tpu.serve.StreamPool` streamer
+    contract (``init_state`` / ``_process_impl`` / ``_finalize_impl``
+    with valid-0 bitwise no-op steps), so ``StreamPool(stream, slots=N)``
+    multiplexes N concurrent sessions through one vmapped,
+    occupancy-tiered device tick — each tick emitting a single ``(1, K)``
+    score row for the window after the newly consumed audio (a k-chunk
+    wide drain scores once, after all k chunks).
+    """
+
+    def __init__(self, computer, *, window_frames: int, chunk_size: int,
+                 dtype):
+        from ..streaming import StreamingSTFT
+
+        if window_frames < 1:
+            raise ValueError(
+                f"window_frames must be positive, got {window_frames}"
+            )
+        self.window_frames = int(window_frames)
+        self._stream = StreamingSTFT(computer, chunk_size)
+        self.chunk_size = self._stream.chunk_size
+        self.num_coeffs = int(computer.num_coeffs)
+        self._dtype = dtype
+        self._tick = jax.jit(self._tick_impl)
+
+    def _score(self, window, v):
+        raise NotImplementedError  # pragma: no cover - subclass contract
+
+    def init_state(self) -> dict:
+        return {
+            "stft": self._stream.init_state(),
+            "ring": jnp.zeros(
+                (self.window_frames, self.num_coeffs), dtype=self._dtype
+            ),
+            "count": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def _tick_impl(self, ring, count, feats, n):
+        W = self.window_frames
+        feats = feats.astype(self._dtype)
+        appended = jnp.concatenate([ring, feats], axis=0)
+        # rows [W + n, W + M) of `appended` are garbage emitted past the
+        # valid count; the new ring slice [n, n + W) ends exactly at the
+        # last valid row, and the scoring window is left-aligned so the
+        # score's first-v-rows mask matches the batch semantics
+        ring = jax.lax.dynamic_slice(
+            appended, (n, jnp.int32(0)), (W, self.num_coeffs)
+        )
+        count = count + n
+        v = jnp.minimum(count, W)
+        # left-align the v valid rows (the ring's tail); the zero
+        # extension keeps the slice in bounds for every v without clamping
+        padded = jnp.concatenate([ring, jnp.zeros_like(ring)], axis=0)
+        window = jax.lax.dynamic_slice(
+            padded, (W - v, jnp.int32(0)), (W, self.num_coeffs)
+        )
+        return ring, count, self._score(window, v)
+
+    def process(self, state: dict, chunk, valid_len=None):
+        """Feed one chunk; returns ``(state, score)`` for the new window."""
+        stft, feats, n = self._stream.process(state["stft"], chunk, valid_len)
+        ring, count, score = self._tick(
+            state["ring"], state["count"], feats, n
+        )
+        return {"stft": stft, "ring": ring, "count": count}, score
+
+    def finalize(self, state: dict):
+        """Flush the stream tail; returns the final-window score."""
+        feats, n = self._stream.finalize(state["stft"])
+        _, _, score = self._tick(state["ring"], state["count"], feats, n)
+        return score
+
+    # -- StreamPool streamer contract -----------------------------------
+
+    def _process_impl(self, state: dict, chunk, valid_len):
+        stft, feats, n = self._stream._process_impl(
+            state["stft"], chunk, valid_len
+        )
+        ring, count, score = self._tick_impl(
+            state["ring"], state["count"], feats, n
+        )
+        # a 0-valid step leaves ring/count bitwise unchanged (slice at
+        # offset 0 returns the ring; count + 0), and emits no row
+        out_n = (jnp.asarray(valid_len, jnp.int32) > 0).astype(jnp.int32)
+        return (
+            {"stft": stft, "ring": ring, "count": count},
+            score[None],
+            out_n,
+        )
+
+    def _finalize_impl(self, state: dict):
+        feats, n = self._stream._finalize_impl(state["stft"])
+        _, _, score = self._tick_impl(state["ring"], state["count"], feats, n)
+        return score[None], jnp.int32(1)
 
 
 def valid_mask(total: int, counts):

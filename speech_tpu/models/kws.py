@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ._common import (
+    SlidingWindowStream,
     he_conv_init,
     make_train_step as _make_train_step,
     masked_conv_block,
@@ -244,7 +245,7 @@ class KWSModel:
         return loss, {"accuracy": acc, "logits": logits}
 
 
-class StreamingKWS:
+class StreamingKWS(SlidingWindowStream):
     """Online sliding-window scoring of a trained :class:`KWSModel`.
 
     The trained STFT frontend is baked into a host computer
@@ -252,13 +253,13 @@ class StreamingKWS:
     :class:`~speech_tpu.streaming.StreamingSTFT` emits features chunk by
     chunk; a ring of the last ``window_frames`` frames is re-scored by the
     conv classifier on every tick — the standard low-latency keyword-
-    spotting deployment.  All shapes are static under ``jit``: the ring
-    update and the window re-alignment are single contiguous
-    ``dynamic_slice`` ops (TPU-friendly; no gathers), and fewer-than-window
-    frames mask exactly like the batch path, so once ``window_frames``
-    covers the whole utterance the finalize-tick logits equal
-    ``model.apply`` on the full signal to roundoff (the window-W and
-    batch-T mean-pool/GEMM reductions group differently; ~1e-9 in f64).
+    spotting deployment.  Once ``window_frames`` covers the whole
+    utterance the finalize-tick logits equal ``model.apply`` on the full
+    signal to roundoff (the window-W and batch-T mean-pool/GEMM reductions
+    group differently; ~1e-9 in f64).  See
+    :class:`~speech_tpu.models._common.SlidingWindowStream` for the tick
+    mechanics and the :class:`~speech_tpu.serve.StreamPool` contract
+    (``StreamPool(skws, slots=N)`` serves N concurrent sessions).
 
     Streaming deployment requires a frontend that can be baked back into a
     host computer (``export_computer``) — i.e. :class:`~speech_tpu.nn.
@@ -283,110 +284,30 @@ class StreamingKWS:
         window_frames: int,
         chunk_size: int,
     ):
-        from ..streaming import StreamingSTFT
-
-        if window_frames < 1:
-            raise ValueError(
-                f"window_frames must be positive, got {window_frames}"
-            )
-        self.model = model
-        self.window_frames = int(window_frames)
         if not hasattr(model.frontend, "export_computer"):
             raise ValueError(
                 "StreamingKWS needs a frontend with export_computer (an "
                 "STFTFrontend); "
                 f"{type(model.frontend).__name__} has no streaming export"
             )
-        computer = model.frontend.export_computer(params["frontend"])
-        self._stream = StreamingSTFT(computer, chunk_size)
-        self.chunk_size = self._stream.chunk_size
-        self.num_coeffs = int(computer.num_coeffs)
+        self.model = model
+        self._clf_params = params["classifier"]
+        super().__init__(
+            model.frontend.export_computer(params["frontend"]),
+            window_frames=window_frames,
+            chunk_size=chunk_size,
+            dtype=model.dtype,
+        )
         if self.num_coeffs != model.classifier.feature_dim:
             raise ValueError(
                 f"classifier expects {model.classifier.feature_dim} "
                 f"coefficients, computer produces {self.num_coeffs}"
             )
-        self._clf_params = params["classifier"]
-        self._dtype = model.dtype
-        self._tick = jax.jit(self._tick_impl)
 
-    def init_state(self):
-        return {
-            "stft": self._stream.init_state(),
-            "ring": jnp.zeros(
-                (self.window_frames, self.num_coeffs), dtype=self._dtype
-            ),
-            "count": jnp.zeros((), dtype=jnp.int32),
-        }
-
-    def _tick_impl(self, ring, count, feats, n):
-        W = self.window_frames
-        feats = feats.astype(self._dtype)
-        appended = jnp.concatenate([ring, feats], axis=0)
-        # rows [W + n, W + M) of `appended` are garbage emitted past the
-        # valid count; the new ring slice [n, n + W) ends exactly at the
-        # last valid row, and the scoring window is left-aligned so the
-        # classifier's first-v-rows mask matches the batch semantics
-        ring = jax.lax.dynamic_slice(
-            appended, (n, jnp.int32(0)), (W, self.num_coeffs)
-        )
-        count = count + n
-        v = jnp.minimum(count, W)
-        # left-align the v valid rows (the ring's tail) for the classifier's
-        # first-v-rows mask; the zero extension keeps the slice in bounds
-        # for every v without clamping
-        padded = jnp.concatenate([ring, jnp.zeros_like(ring)], axis=0)
-        window = jax.lax.dynamic_slice(
-            padded, (W - v, jnp.int32(0)), (W, self.num_coeffs)
-        )
-        logits = self.model.classifier.apply(
+    def _score(self, window, v):
+        return self.model.classifier.apply(
             self._clf_params, window[None], v[None]
         )[0]
-        return ring, count, logits
-
-    def process(self, state: dict, chunk, valid_len=None):
-        """Feed one chunk; returns ``(state, logits)`` for the new window."""
-        stft, feats, n = self._stream.process(state["stft"], chunk, valid_len)
-        ring, count, logits = self._tick(
-            state["ring"], state["count"], feats, n
-        )
-        return {"stft": stft, "ring": ring, "count": count}, logits
-
-    def finalize(self, state: dict):
-        """Flush the stream tail; returns the final-window logits."""
-        feats, n = self._stream.finalize(state["stft"])
-        _, _, logits = self._tick(state["ring"], state["count"], feats, n)
-        return logits
-
-    # -- StreamPool streamer contract -----------------------------------
-    # StreamingKWS honors the pool's duck-typed streamer interface
-    # (init_state / _process_impl / _finalize_impl with valid-0 bitwise
-    # no-op steps), so ``serve.StreamPool(skws, slots=N)`` multiplexes N
-    # concurrent keyword-spotting sessions through one vmapped,
-    # occupancy-tiered device tick — each tick "emits" a single
-    # (1, num_classes) logits row for the window after the newly consumed
-    # audio (a k-chunk wide drain scores once, after all k chunks).
-
-    def _process_impl(self, state: dict, chunk, valid_len):
-        stft, feats, n = self._stream._process_impl(
-            state["stft"], chunk, valid_len
-        )
-        ring, count, logits = self._tick_impl(
-            state["ring"], state["count"], feats, n
-        )
-        # a 0-valid step leaves ring/count bitwise unchanged (slice at
-        # offset 0 returns the ring; count + 0), and emits no row
-        out_n = (jnp.asarray(valid_len, jnp.int32) > 0).astype(jnp.int32)
-        return (
-            {"stft": stft, "ring": ring, "count": count},
-            logits[None],
-            out_n,
-        )
-
-    def _finalize_impl(self, state: dict):
-        feats, n = self._stream._finalize_impl(state["stft"])
-        _, _, logits = self._tick_impl(state["ring"], state["count"], feats, n)
-        return logits[None], jnp.int32(1)
 
 
 # the jitted optimizer step is generic across families; see models._common

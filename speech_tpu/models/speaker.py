@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ._common import (
+    SlidingWindowStream,
     he_conv_init,
     make_train_step as _make_train_step,
     masked_conv_block,
@@ -45,6 +46,7 @@ from .kws import _frontend_dim, load_params, save_params  # noqa: F401
 __all__ = [
     "TDNNEncoder",
     "SpeakerModel",
+    "StreamingSpeaker",
     "aam_softmax_loss",
     "cosine_scores",
     "make_train_step",
@@ -258,6 +260,67 @@ class SpeakerModel:
             (jnp.argmax(cos, axis=-1) == labels).astype(cos.dtype)
         )
         return loss, {"accuracy": acc, "embeddings": embeddings}
+
+
+class StreamingSpeaker(SlidingWindowStream):
+    """Online speaker embedding over a sliding window of recent frames.
+
+    The trained STFT frontend is exported to a host computer and streamed
+    chunk by chunk; every tick re-embeds the last ``window_frames`` frames
+    through the TDNN + stats pooling + embedding stack — the standard
+    online speaker-tracking / diarization deployment.  Once
+    ``window_frames`` covers the whole utterance the finalize-tick
+    embedding equals :meth:`SpeakerModel.embed` on the full signal to
+    roundoff.  See :class:`~speech_tpu.models._common.SlidingWindowStream`
+    for the tick mechanics and the :class:`~speech_tpu.serve.StreamPool`
+    contract (``StreamPool(stream, slots=N)`` tracks N concurrent
+    sessions).
+
+    Example::
+
+        ss = StreamingSpeaker(model, params, window_frames=300,
+                              chunk_size=1600)
+        state = ss.init_state()
+        for chunk in chunks:
+            state, emb = ss.process(state, chunk)    # rolling embedding
+        emb = ss.finalize(state)
+    """
+
+    def __init__(
+        self,
+        model: SpeakerModel,
+        params: dict,
+        *,
+        window_frames: int,
+        chunk_size: int,
+    ):
+        if not hasattr(model.frontend, "export_computer"):
+            raise ValueError(
+                "StreamingSpeaker needs a frontend with export_computer "
+                "(an STFTFrontend); "
+                f"{type(model.frontend).__name__} has no streaming export"
+            )
+        self.model = model
+        self._params = params
+        super().__init__(
+            model.frontend.export_computer(params["frontend"]),
+            window_frames=window_frames,
+            chunk_size=chunk_size,
+            dtype=model.dtype,
+        )
+        if self.num_coeffs != model.encoder.feature_dim:
+            raise ValueError(
+                f"encoder expects {model.encoder.feature_dim} "
+                f"coefficients, computer produces {self.num_coeffs}"
+            )
+
+    def _score(self, window, v):
+        hidden = self.model.encoder.apply(
+            self._params["encoder"], window[None], v[None]
+        )
+        pooled = _stats_pool(hidden, v[None], self.model.eps)
+        emb = self._params["embed"]
+        return (pooled @ emb["w"] + emb["b"])[0]
 
 
 def _normalized_cos(embeddings, class_weights, eps: float):

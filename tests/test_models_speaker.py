@@ -269,6 +269,59 @@ def test_freeze_frontend_zeroes_frontend_grads():
     )
 
 
+def test_streaming_speaker_matches_batch_at_full_window():
+    from speech_tpu.models.speaker import StreamingSpeaker
+
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(2))
+    signals, lengths, _ = _speaker_batch(RNG, 1, max_len=3200)
+    sig = np.asarray(signals)[0][: int(lengths[0])]
+    want = np.asarray(
+        model.embed(
+            params,
+            consts,
+            jnp.asarray(sig)[None],
+            jnp.asarray([len(sig)], jnp.int32),
+        )
+    )[0]
+    ss = StreamingSpeaker(model, params, window_frames=200, chunk_size=800)
+    state = ss.init_state()
+    for start in range(0, len(sig), 800):
+        chunk = np.zeros(800)
+        piece = sig[start : start + 800]
+        chunk[: len(piece)] = piece
+        state, emb = ss.process(state, jnp.asarray(chunk), len(piece))
+    final = np.asarray(ss.finalize(state))
+    np.testing.assert_allclose(final, want, atol=1e-9)
+
+
+def test_streaming_speaker_pools_and_validates():
+    from speech_tpu.models.speaker import StreamingSpeaker
+    from speech_tpu.serve import StreamPool
+
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(2))
+    ss = StreamingSpeaker(model, params, window_frames=100, chunk_size=640)
+    pool = StreamPool(ss, slots=2)
+    sig = np.asarray(_speaker_batch(RNG, 1, max_len=1920)[0])[0]
+    h = pool.open()
+    pool.feed(h, sig)
+    closed = dict(pool.close_many([h]))
+    want = np.asarray(
+        model.embed(
+            params,
+            consts,
+            jnp.asarray(sig)[None],
+            jnp.asarray([len(sig)], jnp.int32),
+        )
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(closed[h])[-1], want, atol=1e-9
+    )
+    with pytest.raises(ValueError):
+        StreamingSpeaker(model, params, window_frames=0, chunk_size=640)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model = _model()
     params, consts = model.init(jax.random.PRNGKey(0))
