@@ -393,6 +393,55 @@ def test_streaming_kws_pools_in_streampool():
     assert all(r.shape[1] == model.num_classes for r in ticks.values())
 
 
+def test_streaming_kws_behind_stream_server():
+    """The thread-safe StreamServer serves StreamingKWS directly: feeds
+    from worker threads, logits rows delivered per tick, final row ==
+    the batch model."""
+    import threading
+
+    from speech_tpu.models.kws import StreamingKWS
+    from speech_tpu.serve import StreamServer
+
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(8),
+        params["classifier"]["head"]["w"].shape,
+        dtype=jnp.float64,
+    )
+    skws = StreamingKWS(model, params, window_frames=200, chunk_size=640)
+    rng = np.random.RandomState(77)
+    sigs = [rng.randn(n) for n in (1920, 1280)]
+    with StreamServer(skws, slots=4, tick_chunks=4) as server:
+        handles = [server.open_session() for _ in sigs]
+
+        def feeder(h, sig):
+            for s in range(0, len(sig), 500):
+                server.feed(h, sig[s : s + 500])
+
+        threads = [
+            threading.Thread(target=feeder, args=(h, sig))
+            for h, sig in zip(handles, sigs)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for h, sig in zip(handles, sigs):
+            server.close_session(h)
+            rows = np.concatenate(list(server.iter_results(h)), axis=0)
+            want = np.asarray(
+                model.apply(
+                    params,
+                    consts,
+                    jnp.asarray(sig)[None],
+                    jnp.asarray([len(sig)], jnp.int32),
+                )
+            )[0]
+            assert rows.shape[1] == model.num_classes
+            np.testing.assert_allclose(rows[-1], want, atol=1e-9)
+
+
 def test_streaming_kws_rejects_frontends_without_export():
     from speech_tpu.filters import GaborFilterBank
     from speech_tpu.models.kws import StreamingKWS

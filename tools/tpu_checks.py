@@ -871,6 +871,63 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
         time.time() - t0,
     )
 
+    # Pooled KWS serving: StreamingKWS through StreamPool (the
+    # occupancy-tiered vmapped tick) — each session's close-row logits
+    # must match the batch model on its full signal (two independently
+    # compiled f32 programs; conv/pool amplifies the ~2e-5 feature-level
+    # reduction-order drift by ~1 order)
+    t0 = time.time()
+    from speech_tpu.models.kws import StreamingKWS
+    from speech_tpu.serve import StreamPool
+
+    pk_rng = np.random.RandomState(14)
+    k_params2 = dict(k_params2)
+    k_params2["classifier"] = dict(k_params2["classifier"])
+    k_params2["classifier"]["head"] = {
+        "w": jnp.asarray(
+            0.1
+            * pk_rng.randn(
+                *np.asarray(k_params2["classifier"]["head"]["w"]).shape
+            ),
+            jnp.float32,
+        ),
+        "b": k_params2["classifier"]["head"]["b"],
+    }
+    skws = StreamingKWS(
+        kws, k_params2, window_frames=64, chunk_size=RATE // 10
+    )
+    kp_pool = StreamPool(skws, slots=4)
+    kp_sigs = [
+        np.asarray(sigs32[i][: RATE // 2] / np.float32(32768.0), np.float32)
+        for i in range(3)
+    ]
+    kp_handles = [kp_pool.open() for _ in kp_sigs]
+    for h, s in zip(kp_handles, kp_sigs):
+        kp_pool.feed(h, s[: len(s) // 2])
+    kp_mid = dict(kp_pool.step(max_chunks=4))
+    for h, s in zip(kp_handles, kp_sigs):
+        kp_pool.feed(h, s[len(s) // 2 :])
+    kp_closed = dict(kp_pool.close_many(kp_handles))
+    err = 0.0
+    for h, s in zip(kp_handles, kp_sigs):
+        want = np.asarray(
+            kws.apply(
+                k_params2,
+                k_consts,
+                jnp.asarray(s)[None],
+                jnp.asarray([len(s)], jnp.int32),
+            )
+        )[0]
+        rows = [
+            r for r in (kp_mid.get(h), kp_closed.get(h)) if r is not None
+        ]
+        got = np.concatenate(rows, axis=0)[-1]
+        scale = max(float(np.abs(want).max()), 1e-6)
+        err = max(err, float(np.abs(got - want).max()) / scale)
+    battery.check(
+        "pooled kws == batch model", err, 1e-3, time.time() - t0
+    )
+
     n_fail = len(battery.failures)
     print(
         f"tpu_checks: {'OK' if not n_fail else 'FAILED'} "
