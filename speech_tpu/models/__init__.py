@@ -17,6 +17,7 @@ from ..compute import (  # noqa: F401
     frame_by_frame_calculation,
 )
 from ..nn import STFTFrontend  # noqa: F401
+from .checkpoint import TrainCheckpointer  # noqa: F401
 from .kws import (  # noqa: F401
     ConvClassifier,
     KWSModel,
@@ -53,6 +54,7 @@ __all__ = [
     "StreamingKWS",
     "StreamingSpeaker",
     "TDNNEncoder",
+    "TrainCheckpointer",
     "TransformerEncoder",
     "aam_softmax_loss",
     "beam_search_decode",

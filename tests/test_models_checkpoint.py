@@ -1,0 +1,154 @@
+"""Train-state checkpoint/resume (models.checkpoint, orbax-backed).
+
+The reference has no training loop and therefore no train-state
+checkpointing (its persistence surface is the CMVN stats file,
+reference post.py:107-116).  The contract these tests pin down: a run
+interrupted after step k and resumed from the checkpoint produces
+bit-identical params to the uninterrupted run (params AND optimizer
+moments round-trip exactly), rotation keeps only the newest
+``max_to_keep`` steps, ``extra`` loop metadata round-trips, and a
+mesh-sharded template restores directly onto the mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from speech_tpu.compute import STFTFrameComputer
+from speech_tpu.models import TrainCheckpointer
+from speech_tpu.models.kws import KWSModel, make_train_step
+from speech_tpu.nn import STFTFrontend
+
+RNG = np.random.RandomState(4321)
+
+
+def _model():
+    computer = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 8, "sampling_rate": 8000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        dtype="float64",
+    )
+    return KWSModel(
+        STFTFrontend(computer, dtype=jnp.float64),
+        num_classes=2,
+        channels=(8,),
+        kernel_width=3,
+    )
+
+
+def _batch(rng, batch=8, max_len=1600, sr=8000):
+    signals = np.zeros((batch, max_len))
+    lengths = rng.randint(max_len // 2, max_len + 1, size=batch)
+    labels = rng.randint(0, 2, size=batch)
+    t = np.arange(max_len) / sr
+    for i in range(batch):
+        freq = rng.uniform(*((200.0, 600.0) if labels[i] == 0 else (1500.0, 3200.0)))
+        sig = np.sin(2 * np.pi * freq * t) + 0.1 * rng.randn(max_len)
+        sig[lengths[i]:] = 0.0
+        signals[i] = sig
+    return signals, lengths, labels
+
+
+def _tree_equal(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_resume_matches_uninterrupted_run_bitwise(tmp_path):
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_train_step(model, consts, tx)
+
+    batches = [_batch(np.random.RandomState(100 + i)) for i in range(5)]
+
+    # uninterrupted run: 5 steps
+    p_ref = jax.tree_util.tree_map(jnp.copy, params)
+    o_ref = jax.tree_util.tree_map(jnp.copy, opt_state)
+    for b in batches:
+        p_ref, o_ref, _ = step(p_ref, o_ref, *b)
+
+    # interrupted run: 3 steps, checkpoint, then resume into FRESH state
+    p, o = params, opt_state
+    for b in batches[:3]:
+        p, o, _ = step(p, o, *b)
+    with TrainCheckpointer(str(tmp_path / "ckpt")) as ckpt:
+        ckpt.save(3, p, o, extra={"epoch": np.int64(1)})
+
+    model2 = _model()
+    params2, consts2 = model2.init(jax.random.PRNGKey(99))  # different init
+    opt2 = tx.init(params2)
+    with TrainCheckpointer(str(tmp_path / "ckpt")) as ckpt:
+        at, p2, o2, extra = ckpt.restore(
+            like=(params2, opt2), extra_like={"epoch": np.int64(0)}
+        )
+    assert at == 3
+    assert int(extra["epoch"]) == 1
+    assert jax.tree_util.tree_structure(o2) == jax.tree_util.tree_structure(opt2)
+
+    step2 = make_train_step(model2, consts2, tx)
+    for b in batches[3:]:
+        p2, o2, _ = step2(p2, o2, *b)
+    _tree_equal(p_ref, p2)
+    _tree_equal(o_ref, o2)
+
+
+def test_rotation_and_latest(tmp_path):
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(1))
+    tx = optax.sgd(1e-2)
+    opt = tx.init(params)
+    with TrainCheckpointer(str(tmp_path / "ck"), max_to_keep=2) as ckpt:
+        assert ckpt.latest_step() is None
+        for s in (1, 2, 3):
+            ckpt.save(s, params, opt)
+        assert ckpt.latest_step() == 3
+        assert ckpt.all_steps() == [2, 3]
+        at, *_ = ckpt.restore(like=(params, opt), step=2)
+        assert at == 2
+        with pytest.raises(Exception):
+            ckpt.restore(like=(params, opt), step=1)  # rotated away
+
+
+def test_restore_missing_raises(tmp_path):
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(2))
+    tx = optax.sgd(1e-2)
+    with TrainCheckpointer(str(tmp_path / "empty")) as ckpt:
+        with pytest.raises(FileNotFoundError):
+            ckpt.restore(like=(params, tx.init(params)))
+
+
+def test_restore_onto_mesh_sharding(tmp_path):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_tpu.parallel import make_mesh
+
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(3))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    with TrainCheckpointer(str(tmp_path / "mesh")) as ckpt:
+        ckpt.save(7, params, opt)
+
+    mesh = make_mesh(("data",))
+    rep = NamedSharding(mesh, P())
+    like = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=rep),
+        (params, opt),
+    )
+    with TrainCheckpointer(str(tmp_path / "mesh")) as ckpt:
+        at, p2, o2, _ = ckpt.restore(like=like)
+    assert at == 7
+    leaf = jax.tree_util.tree_leaves(p2)[0]
+    assert leaf.sharding == rep
+    _tree_equal(params, p2)
+    _tree_equal(opt, o2)
