@@ -126,6 +126,29 @@ def test_utils_compat_reexports():
     assert utils.read_signal is not None and utils.wds_read_signal is not None
 
 
+def test_util_module_name_alias():
+    """`speech_tpu.util` keeps the reference's module name importable
+    (reference: src/pydrobert/speech/util.py) — every public name of the
+    reference module resolves on it."""
+    from speech_tpu import util
+
+    for name in (
+        "alias_factory_subclass_from_arg",
+        "angular_to_hertz",
+        "circshift_fourier",
+        "gauss_quant",
+        "hertz_to_angular",
+        "read_signal",
+        "wds_read_signal",
+    ):
+        assert callable(getattr(util, name)), name
+    from speech_tpu import io as _io
+    from speech_tpu import utils as _utils
+
+    assert util.gauss_quant is _utils.gauss_quant
+    assert util.read_signal is _io.read_signal
+
+
 def test_log32_gradient_exact():
     """log32's bit-split blocks autodiff, so it carries a custom JVP with
     the exact derivative 1/x — both AD directions must produce it
