@@ -118,6 +118,23 @@ def test_rotation_and_latest(tmp_path):
             ckpt.restore(like=(params, opt), step=1)  # rotated away
 
 
+def test_async_save_overlaps_then_restores(tmp_path):
+    """``async_save=True`` returns before the files are durable; ``wait()``
+    makes them so, after which restore round-trips exactly."""
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(5))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    with TrainCheckpointer(str(tmp_path / "async"), async_save=True) as ckpt:
+        ckpt.save(11, params, opt)
+        ckpt.wait()
+        assert ckpt.latest_step() == 11
+        at, p2, o2, _ = ckpt.restore(like=(params, opt))
+    assert at == 11
+    _tree_equal(params, p2)
+    _tree_equal(opt, o2)
+
+
 def test_restore_missing_raises(tmp_path):
     model = _model()
     params, _ = model.init(jax.random.PRNGKey(2))
