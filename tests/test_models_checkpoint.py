@@ -101,6 +101,35 @@ def test_resume_matches_uninterrupted_run_bitwise(tmp_path):
     _tree_equal(o_ref, o2)
 
 
+def test_chained_optimizer_state_roundtrip(tmp_path):
+    """Production optimizers are chains (clipping + adamw + schedule); the
+    schedule's inner step count and every moment must survive the
+    round-trip or a resumed run silently restarts its LR schedule."""
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(4))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(1e-3, 100), weight_decay=1e-4),
+    )
+    opt = tx.init(params)
+    step = make_train_step(model, consts, tx)
+    b = _batch(np.random.RandomState(7))
+    for _ in range(3):
+        params, opt, _ = step(params, opt, *b)
+
+    with TrainCheckpointer(str(tmp_path / "chain")) as ckpt:
+        ckpt.save(3, params, opt)
+        _, p2, o2, _ = ckpt.restore(like=(model.init(jax.random.PRNGKey(8))[0], tx.init(params)))
+    _tree_equal(params, p2)
+    _tree_equal(opt, o2)  # includes adamw mu/nu and the schedule count
+
+    # one more step from each agrees bit-exactly
+    p_a, o_a, _ = step(params, opt, *b)
+    p_b, o_b, _ = make_train_step(model, consts, tx)(p2, o2, *b)
+    _tree_equal(p_a, p_b)
+    _tree_equal(o_a, o_b)
+
+
 def test_rotation_and_latest(tmp_path):
     model = _model()
     params, _ = model.init(jax.random.PRNGKey(1))
