@@ -86,6 +86,9 @@ class TrainCheckpointer:
                 max_to_keep=max_to_keep,
                 enable_async_checkpointing=async_save,
             ),
+            # lets a fresh manager read tree metadata (restore_params)
+            # without having saved/restored through it first
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     # -- writing -----------------------------------------------------------
@@ -152,6 +155,41 @@ class TrainCheckpointer:
             restored["opt_state"],
             restored.get("extra"),
         )
+
+    def restore_params(self, like: Any, step: Optional[int] = None):
+        """Load only the trained ``params`` (for serving/eval hand-off).
+
+        ``like`` is the params template alone — no optimizer or ``tx`` is
+        needed, which is exactly the situation at serving time.  The
+        optimizer-state/extra subtrees are reconstructed as anonymous
+        abstract leaves from the checkpoint's own metadata and discarded.
+        """
+        if step is None:
+            step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self._mgr.directory}"
+                )
+        meta = self._mgr.item_metadata(int(step))
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        host = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = {
+            key: (
+                _abstractify(like)
+                if key == "params"
+                else jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=host
+                    ),
+                    tree[key],
+                )
+            )
+            for key in tree
+        }
+        restored = self._mgr.restore(
+            int(step), args=self._ocp.args.StandardRestore(abstract)
+        )
+        return restored["params"]
 
     # -- lifecycle ---------------------------------------------------------
 

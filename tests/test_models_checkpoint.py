@@ -164,6 +164,28 @@ def test_async_save_overlaps_then_restores(tmp_path):
     _tree_equal(opt, o2)
 
 
+def test_restore_params_only_without_optimizer(tmp_path):
+    """Serving-time hand-off: restore just the trained params from a full
+    train checkpoint with no ``tx``/opt-state template in sight."""
+    model = _model()
+    params, consts = model.init(jax.random.PRNGKey(6))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    step = make_train_step(model, consts, tx)
+    b = _batch(np.random.RandomState(11))
+    params, opt, _ = step(params, opt, *b)
+    with TrainCheckpointer(str(tmp_path / "po")) as ckpt:
+        ckpt.save(1, params, opt, extra={"epoch": np.int64(3)})
+
+    fresh, _ = _model().init(jax.random.PRNGKey(12))
+    with TrainCheckpointer(str(tmp_path / "po")) as ckpt:
+        p2 = ckpt.restore_params(like=fresh)
+    _tree_equal(params, p2)
+    # restored params drive inference directly
+    logits = model.apply(p2, consts, b[0], b[1])
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
 def test_restore_missing_raises(tmp_path):
     model = _model()
     params, _ = model.init(jax.random.PRNGKey(2))
