@@ -140,14 +140,23 @@ class TrainCheckpointer:
                     f"no checkpoints under {self._mgr.directory}"
                 )
         template = {
-            "params": like[0],
-            "opt_state": like[1],
+            "params": _abstractify(like[0]),
+            "opt_state": _abstractify(like[1]),
         }
         if extra_like is not None:
-            template["extra"] = extra_like
+            template["extra"] = _abstractify(extra_like)
+        else:
+            # the checkpoint may still carry an "extra" subtree; orbax
+            # restore needs the full saved structure, so reconstruct it
+            # from the checkpoint's own metadata rather than erroring
+            tree = self._metadata_tree(step)
+            if tree is not None and "extra" in tree:
+                template["extra"] = self._abstract_from_metadata(
+                    tree["extra"]
+                )
         restored = self._mgr.restore(
             int(step),
-            args=self._ocp.args.StandardRestore(_abstractify(template)),
+            args=self._ocp.args.StandardRestore(template),
         )
         return (
             int(step),
@@ -170,19 +179,12 @@ class TrainCheckpointer:
                 raise FileNotFoundError(
                     f"no checkpoints under {self._mgr.directory}"
                 )
-        meta = self._mgr.item_metadata(int(step))
-        tree = meta.tree if hasattr(meta, "tree") else meta
-        host = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        tree = self._metadata_tree(step)
         abstract = {
             key: (
                 _abstractify(like)
                 if key == "params"
-                else jax.tree_util.tree_map(
-                    lambda x: jax.ShapeDtypeStruct(
-                        x.shape, x.dtype, sharding=host
-                    ),
-                    tree[key],
-                )
+                else self._abstract_from_metadata(tree[key])
             )
             for key in tree
         }
@@ -190,6 +192,21 @@ class TrainCheckpointer:
             int(step), args=self._ocp.args.StandardRestore(abstract)
         )
         return restored["params"]
+
+    def _metadata_tree(self, step: int):
+        """The on-disk pytree metadata for ``step`` (shapes/dtypes)."""
+        meta = self._mgr.item_metadata(int(step))
+        return meta.tree if hasattr(meta, "tree") else meta
+
+    @staticmethod
+    def _abstract_from_metadata(subtree):
+        """Metadata subtree -> abstract leaves (explicit host sharding so
+        restore never warns about missing sharding info)."""
+        host = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=host),
+            subtree,
+        )
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -164,6 +164,22 @@ def test_async_save_overlaps_then_restores(tmp_path):
     _tree_equal(opt, o2)
 
 
+def test_restore_without_extra_template_still_works(tmp_path):
+    """A checkpoint saved WITH ``extra`` restores fine when the caller
+    forgets ``extra_like`` — the extra subtree comes back reconstructed
+    from checkpoint metadata instead of raising a structure mismatch."""
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(10))
+    tx = optax.sgd(1e-2)
+    opt = tx.init(params)
+    with TrainCheckpointer(str(tmp_path / "ne")) as ckpt:
+        ckpt.save(2, params, opt, extra={"epoch": np.int64(4)})
+        at, p2, o2, extra = ckpt.restore(like=(params, opt))
+    assert at == 2 and int(extra["epoch"]) == 4
+    _tree_equal(params, p2)
+    _tree_equal(opt, o2)
+
+
 def test_restore_params_only_without_optimizer(tmp_path):
     """Serving-time hand-off: restore just the trained params from a full
     train checkpoint with no ``tx``/opt-state template in sight."""
