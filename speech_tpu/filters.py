@@ -200,7 +200,7 @@ class TriangularOverlappingFilterBank(LinearFilterBank):
         # 1 Hz of leeway for float/serialization slop (reference:292-297)
         if not (0 <= low_hz < high_hz <= nyquist + 1):
             raise ValueError(
-                "Invalid frequency range: ({:.2f},{:.2f}".format(low_hz, high_hz)
+                "Invalid frequency range: ({:.2f},{:.2f})".format(low_hz, high_hz)
             )
         high_hz = min(high_hz, nyquist)
         self._rate = sampling_rate
@@ -370,7 +370,7 @@ class Fbank(LinearFilterBank):
             high_hz and (high_hz <= low_hz or high_hz > sampling_rate // 2)
         ):
             raise ValueError(
-                "Invalid frequency range: ({:.2f},{:.2f}".format(low_hz, high_hz)
+                "Invalid frequency range: ({:.2f},{:.2f})".format(low_hz, high_hz)
             )
         self._rate = sampling_rate
         if high_hz is None:
@@ -545,7 +545,7 @@ class GaborFilterBank(LinearFilterBank):
             high_hz and (high_hz <= low_hz or high_hz > sampling_rate // 2)
         ):
             raise ValueError(
-                "Invalid frequency range: ({:.2f},{:.2f}".format(low_hz, high_hz)
+                "Invalid frequency range: ({:.2f},{:.2f})".format(low_hz, high_hz)
             )
         self._rate = sampling_rate
         if high_hz is None:
@@ -774,7 +774,7 @@ class ComplexGammatoneFilterBank(LinearFilterBank):
             high_hz and (high_hz <= low_hz or high_hz > sampling_rate // 2)
         ):
             raise ValueError(
-                "Invalid frequency range: ({:.2f},{:.2f}".format(low_hz, high_hz)
+                "Invalid frequency range: ({:.2f},{:.2f})".format(low_hz, high_hz)
             )
         if not isinstance(order, int) or order <= 0:
             raise ValueError("order must be a positive integer")

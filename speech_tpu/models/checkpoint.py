@@ -144,6 +144,15 @@ class TrainCheckpointer:
             "opt_state": _abstractify(like[1]),
         }
         if extra_like is not None:
+            # a template for a subtree the checkpoint never saved would
+            # surface as an opaque orbax structure-mismatch — check first
+            tree = self._metadata_tree(step)
+            if tree is not None and "extra" not in tree:
+                raise ValueError(
+                    f"extra_like was passed but checkpoint step {step} was "
+                    "saved without an 'extra' pytree (save(..., extra=...) "
+                    "was not used); omit extra_like to restore it"
+                )
             template["extra"] = _abstractify(extra_like)
         else:
             # the checkpoint may still carry an "extra" subtree; orbax
@@ -201,8 +210,17 @@ class TrainCheckpointer:
     @staticmethod
     def _abstract_from_metadata(subtree):
         """Metadata subtree -> abstract leaves (explicit host sharding so
-        restore never warns about missing sharding info)."""
-        host = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        restore never warns about missing sharding info).
+
+        Discarded subtrees (optimizer moments during ``restore_params``)
+        land on a host CPU device when one exists — materializing them on
+        a tunneled TPU would pay device transfer for thrown-away data.
+        """
+        try:
+            dev = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            dev = jax.devices()[0]
+        host = jax.sharding.SingleDeviceSharding(dev)
         return jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=host),
             subtree,

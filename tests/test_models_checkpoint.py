@@ -202,6 +202,22 @@ def test_restore_params_only_without_optimizer(tmp_path):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_restore_extra_like_against_extraless_checkpoint_raises(tmp_path):
+    """The converse of the reconstruction path: passing ``extra_like``
+    when the checkpoint was saved WITHOUT ``extra`` raises a descriptive
+    ValueError, not an opaque orbax structure mismatch."""
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(14))
+    tx = optax.sgd(1e-2)
+    opt = tx.init(params)
+    with TrainCheckpointer(str(tmp_path / "xl")) as ckpt:
+        ckpt.save(1, params, opt)  # no extra
+        with pytest.raises(ValueError, match="saved without an 'extra'"):
+            ckpt.restore(
+                like=(params, opt), extra_like={"epoch": np.int64(0)}
+            )
+
+
 def test_restore_missing_raises(tmp_path):
     model = _model()
     params, _ = model.init(jax.random.PRNGKey(2))
