@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
 import numpy as np
 import pytest
 
@@ -252,6 +253,79 @@ def test_multihost_single_process(computer):
     arr = multihost.global_batch_from_host_local(local, mesh)
     assert arr.shape == (8, 1600)
     assert np.allclose(np.asarray(arr), local)
+
+
+def test_multihost_two_process_matches_single(tmp_path):
+    """The real multi-host contract (SURVEY §2.10 comm row): two
+    coordinated jax processes (4 local CPU devices each -> one 8-device
+    global mesh over Gloo) split a corpus with ``process_slice``, each
+    feed only their own rows through ``global_batch_from_host_local``,
+    run one ShardedExtractor batch plus a psum-sharded CMVN accumulation,
+    and the results equal the single-process computation."""
+    import subprocess
+    import socket
+    import sys
+
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"[worker {pid}] OK" in out
+
+    got = np.load(str(tmp_path / "result.npz"))
+    assert (got["sl0_start"], got["sl0_stop"]) == (0, 4)
+
+    # single-process oracle (same deterministic corpus as the workers)
+    rng = np.random.RandomState(1234)
+    n_utts, max_len = 8, 2048
+    corpus = rng.randn(n_utts, max_len)
+    lengths = rng.randint(max_len // 2, max_len + 1, size=n_utts).astype(
+        np.int32
+    )
+    for i in range(n_utts):
+        corpus[i, lengths[i]:] = 0.0
+    oracle = STFTFrameComputer(
+        {"name": "fbank", "num_filts": 10, "sampling_rate": 8000},
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        dtype="float64",
+    )
+    from speech_tpu.parallel.stats import accumulate_stats
+
+    stats = None
+    for i in range(n_utts):
+        want = oracle.compute_full(corpus[i, : lengths[i]])
+        n = int(got["counts"][i])
+        assert n == want.shape[0]
+        assert np.allclose(got["feats"][i, :n], want, atol=1e-10)
+        stats = accumulate_stats(want[None], stats=stats)
+    assert np.allclose(got["stats"], np.asarray(stats), rtol=1e-12)
 
 
 def test_frontend_training_converges(computer):
