@@ -442,7 +442,31 @@ def _signals_to_torch_feat_dir_parse_args(args):
         "(factor 1 keeps the plain id).",
     )
     _add_vad_trim_arg(parser)
+    _add_aot_args(parser, precompile=True)
     return parser.parse_args(args)
+
+
+def _add_aot_args(parser, precompile=False):
+    parser.add_argument(
+        "--aot-dir",
+        default=None,
+        metavar="DIR",
+        help="On-disk AOT executable store (speech_tpu.aot.AOTCache): "
+        "device programs compiled by ANY previous process deserialize "
+        "in under a second instead of recompiling (TPU compiles of the "
+        "bucket programs take minutes on tunneled runtimes). Populate "
+        "it once with --precompile; later runs then start cold with "
+        "zero compiles.",
+    )
+    if precompile:
+        parser.add_argument(
+            "--precompile",
+            action="store_true",
+            help="Build every bucket program this corpus needs into "
+            "--aot-dir and exit without writing features. Scans the "
+            "corpus for signal lengths/dtypes, compiles the (bucket x "
+            "batch x dtype) program grid, and stores the executables.",
+        )
 
 
 def _add_vad_trim_arg(parser):
@@ -783,10 +807,24 @@ def _signals_to_torch_feat_dir(options) -> int:
         except Exception:
             mesh = None
         extractor = ShardedExtractor(
-            computer, mesh, bucket="fine" if options.fine_buckets else "pow2"
+            computer,
+            mesh,
+            bucket="fine" if options.fine_buckets else "pow2",
+            aot_dir=options.aot_dir,
         )
         if pitch is not None:
             pitch.mesh = mesh
+    if options.precompile:
+        if extractor is None:
+            print(
+                "--precompile requires a computer config and a nonzero "
+                "--batch-size (it pre-builds the batched device programs)",
+                file=sys.stderr,
+            )
+            return 1
+        if options.aot_dir is None:
+            print("--precompile requires --aot-dir", file=sys.stderr)
+            return 1
 
     from .profiling import StageTimer, trace
 
@@ -818,6 +856,33 @@ def _signals_to_torch_feat_dir(options) -> int:
     def save_timed(utt_id, feats):
         with timer.stage("write"):
             save(utt_id, feats)
+
+    if options.precompile:
+        from .aot import precompile_extractor
+
+        lengths, dtypes = [], set()
+        for _utt_id, signal in loader():
+            lengths.append(len(signal))
+            dtypes.add(np.asarray(signal).dtype)
+        if not lengths:
+            print("no utterances to precompile for", file=sys.stderr)
+            return 1
+        n = precompile_extractor(
+            extractor,
+            lengths,
+            batches=[options.batch_size],
+            dtypes=sorted(dtypes, key=str),
+            progress=lambda msg: print(msg, file=sys.stderr),
+        )
+        s = extractor.aot.stats
+        print(
+            f"precompiled {n} program grid points into {options.aot_dir} "
+            f"(compiled {s['misses']}, already stored {s['hits']})",
+            file=sys.stderr,
+        )
+        if pool is not None:
+            pool.shutdown()
+        return 0
 
     try:
         with trace(options.profile or None):
@@ -1045,6 +1110,7 @@ def _compute_feats_from_kaldi_tables_parse_args(args):
         "--max-overshoot-tolerance)",
     )
     parser.add_argument("-v", "--verbose", action="count", default=0)
+    _add_aot_args(parser)
     return parser.parse_args(args)
 
 
@@ -1404,7 +1470,10 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         except Exception:
             mesh = None
         extractor = ShardedExtractor(
-            computer, mesh, bucket="fine" if options.fine_buckets else "pow2"
+            computer,
+            mesh,
+            bucket="fine" if options.fine_buckets else "pow2",
+            aot_dir=getattr(options, "aot_dir", None),
         )
         if pitch is not None:
             pitch.mesh = mesh

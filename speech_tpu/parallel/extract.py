@@ -103,6 +103,7 @@ class ShardedExtractor:
         data_axis: str = "data",
         bucket: str = "pow2",
         postprocessors=(),
+        aot_dir: Optional[str] = None,
     ):
         from ..ops.postops import device_post_chain
 
@@ -117,6 +118,12 @@ class ShardedExtractor:
         )
         self._post_jit = None
         self._fns = {}
+        if aot_dir is not None:
+            from ..aot import AOTCache
+
+            self.aot = AOTCache(aot_dir)
+        else:
+            self.aot = None
 
     def bucket_len(self, n: int) -> int:
         """The padded signal length :meth:`extract` uses for length ``n``."""
@@ -252,6 +259,8 @@ class ShardedExtractor:
                     dp,
                 ),
             )
+        if self.aot is not None:
+            fn = self.aot.wrap(fn)
         self._fns[key] = fn
         return fn
 

@@ -85,6 +85,13 @@ class FeatureServer:
         program (forwarded to the extractor; see
         :func:`speech_tpu.ops.postops.device_post_chain`) — served
         features come back with deltas/CMVN/DCT/… already applied.
+    aot_dir
+        Optional on-disk AOT executable store
+        (:class:`speech_tpu.aot.AOTCache`): bucket programs a previous
+        process already built (e.g. via the CLI ``--precompile`` pass)
+        deserialize in under a second instead of recompiling — a fresh
+        server's :meth:`warmup` on a warmed store performs **zero**
+        compiles.
 
     Attributes
     ----------
@@ -104,9 +111,14 @@ class FeatureServer:
         max_pending: int = None,
         bucket: str = "pow2",
         postprocessors=(),
+        aot_dir: str = None,
     ):
         self._extractor = ShardedExtractor(
-            computer, mesh, bucket=bucket, postprocessors=postprocessors
+            computer,
+            mesh,
+            bucket=bucket,
+            postprocessors=postprocessors,
+            aot_dir=aot_dir,
         )
         self._max_batch = int(max_batch)
         if pad_batches not in (True, False, "pow2"):
