@@ -250,6 +250,43 @@ def test_accurate_tier_within_1e5_on_speech():
         assert np.abs(got - want).max() <= 1e-5, np.abs(got - want).max()
 
 
+def test_accurate_tier_adversary_bound_pinned():
+    """Regression pin for the tier's documented worst case: on the
+    high-cancellation tonal adversary (near-degenerate tone pair over a
+    -57 dB noise floor, the tools/tpu_checks.py s1 construction) the
+    'accurate' tier measured ~1.3e-5 vs float64 — the user-facing
+    contract states <=2e-5 worst-case adversarial (and 'double' <=1e-5
+    on any signal).  A future plane/pair config tweak that silently
+    widens either bound fails here."""
+    rate = 16000
+    n = 2 * rate
+    t = np.arange(n) / rate
+    rng = np.random.RandomState(20260818)
+    sig = (
+        12000 * np.sin(2 * np.pi * 1000.0 * t)
+        - 10800 * np.sin(2 * np.pi * 1001.0 * t)
+        + rng.randn(n) * 32
+    )
+    sig = np.clip(np.round(sig), -32767, 32767) / 32768.0
+    kw = dict(frame_length_ms=25, frame_shift_ms=10, include_energy=True)
+    f64 = STFTFrameComputer(dict(BANK), dtype="float64", **kw)
+    want = f64.compute_full(sig.astype(np.float64))
+    errs = {}
+    for precision, bound in (("accurate", 2e-5), ("double", 1e-5)):
+        c = STFTFrameComputer(
+            dict(BANK),
+            dtype="float32",
+            precision=precision,
+            fft_mode="pallas",
+            **kw,
+        )
+        got = c.compute_full(sig.astype(np.float32))
+        errs[precision] = np.abs(got - want).max()
+        assert errs[precision] <= bound, (precision, errs[precision])
+    # the tiers must stay ordered: 'double' strictly tighter
+    assert errs["double"] < errs["accurate"]
+
+
 def test_accurate_tier_fallback_is_exact_digit_path():
     """Where the kernel gate fails (unaligned DFT), 'accurate' falls back
     to the exact XLA digit path — never to a lower-precision tier."""
