@@ -499,8 +499,13 @@ def read_value(f: BinaryIO) -> Union[np.ndarray, WaveData]:
         raise IOError(f"unsupported Kaldi value token {token!r}")
     # text value: skip whitespace to '[', collect tokens until ']'
     buf = [first]
-    while buf[-1] in b" \t":
+    # NB ``b"" in b" \t"`` is True — the explicit emptiness check keeps
+    # EOF-after-whitespace from looping forever (caught by the parser
+    # fuzz in tests/test_kaldi_interop.py)
+    while buf[-1] and buf[-1] in b" \t":
         buf[-1:] = [f.read(1)]
+    if not buf[-1]:
+        raise EOFError("EOF where a table value was expected")
     if buf[-1] != b"[":
         raise IOError(f"expected '[' opening a text value, got {buf[-1]!r}")
     rows = []

@@ -1,0 +1,271 @@
+"""Byte-level Kaldi wire-format interop for the native tables (VERDICT r3
+item 7).
+
+The round-trip tests in tests/test_kaldi_tables.py prove the reader
+undoes the writer; these pin the *format itself*:
+
+- archive bytes CONSTRUCTED BY HAND in this file, field by field per the
+  Kaldi binary wire format (kaldi-matrix.cc / compressed-matrix.cc
+  layout: ``\\0B`` marker, ``FM/DM/FV/DV`` tokens, ``\\x04``-prefixed
+  int32 dims, CM/CM2/CM3 global header + column-major payloads) — an
+  independent encoding path, so a self-consistent writer quirk cannot
+  hide;
+- the CM per-column decode checked against an *identity construction*
+  (percentile headers (0, 64, 192, 255) over range 65535 make every
+  segment formula collapse to ``value == char``), so segment boundaries
+  and the column-major storage order are pinned exactly;
+- a hypothesis fuzz over the parser: arbitrary blobs and mutated valid
+  archives must terminate with a clean, intentional exception — never a
+  hang, crash, or stray exception type;
+- an env-gated cross-check against real pydrobert-kaldi (the reference's
+  table backend) where that extra is installed, mirroring the
+  reference's env-gated corpus sweeps (reference tests/test_util.py).
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from speech_tpu.io import kaldi_tables as kt
+
+B = b"\x00B"
+
+
+def _i32(v: int) -> bytes:
+    return b"\x04" + struct.pack("<i", v)
+
+
+# ---------------------------------------------------------------------------
+# hand-constructed binary fixtures (independent encoding path)
+# ---------------------------------------------------------------------------
+
+
+def test_read_hand_built_float_matrix():
+    data = np.arange(6, dtype="<f4").reshape(2, 3)
+    blob = b"utt1 " + B + b"FM " + _i32(2) + _i32(3) + data.tobytes()
+    key, val = kt.read_table_entry(io.BytesIO(blob))
+    assert key == "utt1"
+    assert val.dtype == np.float32 and val.shape == (2, 3)
+    assert np.array_equal(val, data)
+
+
+def test_read_hand_built_double_matrix_and_vectors():
+    dm = np.linspace(-1, 1, 8).astype("<f8").reshape(4, 2)
+    fv = np.array([1.5, -2.5, 3.0], dtype="<f4")
+    dv = np.array([1e-300, 2.0], dtype="<f8")
+    blob = (
+        b"a " + B + b"DM " + _i32(4) + _i32(2) + dm.tobytes()
+        + b"\nb " + B + b"FV " + _i32(3) + fv.tobytes()
+        + b"\nc " + B + b"DV " + _i32(2) + dv.tobytes()
+    )
+    f = io.BytesIO(blob)
+    items = [kt.read_table_entry(f) for _ in range(3)]
+    assert kt.read_table_entry(f) is None
+    (ka, va), (kb, vb), (kc, vc) = items
+    assert (ka, kb, kc) == ("a", "b", "c")
+    assert va.dtype == np.float64 and np.array_equal(va, dm)
+    assert vb.dtype == np.float32 and np.array_equal(vb, fv)
+    assert vc.dtype == np.float64 and np.array_equal(vc, dv)
+
+
+def test_read_hand_built_cm2_exact():
+    """CM2 (uint16): min=0, range=65535 makes decode(u) == float(u)."""
+    rows, cols = 3, 4
+    u = np.arange(rows * cols, dtype="<u2").reshape(rows, cols) * 1000
+    payload = struct.pack("<ffii", 0.0, 65535.0, rows, cols) + u.tobytes()
+    blob = b"utt " + B + b"CM2 " + payload
+    _, val = kt.read_table_entry(io.BytesIO(blob))
+    assert val.dtype == np.float32
+    assert np.array_equal(val, u.astype(np.float32))
+
+
+def test_read_hand_built_cm3_exact():
+    """CM3 (uint8): min=0, range=255 makes decode(u) == float(u)."""
+    rows, cols = 2, 5
+    u = np.arange(rows * cols, dtype=np.uint8).reshape(rows, cols) * 20
+    payload = struct.pack("<ffii", 0.0, 255.0, rows, cols) + u.tobytes()
+    blob = b"utt " + B + b"CM3 " + payload
+    _, val = kt.read_table_entry(io.BytesIO(blob))
+    assert np.array_equal(val, u.astype(np.float32))
+
+
+def test_read_hand_built_cm1_identity_construction():
+    """CM (format 1): headers (0, 64, 192, 255) over range 65535 collapse
+    every piecewise-linear segment to the identity, pinning the segment
+    formulas, boundaries, and the COLUMN-MAJOR char storage order."""
+    rows, cols = 5, 3
+    # chars span all three segments: [0,64], (64,192], (192,255]
+    chars = np.array(
+        [
+            [0, 64, 65],
+            [32, 100, 192],
+            [64, 192, 200],
+            [1, 150, 255],
+            [63, 191, 250],
+        ],
+        dtype=np.uint8,
+    )
+    assert chars.shape == (rows, cols)
+    q = np.tile(
+        np.array([0, 64, 192, 255], dtype="<u2")[None, :], (cols, 1)
+    )  # per-column (cols, 4) uint16 percentile headers
+    payload = (
+        struct.pack("<ffii", 0.0, 65535.0, rows, cols)
+        + q.tobytes()
+        + chars.T.tobytes()  # Kaldi stores chars column-major
+    )
+    blob = b"utt " + B + b"CM " + payload
+    _, val = kt.read_table_entry(io.BytesIO(blob))
+    assert val.shape == (rows, cols) and val.dtype == np.float32
+    assert np.array_equal(val, chars.astype(np.float32))
+
+
+def test_read_hand_built_text_value():
+    blob = b"utt  [\n  1 2.5 -3\n  4 5 6.25 ]\n"
+    key, val = kt.read_table_entry(io.BytesIO(blob))
+    assert key == "utt"
+    assert val.dtype == np.float64
+    assert np.array_equal(val, [[1, 2.5, -3], [4, 5, 6.25]])
+
+
+def test_read_hand_built_scp_offset(tmp_path):
+    """scp targets with ``path:offset`` seek straight to the value bytes
+    (the offset Kaldi's writers record points AFTER ``<key><space>``)."""
+    data = np.arange(4, dtype="<f4").reshape(2, 2)
+    prefix = b"utt1 "
+    value = B + b"FM " + _i32(2) + _i32(2) + data.tobytes()
+    ark = tmp_path / "t.ark"
+    ark.write_bytes(prefix + value)
+    scp = tmp_path / "t.scp"
+    scp.write_text(f"utt1 {ark}:{len(prefix)}\n")
+    items = dict(kt.iter_table(f"scp:{scp}"))
+    assert np.array_equal(items["utt1"], data)
+
+
+def test_writer_output_is_spec_bytes(tmp_path):
+    """The writer's bytes equal the hand-constructed spec encoding."""
+    data = np.arange(6, dtype="<f4").reshape(2, 3)
+    f = io.BytesIO()
+    f.write(b"utt1 ")
+    kt.write_value(f, data)
+    want = b"utt1 " + B + b"FM " + _i32(2) + _i32(3) + data.tobytes()
+    assert f.getvalue() == want
+
+
+# ---------------------------------------------------------------------------
+# parser crash-safety fuzz
+# ---------------------------------------------------------------------------
+
+# the only exception types the parser is allowed to surface on malformed
+# input: intentional format errors and clean EOF signals
+_CLEAN = (OSError, EOFError, ValueError, UnicodeDecodeError, OverflowError)
+
+
+def _valid_archive_bytes() -> bytes:
+    rng = np.random.RandomState(7)
+    f = io.BytesIO()
+    f.write(b"m1 ")
+    kt.write_value(f, rng.randn(5, 3).astype(np.float32))
+    f.write(b"v1 ")
+    kt.write_value(f, rng.randn(7))
+    f.write(b"c1 ")
+    kt.write_value(f, rng.randn(12, 4).astype(np.float32), compress=True)
+    f.write(b"t1 ")
+    kt.write_value(f, np.array([[1.0, 2.0]]), binary=False)
+    return f.getvalue()
+
+
+def _drain(blob: bytes) -> None:
+    f = io.BytesIO(blob)
+    for _ in range(64):  # bounded: a parser loop bug must not hang pytest
+        if kt.read_table_entry(f) is None:
+            return
+
+
+def test_eof_after_key_whitespace_raises_not_hangs():
+    """Regression (found by the fuzz below): ``b'utt  '`` — a key whose
+    value is whitespace then EOF — looped forever because
+    ``b'' in b' \\t'`` is True in Python; it must raise EOFError."""
+    with pytest.raises(EOFError):
+        kt.read_table_entry(io.BytesIO(b"utt  "))
+    with pytest.raises(EOFError):
+        kt.read_table_entry(io.BytesIO(b"utt \t\t"))
+
+
+def test_fuzz_arbitrary_blobs_never_crash():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, derandomize=True, deadline=None)
+    @given(st.binary(min_size=0, max_size=512))
+    def run(blob):
+        try:
+            _drain(blob)
+        except _CLEAN:
+            pass
+
+    run()
+
+
+def test_fuzz_mutated_valid_archives_never_crash():
+    """Single-byte corruptions of a real archive (the realistic failure:
+    truncated copies, bit rot, bad seeks) parse or fail cleanly."""
+    from hypothesis import given, settings, strategies as st
+
+    base = _valid_archive_bytes()
+
+    @settings(max_examples=200, derandomize=True, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        try:
+            _drain(bytes(mutated[:cut]))
+        except _CLEAN:
+            pass
+
+    run()
+
+
+# ---------------------------------------------------------------------------
+# env-gated cross-check against real pydrobert-kaldi
+# ---------------------------------------------------------------------------
+
+
+def test_cross_check_against_pydrobert_kaldi(tmp_path):
+    """Where the reference's C++ Kaldi table backend is installed, pin
+    both directions: archives IT writes read byte-correctly here, and
+    archives WE write read back identically through it.  Skipped in
+    environments without the extra (mirrors the reference's env-gated
+    WSJ/TIMIT sweeps, reference tests/test_util.py:139-170)."""
+    kio = pytest.importorskip("pydrobert.kaldi.io")
+
+    rng = np.random.RandomState(11)
+    mats = {
+        "a": rng.randn(20, 13).astype(np.float32),
+        "b": rng.randn(3, 40).astype(np.float32),
+    }
+
+    theirs = str(tmp_path / "theirs.ark")
+    with kio.open(f"ark:{theirs}", "bm", mode="w") as w:
+        for key, mat in mats.items():
+            w.write(key, mat)
+    got = dict(kt.iter_table(f"ark:{theirs}"))
+    assert set(got) == set(mats)
+    for key in mats:
+        assert np.array_equal(got[key], mats[key])
+
+    ours = str(tmp_path / "ours.ark")
+    with open(ours, "wb") as f:
+        for key, mat in mats.items():
+            f.write(key.encode() + b" ")
+            kt.write_value(f, mat)
+    with kio.open(f"ark:{ours}", "bm") as r:
+        vals = list(r)  # sequential read, table order
+    for mat, val in zip(mats.values(), vals):
+        assert np.array_equal(np.asarray(val), mat)
