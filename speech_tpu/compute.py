@@ -87,6 +87,25 @@ class FrameComputer(AliasedFactory):
     (reference: compute.py:48-178).
     """
 
+    _aot = None  # optional AOT executable store (see enable_aot)
+
+    def enable_aot(self, store) -> None:
+        """Back this computer's jitted batch programs with an AOT store.
+
+        ``store`` is a directory path or a :class:`speech_tpu.aot.AOTCache`.
+        Programs a previous process compiled deserialize instead of
+        recompiling — the cold-start answer for the SI / fused-Pallas
+        ``compute_batch`` paths that don't route through
+        :class:`~speech_tpu.parallel.ShardedExtractor`'s own programs.
+        """
+        from .aot import AOTCache
+
+        self._aot = store if isinstance(store, AOTCache) else AOTCache(store)
+
+    def _jit(self, run):
+        fn = jax.jit(run)
+        return self._aot.wrap(fn) if self._aot is not None else fn
+
     @property
     @abc.abstractmethod
     def frame_style(self) -> str:
@@ -540,7 +559,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 )
                 return _stft.stft_feats_from_frames(frames, params, **spec)
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._full_fns[key] = fn
         return fn
 
@@ -553,7 +572,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             def run(frames):
                 return _stft.stft_feats_from_frames(frames, params, **spec)
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._frames_fns[bucket_rows] = fn
         return fn
 
@@ -663,7 +682,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                     feats = self._pallas_feats(feats, max_frames)
                 return feats
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._full_fns[key] = fn
         return fn
 
@@ -700,7 +719,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 )
                 return feats, counts
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._full_fns[key] = fn
         return fn
 
@@ -1053,7 +1072,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                     buf, sig_len, num_frames, params, **spec
                 )
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._fns[key] = fn
         return fn
 
@@ -1141,7 +1160,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                 counts = jnp.maximum(0, jnp.minimum(target, after_pad))
                 return feats, counts
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._fns[key] = fn
         return fn(signals, lengths)
 
@@ -1161,7 +1180,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                     )
                 )(signals.astype(dtype))
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._fns[key] = fn
         return fn
 
@@ -1231,7 +1250,7 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
                     buf, valid_len, num_frames, params, **spec
                 )
 
-            fn = jax.jit(run)
+            fn = self._jit(run)
             self._fns[key] = fn
         # right-edge masking is irrelevant here (buffer is zero-filled and
         # emitted frames never read past seen samples), so pass the bucket

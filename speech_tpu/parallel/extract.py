@@ -122,6 +122,10 @@ class ShardedExtractor:
             from ..aot import AOTCache
 
             self.aot = AOTCache(aot_dir)
+            # the unsharded SI / fused-Pallas paths defer to the
+            # computer's own compute_batch programs — share the store so
+            # those cold-start-free too
+            computer.enable_aot(self.aot)
         else:
             self.aot = None
 

@@ -94,15 +94,15 @@ def test_extractor_warm_store_zero_compiles(tmp_path, monkeypatch):
     assert ex.aot.stats["misses"] > 0
 
     # fresh extractor over the warmed store: every program deserializes
-    ex2 = ShardedExtractor(_computer(), aot_dir=str(tmp_path))
-    _forbid_compile(monkeypatch)
     rng = np.random.RandomState(3)
     signals = [rng.randn(n) for n in (900, 1500, 2800, 2048)]
+    wants = [_computer().compute_full(s) for s in signals]  # pre-ban oracle
+    ex2 = ShardedExtractor(_computer(), aot_dir=str(tmp_path))
+    _forbid_compile(monkeypatch)
     feats = ex2.extract(signals, min_batch=4)
     assert ex2.aot.stats["misses"] == 0 and ex2.aot.stats["hits"] > 0
     assert ex2.aot.stats["fallbacks"] == 0
-    for s, f in zip(signals, feats):
-        want = computer.compute_full(s)
+    for want, f in zip(wants, feats):
         assert np.allclose(f, want, atol=1e-10), np.abs(f - want).max()
 
 
@@ -112,14 +112,50 @@ def test_extractor_mesh_warm_store_zero_compiles(tmp_path, monkeypatch):
     ex = ShardedExtractor(computer, mesh=mesh, aot_dir=str(tmp_path))
     precompile_extractor(ex, [2000], batches=[8], dtypes=[np.float64])
 
-    ex2 = ShardedExtractor(_computer(), mesh=mesh, aot_dir=str(tmp_path))
-    _forbid_compile(monkeypatch)
     rng = np.random.RandomState(4)
     signals = [rng.randn(n) for n in (1200, 2000, 1024, 1999) * 2]
+    wants = [_computer().compute_full(s) for s in signals]  # pre-ban oracle
+    ex2 = ShardedExtractor(_computer(), mesh=mesh, aot_dir=str(tmp_path))
+    _forbid_compile(monkeypatch)
     feats = ex2.extract(signals, min_batch=8)
     assert ex2.aot.stats["misses"] == 0 and ex2.aot.stats["fallbacks"] == 0
-    for s, f in zip(signals, feats):
-        assert np.allclose(f, computer.compute_full(s), atol=1e-10)
+    for want, f in zip(wants, feats):
+        assert np.allclose(f, want, atol=1e-10)
+
+
+def test_si_computer_warm_store_zero_compiles(tmp_path, monkeypatch):
+    """The SI computer's compute_batch path (which ShardedExtractor
+    defers to unsharded) is AOT-backed via enable_aot — a fresh computer
+    over the warmed store serves with zero compiles."""
+    from speech_tpu.compute import ShortIntegrationFrameComputer
+
+    def si():
+        return ShortIntegrationFrameComputer(
+            {
+                "name": "gammatone",
+                "scaling_function": "mel",
+                "num_filts": 6,
+                "sampling_rate": 8000,
+            },
+            frame_shift_ms=10,
+            dtype="float64",
+        )
+
+    c1 = si()
+    ex = ShardedExtractor(c1, aot_dir=str(tmp_path))
+    rng = np.random.RandomState(8)
+    signals = [rng.randn(n) for n in (1500, 2000)]
+    want = ex.extract(signals)
+    assert ex.aot.stats["misses"] > 0
+
+    c2 = si()
+    ex2 = ShardedExtractor(c2, aot_dir=str(tmp_path))
+    _forbid_compile(monkeypatch)
+    got = ex2.extract(signals)
+    assert ex2.aot.stats["misses"] == 0 and ex2.aot.stats["fallbacks"] == 0
+    assert ex2.aot.stats["hits"] > 0
+    for a, b in zip(want, got):
+        assert np.array_equal(a, b)
 
 
 def test_feature_server_warm_store_zero_compiles(tmp_path, monkeypatch):
@@ -130,17 +166,18 @@ def test_feature_server_warm_store_zero_compiles(tmp_path, monkeypatch):
         server.warmup([1500], dtype=np.float64)
         assert server._extractor.aot.stats["misses"] > 0
 
+    rng = np.random.RandomState(5)
+    sig = rng.randn(1400)
+    want = _computer().compute_full(sig)  # pre-ban oracle
     with FeatureServer(
         _computer(), max_batch=4, aot_dir=str(tmp_path)
     ) as server:
         _forbid_compile(monkeypatch)
         server.warmup([1500], dtype=np.float64)
-        rng = np.random.RandomState(5)
-        sig = rng.randn(1400)
         got = server.extract(sig)
         aot = server._extractor.aot
         assert aot.stats["misses"] == 0 and aot.stats["fallbacks"] == 0
-    assert np.allclose(got, computer.compute_full(sig), atol=1e-10)
+    assert np.allclose(got, want, atol=1e-10)
 
 
 def test_cli_precompile_then_zero_compile_run(tmp_path):
