@@ -143,11 +143,15 @@ class _AOTFunction:
 
     @staticmethod
     def _sig(args):
-        return tuple(
-            (tuple(np.shape(a)), np.asarray(a).dtype.str)
-            if not isinstance(a, jax.Array)
-            else (tuple(a.shape), a.dtype.str)
-            for a in args
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return (
+            str(treedef),
+            tuple(
+                (tuple(np.shape(leaf)), np.asarray(leaf).dtype.str)
+                if not isinstance(leaf, jax.Array)
+                else (tuple(leaf.shape), leaf.dtype.str)
+                for leaf in leaves
+            ),
         )
 
     def __call__(self, *args):

@@ -391,6 +391,11 @@ class StreamPool:
     ``valid_len == 0`` step is an exact no-op on its carry state).
     Not thread-safe: drive it from one serving loop.
 
+    ``aot_dir`` (path or :class:`speech_tpu.aot.AOTCache`) backs the tick
+    and finalize programs with the AOT executable store, so a fresh
+    process's :meth:`warmup` over a warmed store performs zero compiles
+    (the ``stats`` live on ``pool.aot``).
+
     Typical loop::
 
         pool = StreamPool(computer, slots=8, chunk_size=1600)
@@ -411,8 +416,20 @@ class StreamPool:
         chunk_size: int = 1600,
         mesh=None,
         data_axis: str = "data",
+        aot_dir=None,
     ):
         from .compute import ShortIntegrationFrameComputer
+
+        if aot_dir is not None:
+            from .aot import AOTCache
+
+            self.aot = AOTCache(aot_dir) if not hasattr(
+                aot_dir, "wrap"
+            ) else aot_dir
+            _jit = lambda fn, **kw: self.aot.wrap(jax.jit(fn, **kw))
+        else:
+            self.aot = None
+            _jit = jax.jit
 
         if hasattr(computer, "init_state") and hasattr(
             computer, "_process_impl"
@@ -453,8 +470,8 @@ class StreamPool:
         vstep = jax.vmap(self._stream._process_impl)
         vfin = jax.vmap(self._stream._finalize_impl)
         if mesh is None:
-            self._vstep = jax.jit(vstep)
-            self._vfin = jax.jit(vfin)
+            self._vstep = _jit(vstep)
+            self._vfin = _jit(vfin)
 
             # slot-tiered tick: when only m of the slots have pending
             # samples, gather those m states into a pow2-sized sub-batch,
@@ -473,7 +490,7 @@ class StreamPool:
                 )
                 return states, feats, nfs
 
-            self._tiered_step = jax.jit(tiered_step)
+            self._tiered_step = _jit(tiered_step)
         else:
             from .parallel import named_sharding
 
@@ -483,12 +500,12 @@ class StreamPool:
             dp = named_sharding(mesh, data_axis)
             state_sh = jax.tree_util.tree_map(lambda _: dp, self._states)
             self._states = jax.device_put(self._states, state_sh)
-            self._vstep = jax.jit(
+            self._vstep = _jit(
                 vstep,
                 in_shardings=(state_sh, dp, dp),
                 out_shardings=(state_sh, dp, dp),
             )
-            self._vfin = jax.jit(
+            self._vfin = _jit(
                 vfin, in_shardings=(state_sh,), out_shardings=(dp, dp)
             )
             self._tiered_step = None
@@ -720,9 +737,14 @@ class StreamServer:
         mesh=None,
         tick_chunks: int = 16,
         max_wait_ms: float = 2.0,
+        aot_dir=None,
     ):
         self._pool = StreamPool(
-            computer, slots=slots, chunk_size=chunk_size, mesh=mesh
+            computer,
+            slots=slots,
+            chunk_size=chunk_size,
+            mesh=mesh,
+            aot_dir=aot_dir,
         )
         self._tick_chunks = int(tick_chunks)
         self._wait = float(max_wait_ms) / 1e3

@@ -71,3 +71,32 @@ def temp_dir():
     dir_name = mkdtemp()
     yield dir_name
     rmtree(dir_name)
+
+
+# --------------------------------------------------------------------------
+# test tiers: the exhaustive parity/fuzz sweeps live in tests/slow_tests.txt
+# and are excluded from the default run (pyproject addopts `-m "not slow"`);
+# `pytest tests/ -m slow` covers them.  Full suite = both tiers.
+# --------------------------------------------------------------------------
+
+def _slow_entries():
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    entries = set()
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                entries.add(line)
+    return entries
+
+
+def pytest_collection_modifyitems(config, items):
+    entries = _slow_entries()
+    marker = pytest.mark.slow
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        # nodeids are relative to the rootdir; normalize to tests/...
+        if not base.startswith("tests/"):
+            base = "tests/" + base.split("tests/")[-1]
+        if base in entries:
+            item.add_marker(marker)

@@ -180,6 +180,46 @@ def test_feature_server_warm_store_zero_compiles(tmp_path, monkeypatch):
     assert np.allclose(got, want, atol=1e-10)
 
 
+def test_stream_pool_warm_store_zero_compiles(tmp_path, monkeypatch):
+    """StreamPool(aot_dir=...): the vmapped tick/finalize (and the
+    occupancy-tiered) programs deserialize from a warmed store — a fresh
+    pool's warmup performs zero compiles, and streamed features match
+    the first pool's bit-for-bit."""
+    from speech_tpu.serve import StreamPool
+
+    rng = np.random.RandomState(9)
+    sig = rng.randn(4000)
+
+    def drain(pool):
+        h = pool.open()
+        pool.feed(h, sig)
+        blocks = []
+        while True:
+            out = dict(pool.step(max_chunks=4))
+            if h in out and len(out[h]):
+                blocks.append(np.asarray(out[h]))
+            if not len(pool._sessions[h].pending):
+                break
+        blocks += [np.asarray(f) for hh, f in pool.close(h) if hh == h]
+        return np.concatenate([b for b in blocks if b.size], axis=0)
+
+    pool1 = StreamPool(_computer(), slots=4, chunk_size=800,
+                       aot_dir=str(tmp_path))
+    pool1.warmup(depths=(1, 4), occupancies=(1,))
+    want = drain(pool1)
+    assert pool1.aot.stats["misses"] > 0
+
+    pool2 = StreamPool(_computer(), slots=4, chunk_size=800,
+                       aot_dir=str(tmp_path))
+    _forbid_compile(monkeypatch)
+    pool2.warmup(depths=(1, 4), occupancies=(1,))
+    got = drain(pool2)
+    assert pool2.aot.stats["misses"] == 0
+    assert pool2.aot.stats["fallbacks"] == 0
+    assert pool2.aot.stats["hits"] > 0
+    assert np.array_equal(want, got)
+
+
 def test_cli_precompile_then_zero_compile_run(tmp_path):
     """--precompile populates the store; the real run in a FRESH process
     performs zero compiles (asserted via the subprocess's own cache
