@@ -241,6 +241,7 @@ class _PitchAppender:
         self.kwargs.setdefault("frame_shift_ms", computer.frame_shift_ms)
         self.rate = computer.bank.sampling_rate
         self.mesh = None  # set by the CLI alongside the extractor's
+        self.aot = None  # optional AOT store (shared with the extractor)
         self._progs = {}
         self._grid_warned = False
 
@@ -294,6 +295,8 @@ class _PitchAppender:
                         **self.kwargs,
                     )
                 )
+            if self.aot is not None:
+                fn = self.aot.wrap(fn)
             self._progs[key] = fn
         p3, valid = fn(buf, lens)
         p3, valid = np.asarray(p3, np.float64), np.asarray(valid)
@@ -814,6 +817,7 @@ def _signals_to_torch_feat_dir(options) -> int:
         )
         if pitch is not None:
             pitch.mesh = mesh
+            pitch.aot = extractor.aot
     if options.precompile:
         if extractor is None:
             print(
@@ -1477,6 +1481,7 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         )
         if pitch is not None:
             pitch.mesh = mesh
+            pitch.aot = extractor.aot
         bsz = options.batch_size
         window = max(1, options.sort_window) * bsz
 
@@ -1610,6 +1615,7 @@ def _torch_feat_dir_to_signals_parse_args(args):
         "values directly (features extracted from int16-range audio "
         "invert to int16-range waveforms), clipped at full scale.",
     )
+    _add_aot_args(parser)
     return parser.parse_args(args)
 
 
@@ -1688,13 +1694,18 @@ def torch_feat_dir_to_signals(args: Optional[Sequence[str]] = None) -> int:
     rate = int(round(computer.bank.sampling_rate))
     shift = computer.frame_shift
     progs = {}
+    aot = None
+    if getattr(options, "aot_dir", None):
+        from .aot import AOTCache
+
+        aot = AOTCache(options.aot_dir)
 
     def invert(batch, counts):
         """(B, T_pad, F) float32 + (B,) counts -> (B, T_pad*shift)."""
         key = batch.shape
         if key not in progs:
             T_pad = batch.shape[1]
-            progs[key] = jax.jit(
+            fn = jax.jit(
                 lambda f, c: feats_to_signal(
                     f,
                     computer,
@@ -1704,6 +1715,7 @@ def torch_feat_dir_to_signals(args: Optional[Sequence[str]] = None) -> int:
                     lengths=c,
                 )
             )
+            progs[key] = aot.wrap(fn) if aot is not None else fn
         return np.asarray(progs[key](jnp.asarray(batch), jnp.asarray(counts)))
 
     def write_wav(utt, y, n_samples):
