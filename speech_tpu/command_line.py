@@ -878,6 +878,29 @@ def _signals_to_torch_feat_dir(options) -> int:
             dtypes=sorted(dtypes, key=str),
             progress=lambda msg: print(msg, file=sys.stderr),
         )
+        if pitch is not None:
+            # the --pitch appender's own bucket grid (pow2 lengths with
+            # its 8192 floor, pow2 batch) — one zero batch per distinct
+            # bucket lands each program in the shared store
+            for dtype in sorted(dtypes, key=str):
+                seen = set()
+                for m in lengths:
+                    L = max(
+                        1 << max(int(m) - 1, 0).bit_length(), 8192
+                    )
+                    if L in seen:
+                        continue
+                    seen.add(L)
+                    n += 1
+                    print(
+                        f"precompile pitch bucket={L} "
+                        f"batch={options.batch_size} "
+                        f"dtype={np.dtype(dtype).name}",
+                        file=sys.stderr,
+                    )
+                    pitch.batch(
+                        [np.zeros(L, dtype)] * options.batch_size
+                    )
         s = extractor.aot.stats
         print(
             f"precompiled {n} program grid points into {options.aot_dir} "

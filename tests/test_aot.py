@@ -180,6 +180,35 @@ def test_feature_server_warm_store_zero_compiles(tmp_path, monkeypatch):
     assert np.allclose(got, want, atol=1e-10)
 
 
+def test_pitch_appender_warm_store_zero_compiles(tmp_path, monkeypatch):
+    """The --pitch appender's bucket programs ride the shared AOT store
+    (covered by --precompile when --pitch is set)."""
+    from speech_tpu.command_line import _PitchAppender
+
+    computer = _computer()
+
+    def appender():
+        p = _PitchAppender(
+            computer, {"min_f0": 80.0, "max_f0": 300.0}
+        )
+        p.aot = AOTCache(str(tmp_path))
+        return p
+
+    rng = np.random.RandomState(10)
+    sigs = [np.sin(2 * np.pi * 150 * np.arange(6000) / 8000.0)
+            + 0.05 * rng.randn(6000) for _ in range(2)]
+    p1 = appender()
+    want = p1.batch(sigs)
+    assert p1.aot.stats["misses"] > 0
+
+    p2 = appender()
+    _forbid_compile(monkeypatch)
+    got = p2.batch(sigs)
+    assert p2.aot.stats["misses"] == 0 and p2.aot.stats["fallbacks"] == 0
+    for a, b in zip(want, got):
+        assert np.array_equal(a, b)
+
+
 def test_stream_pool_warm_store_zero_compiles(tmp_path, monkeypatch):
     """StreamPool(aot_dir=...): the vmapped tick/finalize (and the
     occupancy-tiered) programs deserialize from a warmed store — a fresh
