@@ -16,18 +16,28 @@ __all__ = [
 ]
 
 
-def enable_persistent_compilation_cache(cache_dir=None):
+def enable_persistent_compilation_cache(cache_dir=None, explain=False):
     """Point jax at an on-disk compilation cache (no-op if already set).
 
     TPU compiles of the feature pipelines can take minutes; the persistent
     cache makes every later process start instantly.  Called by the CLI and
     benchmarks; safe to call any time before the first compilation.
+
+    ``explain=True`` additionally turns on jax's cache-miss logging
+    (``jax_explain_cache_misses``) — every compile logs whether the
+    persistent cache was consulted and why it missed, the first thing to
+    reach for when a "warm" process still compiles.  For guaranteed
+    zero-compile cold starts use :mod:`speech_tpu.aot` instead, which
+    keys on the program's own StableHLO and does not depend on jax's
+    internal cache keys.
     """
     import os
 
     import jax
 
     try:
+        if explain:
+            jax.config.update("jax_explain_cache_misses", True)
         if jax.default_backend() == "cpu":
             # CPU AOT cache entries are machine-feature specific and can
             # SIGILL when loaded on a different host; only cache TPU code
