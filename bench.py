@@ -268,10 +268,17 @@ def _tunnel_probe():
     in_s = (time.perf_counter() - start) / 3
     in_mbps = big.nbytes / 1e6 / max(in_s - rtt_ms / 1e3, 1e-9)
 
-    start = time.perf_counter()
+    # device->host: jax caches a device array's numpy value after the
+    # first np.asarray, so each iteration must read a FRESH array or the
+    # probe measures one transfer divided by three
+    out_s = 0.0
     for _ in range(3):
-        np.asarray(dev)
-    out_s = (time.perf_counter() - start) / 3
+        d = ship(big)
+        np.asarray(d[0, 0])  # ensure computed + resident
+        start = time.perf_counter()
+        np.asarray(d)
+        out_s += time.perf_counter() - start
+    out_s /= 3
     out_mbps = big.nbytes / 1e6 / max(out_s - rtt_ms / 1e3, 1e-9)
     return rtt_ms, in_mbps, out_mbps
 

@@ -242,8 +242,18 @@ class _PitchAppender:
         self.rate = computer.bank.sampling_rate
         self.mesh = None  # set by the CLI alongside the extractor's
         self.aot = None  # optional AOT store (shared with the extractor)
+        self.min_batch = 0  # set by the CLI to its batch size so the
+        # trailing partial batch reuses the full batches' program
         self._progs = {}
         self._grid_warned = False
+
+    @staticmethod
+    def bucket_len(n):
+        """The padded signal length a batch with max length ``n`` uses
+        (pow2 with a floor that keeps short batches above the NCCF
+        span).  --precompile builds the grid through THIS method, so
+        the formula cannot desynchronize from the run."""
+        return max(1 << max(int(n) - 1, 0).bit_length(), 8192)
 
     def batch(self, signals):
         """1-D signal arrays -> per-utterance ``(valid_t, 3)`` float64."""
@@ -253,10 +263,9 @@ class _PitchAppender:
 
         B = len(signals)
         lengths = np.array([s.shape[0] for s in signals], np.int32)
-        # pow2 buckets bound the compile count; the floor keeps even a
-        # batch of very short utterances above the NCCF span
-        L = max(1 << max(int(lengths.max()) - 1, 0).bit_length(), 8192)
-        Bp = 1 << max(B - 1, 0).bit_length()
+        # pow2 buckets bound the compile count (see bucket_len)
+        L = self.bucket_len(int(lengths.max()))
+        Bp = 1 << max(max(B, self.min_batch) - 1, 0).bit_length()
         dtype = (
             np.int16
             if all(s.dtype == np.int16 for s in signals)
@@ -818,6 +827,7 @@ def _signals_to_torch_feat_dir(options) -> int:
         if pitch is not None:
             pitch.mesh = mesh
             pitch.aot = extractor.aot
+            pitch.min_batch = options.batch_size
     if options.precompile:
         if extractor is None:
             print(
@@ -885,9 +895,7 @@ def _signals_to_torch_feat_dir(options) -> int:
             for dtype in sorted(dtypes, key=str):
                 seen = set()
                 for m in lengths:
-                    L = max(
-                        1 << max(int(m) - 1, 0).bit_length(), 8192
-                    )
+                    L = pitch.bucket_len(m)
                     if L in seen:
                         continue
                     seen.add(L)
@@ -1505,6 +1513,7 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         if pitch is not None:
             pitch.mesh = mesh
             pitch.aot = extractor.aot
+            pitch.min_batch = options.batch_size
         bsz = options.batch_size
         window = max(1, options.sort_window) * bsz
 

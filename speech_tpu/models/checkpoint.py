@@ -160,8 +160,12 @@ class TrainCheckpointer:
             # from the checkpoint's own metadata rather than erroring
             tree = self._metadata_tree(step)
             if tree is not None and "extra" in tree:
+                # the reconstructed extra is RETURNED to the caller (it
+                # will typically feed the training loop), so it must land
+                # on the default device — the host-CPU placement is only
+                # for restore_params's discarded subtrees
                 template["extra"] = self._abstract_from_metadata(
-                    tree["extra"]
+                    tree["extra"], host=False
                 )
         restored = self._mgr.restore(
             int(step),
@@ -208,21 +212,29 @@ class TrainCheckpointer:
         return meta.tree if hasattr(meta, "tree") else meta
 
     @staticmethod
-    def _abstract_from_metadata(subtree):
-        """Metadata subtree -> abstract leaves (explicit host sharding so
+    def _abstract_from_metadata(subtree, host: bool = True):
+        """Metadata subtree -> abstract leaves (explicit sharding so
         restore never warns about missing sharding info).
 
-        Discarded subtrees (optimizer moments during ``restore_params``)
-        land on a host CPU device when one exists — materializing them on
-        a tunneled TPU would pay device transfer for thrown-away data.
+        With ``host=True`` (the default, used for *discarded* subtrees —
+        optimizer moments during ``restore_params``) leaves land on a
+        host CPU device when one exists: materializing them on a
+        tunneled TPU would pay device transfer for thrown-away data.
+        Subtrees handed back to the caller pass ``host=False`` and land
+        on the default device.
         """
-        try:
-            dev = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
+        if host:
+            try:
+                dev = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                dev = jax.devices()[0]
+        else:
             dev = jax.devices()[0]
-        host = jax.sharding.SingleDeviceSharding(dev)
+        host_sh = jax.sharding.SingleDeviceSharding(dev)
         return jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=host),
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=host_sh
+            ),
             subtree,
         )
 

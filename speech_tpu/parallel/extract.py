@@ -286,7 +286,13 @@ class ShardedExtractor:
             feats, counts = self._computer.compute_batch(signals, lengths)
             if self._post is not None:
                 if self._post_jit is None:
-                    self._post_jit = jax.jit(self._post)
+                    fn = jax.jit(self._post)
+                    # the post-chain program must ride the AOT store too,
+                    # or this (SI / fused-Pallas) serving path pays a cold
+                    # compile despite a warmed store
+                    self._post_jit = (
+                        self.aot.wrap(fn) if self.aot is not None else fn
+                    )
                 feats, counts = self._post_jit(feats, counts)
             return feats, counts
         signals = _as_transfer_array(signals, self._computer._dtype)

@@ -35,9 +35,12 @@ def enable_persistent_compilation_cache(cache_dir=None, explain=False):
 
     import jax
 
-    try:
-        if explain:
+    if explain:
+        try:
             jax.config.update("jax_explain_cache_misses", True)
+        except Exception:  # pragma: no cover - diagnosis is best-effort
+            pass  # never let the explain flag disable the cache below
+    try:
         if jax.default_backend() == "cpu":
             # CPU AOT cache entries are machine-feature specific and can
             # SIGILL when loaded on a different host; only cache TPU code

@@ -158,6 +158,41 @@ def test_si_computer_warm_store_zero_compiles(tmp_path, monkeypatch):
         assert np.array_equal(a, b)
 
 
+def test_si_with_postprocessors_warm_store_zero_compiles(
+    tmp_path, monkeypatch
+):
+    """The deferred SI path WITH a fused post chain: the post-chain
+    program (a separate jit on this branch) must ride the store too —
+    it was the one compile the zero-compile contract missed."""
+    from speech_tpu.compute import ShortIntegrationFrameComputer
+    from speech_tpu.post import Deltas
+
+    def make():
+        c = ShortIntegrationFrameComputer(
+            {
+                "name": "gammatone",
+                "scaling_function": "mel",
+                "num_filts": 6,
+                "sampling_rate": 8000,
+            },
+            frame_shift_ms=10,
+            dtype="float64",
+        )
+        return ShardedExtractor(
+            c, postprocessors=[Deltas(1)], aot_dir=str(tmp_path)
+        )
+
+    rng = np.random.RandomState(13)
+    signals = [rng.randn(1800)]
+    want = make().extract(signals)
+
+    ex2 = make()
+    _forbid_compile(monkeypatch)
+    got = ex2.extract(signals)
+    assert ex2.aot.stats["misses"] == 0 and ex2.aot.stats["fallbacks"] == 0
+    assert np.array_equal(want[0], got[0])
+
+
 def test_feature_server_warm_store_zero_compiles(tmp_path, monkeypatch):
     computer = _computer()
     with FeatureServer(
@@ -207,6 +242,14 @@ def test_pitch_appender_warm_store_zero_compiles(tmp_path, monkeypatch):
     assert p2.aot.stats["misses"] == 0 and p2.aot.stats["fallbacks"] == 0
     for a, b in zip(want, got):
         assert np.array_equal(a, b)
+
+    # a trailing PARTIAL batch reuses the full batches' program when
+    # min_batch is set (the CLI sets it to --batch-size): still zero
+    # compiles, and the solo result matches its full-batch row
+    p2.min_batch = 2
+    solo = p2.batch(sigs[:1])
+    assert p2.aot.stats["misses"] == 0 and p2.aot.stats["fallbacks"] == 0
+    assert np.array_equal(solo[0], got[0])
 
 
 def test_stream_pool_warm_store_zero_compiles(tmp_path, monkeypatch):

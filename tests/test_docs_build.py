@@ -11,6 +11,7 @@ import pytest
 
 
 def test_docs_site_builds(tmp_path):
+    pytest.importorskip("markdown_it")
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     try:
         import build_docs

@@ -195,6 +195,7 @@ def test_eof_after_key_whitespace_raises_not_hangs():
 
 
 def test_fuzz_arbitrary_blobs_never_crash():
+    hyp = pytest.importorskip("hypothesis")
     from hypothesis import given, settings, strategies as st
 
     @settings(max_examples=200, derandomize=True, deadline=None)
@@ -211,6 +212,7 @@ def test_fuzz_arbitrary_blobs_never_crash():
 def test_fuzz_mutated_valid_archives_never_crash():
     """Single-byte corruptions of a real archive (the realistic failure:
     truncated copies, bit rot, bad seeks) parse or fail cleanly."""
+    hyp = pytest.importorskip("hypothesis")
     from hypothesis import given, settings, strategies as st
 
     base = _valid_archive_bytes()
