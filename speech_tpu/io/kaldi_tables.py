@@ -369,6 +369,10 @@ def _parse_riff(blob: bytes) -> WaveData:
         (chunk_size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
+            if len(body) < 16:
+                raise IOError(
+                    f"truncated RIFF fmt chunk ({len(body)} bytes)"
+                )
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif chunk_id == b"data":
             if chunk_size == 0 or pos + 8 + chunk_size > len(blob):

@@ -234,6 +234,44 @@ def test_fuzz_mutated_valid_archives_never_crash():
     run()
 
 
+def test_fuzz_riff_parser_never_crashes():
+    """The wave-table RIFF parser (serving/corpus ingest) fails cleanly
+    on corrupted and truncated blobs.  Regression: a truncated ``fmt ``
+    chunk used to surface a raw struct.error."""
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    buf = io.BytesIO()
+    kt.write_wave(buf, (np.zeros((1, 100), np.float32), 8000.0))
+    base = buf.getvalue()
+
+    @settings(max_examples=200, derandomize=True, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        try:
+            kt._parse_riff(bytes(mutated[:cut]))
+        except _CLEAN:
+            pass
+
+    run()
+
+    @settings(max_examples=100, derandomize=True, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def run_raw(blob):
+        try:
+            kt._parse_riff(b"RIFF" + blob)
+        except _CLEAN:
+            pass
+
+    run_raw()
+
+
 # ---------------------------------------------------------------------------
 # env-gated cross-check against real pydrobert-kaldi
 # ---------------------------------------------------------------------------
