@@ -13,19 +13,28 @@ The reference needs nothing like this (NumPy has no compile step); it is
 a TPU-native obligation.  Design points:
 
 - The cache key is ``sha256(StableHLO || platform || device kind ||
-  device count || jax version)``.  The StableHLO text embeds the folded
-  filter-bank weights as constants, so a config change automatically
-  changes the key — there is no way to serve stale weights.
+  device count || jax/jaxlib versions || backend platform version)``.
+  The StableHLO text embeds the folded filter-bank weights as constants,
+  so a config change automatically changes the key — there is no way to
+  serve stale weights; the compiler-version components keep a jaxlib or
+  TPU-plugin upgrade from serving stale codegen.
 - Executables are stored via :mod:`jax.experimental.serialize_executable`
   (validated on both the CPU and the ``axon`` TPU backends: a second
   process deserializes and runs in under a second, bit-identical output).
 - Writes are atomic (tempfile + rename), safe under concurrent
   processes; a corrupt or incompatible entry falls back to a normal
   compile and is rewritten.
+- **Trust boundary**: entries are Python pickles — anyone who can write
+  to the store directory can execute code in every process that reads
+  it.  The directory is created mode ``0o700``; point ``aot_dir`` only
+  at paths owned by the serving user, never world-writable scratch.
 
 Wiring: ``ShardedExtractor(..., aot_dir=...)``,
-``FeatureServer(..., aot_dir=...)``, and the CLIs' ``--aot-dir`` /
-``--precompile`` flags all route through :class:`AOTCache`.
+``FeatureServer(..., aot_dir=...)``, ``StreamPool``/``StreamServer``,
+``FrameComputer.enable_aot``, and the CLIs' ``--aot-dir`` /
+``--precompile`` flags all route through :class:`AOTCache`.  Every
+``aot_dir`` parameter accepts a path *or* an existing :class:`AOTCache`,
+so serving objects can share one store and one stats block.
 """
 
 import hashlib
@@ -33,13 +42,22 @@ import os
 import pickle
 import tempfile
 import threading
-from typing import Optional, Sequence
+from typing import Sequence, Union
 
 import numpy as np
 
 import jax
 
-__all__ = ["AOTCache", "precompile_extractor"]
+__all__ = ["AOTCache", "as_cache", "precompile_extractor"]
+
+
+def as_cache(store: Union[str, "AOTCache", None]):
+    """Normalize an ``aot_dir`` argument: path -> :class:`AOTCache`,
+    cache -> itself, None -> None.  The shared entry point for every
+    ``aot_dir=`` parameter in the package."""
+    if store is None or isinstance(store, AOTCache):
+        return store
+    return AOTCache(store)
 
 
 class AOTCache:
@@ -55,7 +73,7 @@ class AOTCache:
 
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        os.makedirs(self.directory, mode=0o700, exist_ok=True)
         self.stats = {"hits": 0, "misses": 0, "errors": 0, "fallbacks": 0}
         self._lock = threading.Lock()
 
@@ -64,9 +82,19 @@ class AOTCache:
     @staticmethod
     def _fingerprint() -> str:
         devs = jax.devices()
+        try:
+            jaxlib_version = jax.lib.__version__
+        except AttributeError:  # pragma: no cover - very old jax
+            jaxlib_version = "?"
+        try:
+            # compiler build (libtpu / plugin / XLA:CPU) — an upgrade
+            # here invalidates stored codegen even if jax didn't move
+            platform_version = devs[0].client.platform_version
+        except Exception:  # pragma: no cover - plugin-dependent
+            platform_version = "?"
         return (
             f"{devs[0].platform}|{devs[0].device_kind}|{len(devs)}|"
-            f"{jax.__version__}"
+            f"{jax.__version__}|{jaxlib_version}|{platform_version}"
         )
 
     def _key(self, lowered) -> str:
@@ -107,6 +135,7 @@ class AOTCache:
                 with self._lock:
                     self.stats["errors"] += 1
         compiled = lowered.compile()
+        tmp = None
         try:
             device_ids = [
                 d.id for d in compiled.runtime_executable().local_devices()
@@ -117,6 +146,11 @@ class AOTCache:
                 f.write(blob)
             os.replace(tmp, path)  # atomic under concurrent writers
         except Exception:
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)  # don't leak temp files on ENOSPC etc.
+                except OSError:
+                    pass
             with self._lock:
                 self.stats["errors"] += 1
         with self._lock:
@@ -126,43 +160,78 @@ class AOTCache:
     def wrap(self, jitted):
         """An AOT-backed callable around a ``jax.jit`` function.
 
-        Per argument signature (shapes/dtypes), the first call lowers the
-        program (fast — tracing only), consults the store, and pins the
-        executable; later calls run it directly.  Arguments the compiled
-        executable rejects (e.g. committed arrays on mismatched
-        shardings) fall back to the original jit path.
+        Per argument signature (pytree structure + shapes/dtypes/weak
+        types), the first call lowers the program (fast — tracing only),
+        consults the store, and pins the executable; later calls run it
+        directly.  Arguments the compiled executable rejects (e.g.
+        committed arrays on mismatched shardings) permanently demote that
+        signature to the original jit path (counted in
+        ``stats["fallbacks"]``) — genuine runtime errors then surface
+        from the jit execution rather than being masked.
+
+        Intended for jitted functions whose arguments are all arrays (or
+        pytrees of arrays): the signature does not capture static-arg
+        *values*, so functions with ``static_argnums`` whose static
+        values vary would thrash the fallback path (correct, but
+        uncached).
         """
         return _AOTFunction(jitted, self)
 
 
 class _AOTFunction:
+    #: sentinel pinned for signatures whose AOT executable rejected its
+    #: arguments — later calls skip straight to the jit path
+    _FALLBACK = object()
+
     def __init__(self, jitted, cache: AOTCache):
         self._jitted = jitted
         self._cache = cache
         self._compiled = {}
+        self._lock = threading.Lock()
 
     @staticmethod
     def _sig(args):
         leaves, treedef = jax.tree_util.tree_flatten(args)
-        return (
-            str(treedef),
-            tuple(
-                (tuple(np.shape(leaf)), np.asarray(leaf).dtype.str)
-                if not isinstance(leaf, jax.Array)
-                else (tuple(leaf.shape), leaf.dtype.str)
-                for leaf in leaves
-            ),
-        )
+        sig = []
+        for leaf in leaves:
+            if isinstance(leaf, jax.Array):
+                sig.append(
+                    (tuple(leaf.shape), leaf.dtype.str, leaf.weak_type)
+                )
+            else:
+                sig.append(
+                    (
+                        tuple(np.shape(leaf)),
+                        np.asarray(leaf).dtype.str,
+                        type(leaf).__name__,
+                    )
+                )
+        return (str(treedef), tuple(sig))
 
     def __call__(self, *args):
         sig = self._sig(args)
         compiled = self._compiled.get(sig)
+        if compiled is self._FALLBACK:
+            return self._jitted(*args)
         if compiled is None:
-            compiled = self._cache.load_or_compile(self._jitted.lower(*args))
-            self._compiled[sig] = compiled
+            # the miss path holds the lock: two threads racing the same
+            # cold signature would otherwise both pay a device compile
+            with self._lock:
+                compiled = self._compiled.get(sig)
+                if compiled is None:
+                    compiled = self._cache.load_or_compile(
+                        self._jitted.lower(*args)
+                    )
+                    self._compiled[sig] = compiled
+                elif compiled is self._FALLBACK:
+                    return self._jitted(*args)
         try:
             return compiled(*args)
         except Exception:
+            # demote this signature permanently: re-raising through the
+            # jit path keeps results (and genuine errors) correct without
+            # paying raise + re-dispatch on every future call
+            self._compiled[sig] = self._FALLBACK
             with self._cache._lock:
                 self._cache.stats["fallbacks"] += 1
             return self._jitted(*args)
@@ -177,22 +246,27 @@ def precompile_extractor(
 ) -> int:
     """Build (and store) every bucket program an extraction run will need.
 
-    For each length bucket covering ``lengths``, each batch size in
-    ``batches``, and each input ``dtype``, runs one zero batch through
-    ``extractor`` so the program lands in its AOT store.  Returns the
-    number of distinct programs touched.  ``progress`` (optional callable
-    taking a message) reports per-program activity — device compiles can
-    take minutes each on tunneled runtimes, silence reads as a hang.
+    For each length bucket covering ``lengths``, each (deduplicated,
+    mesh-rounded) batch size in ``batches``, and each input ``dtype``,
+    runs one zero batch through ``extractor`` — both the static all-full
+    program and the traced-ragged-lengths program — so they land in its
+    AOT store.  Returns the number of programs exercised (store hits
+    included).  ``progress`` (optional callable taking a message) reports
+    per-program activity — device compiles can take minutes each on
+    tunneled runtimes, silence reads as a hang.
     """
     buckets = sorted({extractor.bucket_len(max(int(n), 1)) for n in lengths})
+    rounded = sorted(
+        {
+            -(-int(b) // extractor.batch_multiple) * extractor.batch_multiple
+            for b in batches
+        }
+    )
     count = 0
     for dtype in dtypes:
-        for b in batches:
-            b = -(-int(b) // extractor.batch_multiple) * (
-                extractor.batch_multiple
-            )
+        for b in rounded:
             for n in buckets:
-                count += 1
+                count += 2  # static all-full + traced-ragged programs
                 if progress is not None:
                     progress(
                         f"precompile bucket={n} batch={b} "
@@ -201,7 +275,7 @@ def precompile_extractor(
                 signals = np.zeros((b, n), dtype=dtype)
                 lengths_np = np.full((b,), n, dtype=np.int32)
                 extractor.extract_batch(signals, lengths_np)
-                # also the ragged-lengths program (traced counts) — real
+                # the ragged-lengths program (traced counts) — real
                 # batches are rarely all-full
                 extractor.extract_batch(
                     signals, jax.numpy.asarray(lengths_np)

@@ -466,9 +466,14 @@ def _add_aot_args(parser, precompile=False):
         help="On-disk AOT executable store (speech_tpu.aot.AOTCache): "
         "device programs compiled by ANY previous process deserialize "
         "in under a second instead of recompiling (TPU compiles of the "
-        "bucket programs take minutes on tunneled runtimes). Populate "
-        "it once with --precompile; later runs then start cold with "
-        "zero compiles.",
+        "bucket programs take minutes on tunneled runtimes)."
+        + (
+            " Populate it once with --precompile; later runs then "
+            "start cold with zero compiles."
+            if precompile
+            else " The first run populates it; later runs start cold "
+            "with zero compiles."
+        ),
     )
     if precompile:
         parser.add_argument(

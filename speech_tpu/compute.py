@@ -97,10 +97,17 @@ class FrameComputer(AliasedFactory):
         recompiling — the cold-start answer for the SI / fused-Pallas
         ``compute_batch`` paths that don't route through
         :class:`~speech_tpu.parallel.ShardedExtractor`'s own programs.
+        Any programs this computer already jitted *before* the call are
+        dropped so they re-enter through the store — otherwise a bucket
+        exercised pre-wiring would silently never be serialized.
         """
-        from .aot import AOTCache
+        from .aot import as_cache
 
-        self._aot = store if isinstance(store, AOTCache) else AOTCache(store)
+        self._aot = as_cache(store)
+        for attr in ("_full_fns", "_frames_fns", "_fns"):
+            cached = getattr(self, attr, None)
+            if cached:
+                cached.clear()
 
     def _jit(self, run):
         fn = jax.jit(run)

@@ -118,16 +118,14 @@ class ShardedExtractor:
         )
         self._post_jit = None
         self._fns = {}
-        if aot_dir is not None:
-            from ..aot import AOTCache
+        from ..aot import as_cache
 
-            self.aot = AOTCache(aot_dir)
+        self.aot = as_cache(aot_dir)  # path, AOTCache, or None
+        if self.aot is not None:
             # the unsharded SI / fused-Pallas paths defer to the
             # computer's own compute_batch programs — share the store so
             # those cold-start-free too
             computer.enable_aot(self.aot)
-        else:
-            self.aot = None
 
     def bucket_len(self, n: int) -> int:
         """The padded signal length :meth:`extract` uses for length ``n``."""

@@ -420,15 +420,12 @@ class StreamPool:
     ):
         from .compute import ShortIntegrationFrameComputer
 
-        if aot_dir is not None:
-            from .aot import AOTCache
+        from .aot import as_cache
 
-            self.aot = AOTCache(aot_dir) if not hasattr(
-                aot_dir, "wrap"
-            ) else aot_dir
+        self.aot = as_cache(aot_dir)  # path, AOTCache, or None
+        if self.aot is not None:
             _jit = lambda fn, **kw: self.aot.wrap(jax.jit(fn, **kw))
         else:
-            self.aot = None
             _jit = jax.jit
 
         if hasattr(computer, "init_state") and hasattr(

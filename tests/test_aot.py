@@ -123,6 +123,36 @@ def test_extractor_mesh_warm_store_zero_compiles(tmp_path, monkeypatch):
         assert np.allclose(f, want, atol=1e-10)
 
 
+def test_enable_aot_invalidates_prewired_programs(tmp_path):
+    """Programs jitted BEFORE enable_aot must re-enter through the store,
+    or a bucket exercised pre-wiring would never be serialized and a
+    'warmed' store would still cold-compile it elsewhere."""
+    computer = _computer()
+    rng = np.random.RandomState(12)
+    signals = np.stack([rng.randn(1600) for _ in range(2)])
+    lengths = np.full((2,), 1600, np.int32)
+    computer.compute_batch(signals, lengths)  # bare jit, cached
+    computer.enable_aot(str(tmp_path))
+    computer.compute_batch(signals, lengths)  # must go through the store
+    assert computer._aot.stats["misses"] > 0
+    assert len(os.listdir(tmp_path)) > 0
+
+
+def test_aot_dir_accepts_shared_cache_instance(tmp_path):
+    """Every aot_dir parameter accepts an existing AOTCache, so serving
+    objects can share one store and one stats block."""
+    from speech_tpu.serve import StreamPool
+
+    cache = AOTCache(str(tmp_path))
+    ex = ShardedExtractor(_computer(), aot_dir=cache)
+    assert ex.aot is cache
+    pool = StreamPool(_computer(), slots=2, chunk_size=800, aot_dir=cache)
+    assert pool.aot is cache
+    c = _computer()
+    c.enable_aot(cache)
+    assert c._aot is cache
+
+
 def test_si_computer_warm_store_zero_compiles(tmp_path, monkeypatch):
     """The SI computer's compute_batch path (which ShardedExtractor
     defers to unsharded) is AOT-backed via enable_aot — a fresh computer
