@@ -13,11 +13,19 @@ The reference needs nothing like this (NumPy has no compile step); it is
 a TPU-native obligation.  Design points:
 
 - The cache key is ``sha256(StableHLO || platform || device kind ||
-  device count || jax/jaxlib versions || backend platform version)``.
+  device count || jax/jaxlib versions || backend platform version ||
+  XLA_FLAGS || LIBTPU_INIT_ARGS)``.
   The StableHLO text embeds the folded filter-bank weights as constants,
   so a config change automatically changes the key — there is no way to
-  serve stale weights; the compiler-version components keep a jaxlib or
-  TPU-plugin upgrade from serving stale codegen.
+  serve stale weights; the compiler-version and compile-flag components
+  keep a jaxlib/TPU-plugin upgrade or a flags change from serving stale
+  codegen.
+- Lifecycle: entries live under a per-fingerprint subdirectory; a
+  fingerprint change (upgrade, flag change) orphans the old
+  subdirectory, which :meth:`AOTCache.prune` sweeps.  ``prune`` also
+  evicts least-recently-used entries past a byte cap (``max_bytes`` on
+  the constructor auto-prunes after each store write; hits touch
+  entries so LRU survives noatime mounts).  CLI: ``--aot-prune``.
 - Executables are stored via :mod:`jax.experimental.serialize_executable`
   (validated on both the CPU and the ``axon`` TPU backends: a second
   process deserializes and runs in under a second, bit-identical output).
@@ -38,17 +46,21 @@ so serving objects can share one store and one stats block.
 """
 
 import hashlib
+import logging
 import os
 import pickle
+import stat as _stat
 import tempfile
 import threading
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
 import jax
 
 __all__ = ["AOTCache", "as_cache", "precompile_extractor"]
+
+logger = logging.getLogger(__name__)
 
 
 def as_cache(store: Union[str, "AOTCache", None]):
@@ -71,10 +83,43 @@ class AOTCache:
     ``stats["misses"] == 0`` after a warmed run.
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, max_bytes: Optional[int] = None):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, mode=0o700, exist_ok=True)
-        self.stats = {"hits": 0, "misses": 0, "errors": 0, "fallbacks": 0}
+        # mode= above only applies on CREATION (and is narrowed by the
+        # umask): a pre-existing group/other-writable directory would
+        # silently cross the documented pickle trust boundary.  Tighten
+        # it if we own it; refuse it otherwise.
+        st = os.stat(self.directory)
+        if st.st_mode & (_stat.S_IWGRP | _stat.S_IWOTH):
+            if st.st_uid == os.getuid():
+                os.chmod(self.directory, 0o700)
+                logger.warning(
+                    "AOT store %s was group/other-writable; tightened to "
+                    "0700 (entries are pickles — writers can execute code "
+                    "in every reader)",
+                    self.directory,
+                )
+            else:
+                raise ValueError(
+                    f"AOT store {self.directory!r} is group/other-writable "
+                    "and not owned by this user: entries are pickles, so "
+                    "any writer can execute code in every process that "
+                    "reads the store.  Point aot_dir at a directory owned "
+                    "by the serving user."
+                )
+        #: evict least-recently-used entries past this many bytes (the
+        #: current fingerprint's entries only; ``None`` = unbounded).
+        #: Checked after every store write; see :meth:`prune`.
+        self.max_bytes = max_bytes
+        self.stats = {
+            "hits": 0,
+            "misses": 0,
+            "errors": 0,
+            "fallbacks": 0,
+            "evicted": 0,
+            "orphans_removed": 0,
+        }
         self._lock = threading.Lock()
 
     # -- keying --------------------------------------------------------
@@ -92,9 +137,16 @@ class AOTCache:
             platform_version = devs[0].client.platform_version
         except Exception:  # pragma: no cover - plugin-dependent
             platform_version = "?"
+        # compile-affecting environment: two processes with different
+        # XLA/libtpu flags must not serve each other's codegen
+        env_flags = "|".join(
+            f"{k}={os.environ.get(k, '')}"
+            for k in ("XLA_FLAGS", "LIBTPU_INIT_ARGS")
+        )
         return (
             f"{devs[0].platform}|{devs[0].device_kind}|{len(devs)}|"
-            f"{jax.__version__}|{jaxlib_version}|{platform_version}"
+            f"{jax.__version__}|{jaxlib_version}|{platform_version}|"
+            f"{env_flags}"
         )
 
     def _key(self, lowered) -> str:
@@ -103,8 +155,101 @@ class AOTCache:
         h.update(self._fingerprint().encode())
         return h.hexdigest()
 
+    def _fp_dir(self) -> str:
+        """Entries live under a per-fingerprint subdirectory so a jax /
+        plugin / flag change leaves identifiable orphans :meth:`prune`
+        can sweep (the flat key is a hash — unattributable)."""
+        fp = hashlib.sha256(self._fingerprint().encode()).hexdigest()[:16]
+        return os.path.join(self.directory, f"fp-{fp}")
+
     def _path(self, key: str) -> str:
-        return os.path.join(self.directory, f"{key}.jaxexe")
+        return os.path.join(self._fp_dir(), f"{key}.jaxexe")
+
+    # -- lifecycle -----------------------------------------------------
+
+    def size_bytes(self) -> int:
+        """Total bytes of stored executables (all fingerprints)."""
+        total = 0
+        for root, _, files in os.walk(self.directory):
+            for name in files:
+                if name.endswith(".jaxexe"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, name))
+                    except OSError:
+                        pass
+        return total
+
+    def prune(self, max_bytes: Optional[int] = None) -> dict:
+        """Bound the store: sweep stale-fingerprint orphans, then evict
+        least-recently-used current entries past ``max_bytes``.
+
+        Orphans are every entry under a ``fp-*`` subdirectory other than
+        the current fingerprint's — they can never be served again in
+        this environment (a jax/jaxlib/plugin/flag change moved the
+        fingerprint).  Eviction order is by last use (hits ``os.utime``
+        each entry, so LRU survives ``noatime`` mounts); newest survive.
+        ``max_bytes=None`` uses ``self.max_bytes``; if both are None only
+        the orphan sweep runs.  Returns ``{"orphans_removed", "evicted",
+        "kept", "bytes"}`` and accumulates the first two into ``stats``.
+        """
+        if max_bytes is None:
+            max_bytes = self.max_bytes
+        cur = self._fp_dir()
+        orphans = evicted = 0
+        with os.scandir(self.directory) as it:
+            dirs = [
+                e.path
+                for e in it
+                if e.is_dir() and e.name.startswith("fp-")
+            ]
+        for d in dirs:
+            if os.path.abspath(d) == os.path.abspath(cur):
+                continue
+            with os.scandir(d) as it:
+                for e in it:
+                    if e.name.endswith((".jaxexe", ".tmp")):
+                        try:
+                            os.unlink(e.path)
+                            orphans += 1
+                        except OSError:
+                            pass
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass
+        entries = []
+        if os.path.isdir(cur):
+            with os.scandir(cur) as it:
+                for e in it:
+                    if e.name.endswith(".jaxexe"):
+                        try:
+                            st = e.stat()
+                        except OSError:
+                            continue
+                        entries.append(
+                            (max(st.st_atime, st.st_mtime), st.st_size,
+                             e.path)
+                        )
+        total = sum(size for _, size, _ in entries)
+        if max_bytes is not None and total > max_bytes:
+            for _, size, path in sorted(entries):  # oldest first
+                if total <= max_bytes:
+                    break
+                try:
+                    os.unlink(path)
+                    total -= size
+                    evicted += 1
+                except OSError:
+                    pass
+        with self._lock:
+            self.stats["orphans_removed"] += orphans
+            self.stats["evicted"] += evicted
+        return {
+            "orphans_removed": orphans,
+            "evicted": evicted,
+            "kept": len(entries) - evicted,
+            "bytes": total,
+        }
 
     # -- core ----------------------------------------------------------
 
@@ -128,6 +273,10 @@ class AOTCache:
                 compiled = se.deserialize_and_load(
                     *payload, execution_devices=devices
                 )
+                try:
+                    os.utime(path)  # LRU clock for prune(), noatime-proof
+                except OSError:
+                    pass
                 with self._lock:
                     self.stats["hits"] += 1
                 return compiled
@@ -141,10 +290,14 @@ class AOTCache:
                 d.id for d in compiled.runtime_executable().local_devices()
             ]
             blob = pickle.dumps((se.serialize(compiled), device_ids))
-            fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+            fp_dir = os.path.dirname(path)
+            os.makedirs(fp_dir, mode=0o700, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=fp_dir, suffix=".tmp")
             with os.fdopen(fd, "wb") as f:
                 f.write(blob)
             os.replace(tmp, path)  # atomic under concurrent writers
+            if self.max_bytes is not None:
+                self.prune()
         except Exception:
             if tmp is not None:
                 try:
@@ -227,14 +380,25 @@ class _AOTFunction:
                     return self._jitted(*args)
         try:
             return compiled(*args)
-        except Exception:
-            # demote this signature permanently: re-raising through the
-            # jit path keeps results (and genuine errors) correct without
-            # paying raise + re-dispatch on every future call
+        except Exception as aot_err:
+            # re-run through the original jit.  If that ALSO fails, the
+            # error is genuine (bad input, device fault): propagate from
+            # the jit path and do NOT demote — a transient device error
+            # must not silently cost this signature its AOT executable
+            # for the process lifetime.  If the jit path succeeds, the
+            # AOT executable itself rejected the arguments (committed
+            # arrays on mismatched shardings etc.): demote permanently,
+            # and say so with the triggering exception.
+            result = self._jitted(*args)
+            logger.warning(
+                "AOT executable rejected arguments (signature demoted to "
+                "the jit path for this process): %r",
+                aot_err,
+            )
             self._compiled[sig] = self._FALLBACK
             with self._cache._lock:
                 self._cache.stats["fallbacks"] += 1
-            return self._jitted(*args)
+            return result
 
 
 def precompile_extractor(

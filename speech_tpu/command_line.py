@@ -484,6 +484,50 @@ def _add_aot_args(parser, precompile=False):
             "corpus for signal lengths/dtypes, compiles the (bucket x "
             "batch x dtype) program grid, and stores the executables.",
         )
+    parser.add_argument(
+        "--aot-max-bytes",
+        type=int,
+        default=None,
+        metavar="N",
+        help="Byte cap on the --aot-dir store: after each store write "
+        "(and under --aot-prune), least-recently-used executables past "
+        "the cap are evicted (hits refresh an entry's clock).",
+    )
+    parser.add_argument(
+        "--aot-prune",
+        action="store_true",
+        help="Prune the --aot-dir store and exit: sweep executables "
+        "orphaned by a jax/plugin/flag upgrade (their fingerprint can "
+        "never be served again) and evict LRU entries past "
+        "--aot-max-bytes, then print what was removed.",
+    )
+
+
+def _make_aot(options):
+    """AOTCache for --aot-dir (with the --aot-max-bytes cap), or None."""
+    aot_dir = getattr(options, "aot_dir", None)
+    if aot_dir is None:
+        return None
+    from .aot import AOTCache
+
+    return AOTCache(
+        aot_dir, max_bytes=getattr(options, "aot_max_bytes", None)
+    )
+
+
+def _handle_aot_prune(options) -> bool:
+    """--aot-prune: sweep/evict the store and report.  True = handled
+    (the caller exits 0 without doing any feature work)."""
+    if not getattr(options, "aot_prune", False):
+        return False
+    if getattr(options, "aot_dir", None) is None:
+        raise SystemExit("--aot-prune requires --aot-dir")
+    res = _make_aot(options).prune()
+    print(
+        "aot store pruned: {orphans_removed} orphan(s) swept, "
+        "{evicted} evicted, {kept} kept ({bytes} bytes)".format(**res)
+    )
+    return True
 
 
 def _add_vad_trim_arg(parser):
@@ -629,6 +673,8 @@ def signals_to_torch_feat_dir(args: Optional[Sequence[str]] = None) -> int:
 
 
 def _signals_to_torch_feat_dir(options) -> int:
+    if _handle_aot_prune(options):
+        return 0
     try:
         import torch
     except ImportError:
@@ -827,7 +873,7 @@ def _signals_to_torch_feat_dir(options) -> int:
             computer,
             mesh,
             bucket="fine" if options.fine_buckets else "pow2",
-            aot_dir=options.aot_dir,
+            aot_dir=_make_aot(options),
         )
         if pitch is not None:
             pitch.mesh = mesh
@@ -1168,6 +1214,8 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
         return ex.code
     if options.verbose:
         logging.basicConfig(level=logging.INFO)
+    if _handle_aot_prune(options):
+        return 0
     try:
         from pydrobert.kaldi.io import open as kaldi_open  # type: ignore
         from pydrobert.kaldi.io.enums import KaldiDataType  # type: ignore
@@ -1513,7 +1561,7 @@ def compute_feats_from_kaldi_tables(args: Optional[Sequence[str]] = None) -> int
             computer,
             mesh,
             bucket="fine" if options.fine_buckets else "pow2",
-            aot_dir=getattr(options, "aot_dir", None),
+            aot_dir=_make_aot(options),
         )
         if pitch is not None:
             pitch.mesh = mesh
@@ -1674,6 +1722,8 @@ def torch_feat_dir_to_signals(args: Optional[Sequence[str]] = None) -> int:
         options = _torch_feat_dir_to_signals_parse_args(args)
     except SystemExit as ex:
         return ex.code
+    if _handle_aot_prune(options):
+        return 0
     try:
         import torch
     except ImportError:
@@ -1731,11 +1781,7 @@ def torch_feat_dir_to_signals(args: Optional[Sequence[str]] = None) -> int:
     rate = int(round(computer.bank.sampling_rate))
     shift = computer.frame_shift
     progs = {}
-    aot = None
-    if getattr(options, "aot_dir", None):
-        from .aot import AOTCache
-
-        aot = AOTCache(options.aot_dir)
+    aot = _make_aot(options)
 
     def invert(batch, counts):
         """(B, T_pad, F) float32 + (B,) counts -> (B, T_pad*shift)."""

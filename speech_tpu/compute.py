@@ -276,6 +276,13 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
           exact XLA digit path; float32 dtype only.
         - 'default': single-pass bf16 MXU — ~25% faster than 'highest'
           but a clearly reduced-precision tier at ~1.5e-2 max abs error.
+        - 'high': three-pass bf16 (bf16x3) MXU.  Accepted for
+          :class:`jax.lax.Precision` completeness but NOT an accuracy
+          tier on TPU: measured ~1e-2 max abs log-feature error on real
+          speech (the feature log amplifies the passes' residual
+          cancellation error), i.e. no better than 'default' here while
+          costing three passes.  Prefer 'highest' (same cost class,
+          ~1e-4 worst case) or the digit tiers.
     """
 
     aliases = {"stft"}
@@ -854,7 +861,13 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         convolutions poorly), or 'auto' ('matmul' up to supports of
         ``16 * CONV_BLOCK`` samples, then 'fft').
     precision
-        'highest' (default), 'double', or 'accurate'.  'double' runs the
+        'highest' (default), 'double', 'accurate', 'default', or 'high'.
+        'default' (single-pass bf16) and 'high' (bf16x3) are
+        reduced-precision conv tiers accepted for
+        :class:`jax.lax.Precision` completeness — like the STFT
+        computer's, they are NOT accuracy tiers on TPU (the feature log
+        amplifies their conv rounding; see
+        :class:`ShortTimeFourierTransformFrameComputer`).  'double' runs the
         convolution as exact base-64 digit-decomposition matmuls
         (float32 only, implies conv_mode='matmul'; see
         :class:`ShortTimeFourierTransformFrameComputer`): <=1e-5 max abs
@@ -867,9 +880,12 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         the MXU block-passes (see ``speech_tpu.ops.stft`` ``_SAK_*``).
         Caveat for both digit tiers: they force the matmul convolution,
         whose banded digit planes scale with the support squared —
-        designed for gammatone/gabor-class supports (hundreds of taps);
-        fbank-class SI supports (~7000 taps) work but pay multi-GB
-        parameter planes and, for 'accurate', chunked contraction scans.
+        designed for gammatone/gabor-class supports (hundreds of taps,
+        100-150 MiB of planes).  Banks with very long supports
+        (fbank-class SI is ~7000 taps = 700-850 MiB of planes plus the
+        live einsum buffers) are rejected at construction with a
+        descriptive error; see
+        :data:`speech_tpu.config.SI_DIGIT_PARAM_BYTE_LIMIT`.
     """
 
     aliases = {"si"}
@@ -930,6 +946,36 @@ class ShortIntegrationFrameComputer(LinearFilterBankFrameComputer):
         self._kernel = _si.build_si_kernel(
             bank, self._frame_shift, frame_style, window, include_energy
         )
+        if precision in ("double", "accurate"):
+            # the digit tiers' parameter planes scale with the SQUARED
+            # filter support; estimate them now so an fbank-class config
+            # fails with guidance instead of an opaque multi-GB OOM deep
+            # inside jit (see config.SI_DIGIT_PARAM_BYTE_LIMIT)
+            T = self._kernel["max_support"]
+            V = _si.CONV_BLOCK
+            Kb = (-(-(T - 1) // V) if T > 1 else 0) + 1
+            ndig = (
+                _stft._SAK_M_DIGITS
+                if precision == "accurate"
+                else _stft._M_DIGITS
+            )
+            parts = 1 if self._kernel["is_real"] else 2
+            est = ndig * parts * Kb * bank.num_filts * V * V * 4
+            limit = config.SI_DIGIT_PARAM_BYTE_LIMIT
+            if limit and est > limit:
+                raise ValueError(
+                    f"SI precision={precision!r} would build "
+                    f"~{est / 2**30:.1f} GiB of digit parameter planes "
+                    f"(max_support={T} taps, {bank.num_filts} filters, "
+                    f"{ndig} digit planes x {parts} part(s)), above "
+                    f"config.SI_DIGIT_PARAM_BYTE_LIMIT="
+                    f"{limit / 2**30:.1f} GiB.  The digit tiers are "
+                    "designed for gammatone/gabor-class supports "
+                    "(hundreds of taps); for banks with very long "
+                    "supports use precision='highest' (optionally "
+                    "conv_mode='fft'), or raise the limit if the device "
+                    "really has the memory."
+                )
         if not pad_to_nearest_power_of_two:
             # power-of-two padding only affects the reference's internal
             # block DFT size, not its output; our FFT size is independent

@@ -1058,21 +1058,26 @@ class GammaWindow(WindowFunction):
 
     def get_impulse_response(self, width: int) -> np.ndarray:
         if width <= 0:
-            return np.array([], dtype=float)
+            return np.zeros(0, np.float64)
         if width == 1:
-            return np.array([1], dtype=float)
-        peak = self.peak * width
-        ret = np.arange(width - 1, -1, -1, dtype=float)
-        if self.order > 1:
-            alpha = (self.order - 1) / (width - peak)
-            offs = width - 1
+            return np.ones(1, np.float64)
+        n = self.order
+        # sample i sits at reflected time t = width - 1 - i
+        t = np.arange(width - 1, -1, -1, dtype=np.float64)
+        if n > 1:
+            # the density's mode is (n - 1) / alpha; pin it to the
+            # reflected peak position
+            alpha = (n - 1) / (width - self.peak * width)
         else:
-            # align alpha roughly with a support of width samples
-            alpha = 5 / width
-            offs = width
-        ln_c = self.order * np.log(alpha)
-        ln_c -= np.log(math.factorial(self.order - 1))
-        ret[:offs] = ret[:offs] ** (self.order - 1) * np.exp(
-            -alpha * ret[:offs] + ln_c
+            alpha = 5.0 / width  # no interior mode at n = 1: fixed decay
+        # evaluate entirely in log space (normalizer alpha^n / (n-1)!)
+        # so large orders cannot overflow the t^(n-1) factor
+        log_norm = n * np.log(alpha) - math.lgamma(n)
+        out = np.zeros(width, np.float64)
+        pos = t > 0
+        out[pos] = np.exp(
+            (n - 1) * np.log(t[pos]) - alpha * t[pos] + log_norm
         )
-        return ret
+        if n == 1:
+            out[~pos] = np.exp(log_norm)
+        return out

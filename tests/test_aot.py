@@ -25,6 +25,17 @@ from speech_tpu.serve import FeatureServer
 CFG = {"name": "fbank", "num_filts": 12, "sampling_rate": 8000}
 
 
+def _entries(directory):
+    """Stored executable paths (entries live under per-fingerprint
+    subdirectories so prune() can sweep orphans)."""
+    found = []
+    for root, _, files in os.walk(directory):
+        found.extend(
+            os.path.join(root, f) for f in files if f.endswith(".jaxexe")
+        )
+    return sorted(found)
+
+
 def _computer():
     return STFTFrameComputer(
         CFG, frame_length_ms=25, frame_shift_ms=10, dtype="float64"
@@ -46,14 +57,14 @@ def test_cache_roundtrip_and_stats(tmp_path):
     x = np.ones((4, 8))
     fn = cache.wrap(jitted)
     out1 = np.asarray(fn(x))
-    assert cache.stats == {"hits": 0, "misses": 1, "errors": 0, "fallbacks": 0}
+    assert cache.stats == {"hits": 0, "misses": 1, "errors": 0, "fallbacks": 0, "evicted": 0, "orphans_removed": 0}
     # a fresh cache+wrapper over the same dir: pure hit
     cache2 = AOTCache(str(tmp_path))
     fn2 = cache2.wrap(jax.jit(lambda x: jnp.sin(x) * 3))
     out2 = np.asarray(fn2(x))
     assert cache2.stats["hits"] == 1 and cache2.stats["misses"] == 0
     assert np.array_equal(out1, out2)
-    assert len(os.listdir(tmp_path)) == 1
+    assert len(_entries(tmp_path)) == 1
 
 
 def test_key_changes_with_constants(tmp_path):
@@ -65,7 +76,7 @@ def test_key_changes_with_constants(tmp_path):
         fn = cache.wrap(jax.jit(lambda x, s=scale: x * s))
         assert np.allclose(np.asarray(fn(x)), scale)
     assert cache.stats["misses"] == 2
-    assert len(os.listdir(tmp_path)) == 2
+    assert len(_entries(tmp_path)) == 2
 
 
 def test_corrupt_entry_falls_back(tmp_path):
@@ -74,7 +85,7 @@ def test_corrupt_entry_falls_back(tmp_path):
     fn = cache.wrap(jitted)
     x = np.zeros((3,))
     fn(x)
-    (path,) = [tmp_path / p for p in os.listdir(tmp_path)]
+    (path,) = map(__import__("pathlib").Path, _entries(tmp_path))
     path.write_bytes(b"not a pickle")
     cache2 = AOTCache(str(tmp_path))
     out = np.asarray(cache2.wrap(jax.jit(lambda x: x + 1))(x))
@@ -135,7 +146,7 @@ def test_enable_aot_invalidates_prewired_programs(tmp_path):
     computer.enable_aot(str(tmp_path))
     computer.compute_batch(signals, lengths)  # must go through the store
     assert computer._aot.stats["misses"] > 0
-    assert len(os.listdir(tmp_path)) > 0
+    assert len(_entries(tmp_path)) > 0
 
 
 def test_aot_dir_accepts_shared_cache_instance(tmp_path):
@@ -372,7 +383,7 @@ def test_cli_precompile_then_zero_compile_run(tmp_path):
         str(aot_dir),
     ]
     assert signals_to_torch_feat_dir(base + ["--precompile"]) == 0
-    assert len(os.listdir(aot_dir)) > 0
+    assert len(_entries(aot_dir)) > 0
     assert not os.path.isdir(out_dir) or not os.listdir(out_dir)
 
     # real run in a fresh process; forbid compiles via sitecustomize-style
@@ -413,3 +424,112 @@ def test_cli_precompile_then_zero_compile_run(tmp_path):
         got = torch.load(str(out_dir / f"utt{i}.pt")).numpy()
         want = computer.compute_full(sig)
         assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_prune_evicts_lru_past_cap(tmp_path):
+    """Fill past a byte cap: oldest-used entries evicted, recently used
+    survive; stats updated (VERDICT r4 item 6)."""
+    import time as _time
+
+    cache = AOTCache(str(tmp_path))
+    x = np.ones((4,))
+    for scale in (2.0, 3.0, 4.0, 5.0):
+        cache.wrap(jax.jit(lambda x, s=scale: x * s))(x)
+    entries = _entries(tmp_path)
+    assert len(entries) == 4
+    sizes = {p: os.path.getsize(p) for p in entries}
+    per = max(sizes.values())
+    # age entries by mtime/atime so LRU order is deterministic, oldest
+    # first in creation order
+    now = _time.time()
+    for age, p in enumerate(sorted(entries, key=os.path.getmtime)):
+        os.utime(p, (now - 400 + age * 100, now - 400 + age * 100))
+    ordered = sorted(entries, key=os.path.getmtime)
+    res = cache.prune(max_bytes=2 * per + 1)
+    assert res["evicted"] == 2 and cache.stats["evicted"] == 2
+    left = set(_entries(tmp_path))
+    assert left == set(ordered[2:])  # newest two survive
+    # a hit refreshes the LRU clock: touch the older survivor, cap to one
+    old, new = sorted(left, key=os.path.getmtime)
+    os.utime(old, None)
+    _time.sleep(0.01)
+    res = cache.prune(max_bytes=per + 1)
+    assert res["evicted"] == 1
+    assert set(_entries(tmp_path)) == {old}
+
+
+def test_prune_sweeps_stale_fingerprint_orphans(tmp_path):
+    """Entries under a different fingerprint's subdirectory can never be
+    served again in this environment; prune removes them entirely."""
+    cache = AOTCache(str(tmp_path))
+    cache.wrap(jax.jit(lambda x: x + 1))(np.zeros((3,)))
+    stale = tmp_path / "fp-0123456789abcdef"
+    stale.mkdir()
+    (stale / "deadbeef.jaxexe").write_bytes(b"x" * 100)
+    (stale / "junk.tmp").write_bytes(b"y")
+    res = cache.prune()
+    assert res["orphans_removed"] == 2
+    assert not stale.exists()
+    # the live entry survived and still serves
+    cache2 = AOTCache(str(tmp_path))
+    cache2.wrap(jax.jit(lambda x: x + 1))(np.zeros((3,)))
+    assert cache2.stats["hits"] == 1
+
+
+def test_max_bytes_autoprunes_on_write(tmp_path):
+    cache = AOTCache(str(tmp_path), max_bytes=1)  # everything over cap
+    x = np.ones((4,))
+    for scale in (2.0, 3.0, 4.0):
+        cache.wrap(jax.jit(lambda x, s=scale: x * s))(x)
+    # each write prunes to the cap: at most one entry ever remains
+    assert len(_entries(tmp_path)) <= 1
+    assert cache.stats["evicted"] >= 2
+
+
+def test_world_writable_store_rejected_or_tightened(tmp_path):
+    """Entries are pickles: a group/other-writable store directory is a
+    code-execution hazard.  Owned dirs are chmod-tightened (warned);
+    (un-owned ones are rejected — not constructible in a test)."""
+    d = tmp_path / "store"
+    d.mkdir()
+    os.chmod(d, 0o777)
+    AOTCache(str(d))
+    assert (os.stat(d).st_mode & 0o077) == 0
+
+
+def test_fingerprint_covers_xla_flags(tmp_path, monkeypatch):
+    """Two processes with different XLA_FLAGS must not share codegen."""
+    cache = AOTCache(str(tmp_path))
+    fp1 = cache._fingerprint()
+    monkeypatch.setenv("XLA_FLAGS", "--xla_some_flag=true")
+    fp2 = cache._fingerprint()
+    assert fp1 != fp2
+
+
+def test_cli_aot_prune(tmp_path, capsys):
+    """--aot-prune sweeps/evicts and exits 0 without feature work."""
+    from speech_tpu.command_line import signals_to_torch_feat_dir
+
+    cache = AOTCache(str(tmp_path / "store"))
+    cache.wrap(jax.jit(lambda x: x * 2))(np.ones((4,)))
+    stale = tmp_path / "store" / "fp-feedfacefeedface"
+    stale.mkdir()
+    (stale / "old.jaxexe").write_bytes(b"x")
+    map_file = tmp_path / "map.txt"
+    map_file.write_text("")
+    rc = signals_to_torch_feat_dir(
+        [
+            str(map_file),
+            '{"name": "stft", "bank": {"name": "fbank", "num_filts": 4, '
+            '"sampling_rate": 8000}}',
+            str(tmp_path / "out"),
+            "--aot-dir",
+            str(tmp_path / "store"),
+            "--aot-prune",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1 orphan(s) swept" in out
+    assert not stale.exists()
+    assert len(_entries(tmp_path / "store")) == 1

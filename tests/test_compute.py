@@ -378,6 +378,48 @@ def test_precision_option():
     assert np.allclose(a, b, atol=1e-10)
 
 
+def test_precision_high_accepted_and_documented():
+    """'high' (bf16x3) is accepted as a jax.lax.Precision tier on both
+    computers and documented as a non-accuracy tier (measured ~1e-2 on
+    real speech on TPU hardware — the docstrings state this); on the CPU
+    backend every precision lowers to full f32/f64 so outputs agree."""
+    import numpy as np
+
+    from speech_tpu.compute import (
+        ShortIntegrationFrameComputer,
+        STFTFrameComputer,
+    )
+
+    rng = np.random.RandomState(7)
+    sig = rng.randn(4000)
+    kw = dict(frame_length_ms=25, frame_shift_ms=10, dtype="float64")
+    bank = {"name": "fbank", "num_filts": 8, "sampling_rate": 8000}
+    hi = STFTFrameComputer(dict(bank), precision="high", **kw)
+    ref = STFTFrameComputer(dict(bank), precision="highest", **kw)
+    assert np.allclose(hi.compute_full(sig), ref.compute_full(sig), atol=1e-10)
+    # the docstring must carry the tier's measured standing
+    assert "'high'" in STFTFrameComputer.__doc__
+    assert "NOT an accuracy" in STFTFrameComputer.__doc__
+    si_bank = {
+        "name": "gammatone",
+        "scaling_function": "mel",
+        "num_filts": 6,
+        "sampling_rate": 8000,
+    }
+    si_hi = ShortIntegrationFrameComputer(
+        dict(si_bank), frame_shift_ms=10, dtype="float64", precision="high"
+    )
+    si_ref = ShortIntegrationFrameComputer(
+        dict(si_bank), frame_shift_ms=10, dtype="float64"
+    )
+    assert np.allclose(
+        si_hi.compute_full(sig), si_ref.compute_full(sig), atol=1e-10
+    )
+    assert "'high'" in ShortIntegrationFrameComputer.__doc__
+    with pytest.raises(ValueError, match="precision"):
+        STFTFrameComputer(dict(bank), precision="bf16", **kw)
+
+
 def test_compute_batch_full_length_fast_path(frame_style):
     """Host-known all-full lengths use the static-padding program; output
     must match the general traced-lengths path exactly."""

@@ -329,6 +329,36 @@ def test_si_double_precision_guards():
         SIFrameComputer(dict(bank), conv_mode="direct", precision="accurate")
 
 
+def test_si_digit_tier_memory_guard():
+    """fbank-class supports (~7000 taps) under the digit tiers would
+    allocate multi-GB parameter planes; construction must fail with a
+    descriptive, configurable guard instead of an opaque OOM in jit."""
+    from speech_tpu import config
+
+    bank = {"name": "fbank", "num_filts": 40, "sampling_rate": 16000}
+    with pytest.raises(ValueError, match="GiB of digit parameter planes"):
+        SIFrameComputer(dict(bank), precision="double")
+    with pytest.raises(ValueError, match="SI_DIGIT_PARAM_BYTE_LIMIT"):
+        SIFrameComputer(dict(bank), precision="accurate")
+    # gammatone-class supports stay comfortably under the default limit
+    SIFrameComputer(
+        {
+            "name": "gammatone",
+            "scaling_function": "mel",
+            "num_filts": 40,
+            "sampling_rate": 16000,
+        },
+        precision="accurate",
+    )
+    # the limit is configurable; 0 disables the guard entirely
+    old = config.SI_DIGIT_PARAM_BYTE_LIMIT
+    try:
+        config.SI_DIGIT_PARAM_BYTE_LIMIT = 0
+        SIFrameComputer(dict(bank), precision="double")  # no raise
+    finally:
+        config.SI_DIGIT_PARAM_BYTE_LIMIT = old
+
+
 def test_si_compute_batch_int16_ingress():
     """Compact int16 SI batches match the float path bitwise."""
     computer = SIFrameComputer(dict(BANKS[0]), include_energy=True, dtype="float64")
