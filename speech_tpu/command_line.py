@@ -923,12 +923,72 @@ def _signals_to_torch_feat_dir(options) -> int:
             save(utt_id, feats)
 
     if options.precompile:
-        from .aot import precompile_extractor
+        from math import gcd
 
+        from .aot import precompile_extractor
+        from .io import probe_signal_info
+
+        def _resampled_len(n, up, down):
+            g = gcd(int(up), int(down))
+            L, M = int(up) // g, int(down) // g
+            return -(-n * L // M)  # ops/resample.resample_np's n_out
+
+        # size the program grid from container headers where they are
+        # decisive (wav-PCM/SPHERE/npy sample counts, adjusted by the
+        # exact resample/speed length formulas) — a full IO+decode sweep
+        # over a large corpus only to learn lengths is the slow path, so
+        # it is reserved for utterances whose length or compacted dtype
+        # a header cannot determine
         lengths, dtypes = [], set()
-        for _utt_id, signal in loader():
-            lengths.append(len(signal))
-            dtypes.add(np.asarray(signal).dtype)
+        slow_items = []
+        for item in items:
+            _idx, rest = item
+            speed = rest[2] if len(rest) == 3 else None
+            path = rest[1]
+            n = None
+            info = probe_signal_info(path, options.force_as)
+            if info is not None:
+                n, _chans, native = info
+                if resample_rates is not None:
+                    n = _resampled_len(n, *resample_rates)
+                if speed is not None:
+                    n = _resampled_len(n, *speed)
+                if preprocessors:
+                    dtypes.add(np.dtype(np.float64))
+                elif resample_rates is not None or speed is not None:
+                    # polyphase output is fractional: never compacts
+                    # (outside the all-silence corner, which would only
+                    # mean one lazily-compiled int16 program at run time)
+                    dtypes.add(np.dtype(np.float64))
+                elif native in (np.dtype(np.int16), np.dtype(np.uint8)):
+                    dtypes.add(np.dtype(np.int16))  # _compact_pcm path
+                else:
+                    n = None  # can't predict compaction: decode it
+            if n is None:
+                slow_items.append(item)
+            else:
+                lengths.append(int(n))
+        if slow_items:
+            print(
+                f"precompile: decoding {len(slow_items)} utterance(s) "
+                "without decisive headers "
+                f"({len(lengths)} sized from headers)",
+                file=sys.stderr,
+            )
+            for _utt_id, signal in mapper(
+                lambda item: _load_utt(
+                    item,
+                    preprocessors,
+                    options.channel,
+                    options.force_as,
+                    seed,
+                    compact=extractor is not None,
+                    resample=resample_rates,
+                ),
+                slow_items,
+            ):
+                lengths.append(len(signal))
+                dtypes.add(np.asarray(signal).dtype)
         if not lengths:
             print("no utterances to precompile for", file=sys.stderr)
             return 1

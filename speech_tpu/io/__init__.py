@@ -15,11 +15,12 @@ from typing import Any, BinaryIO, Optional, Union
 import numpy as np
 
 from .. import config
-from .sphere import sphere_read_signal  # noqa: F401
+from .sphere import read_sphere_header, sphere_read_signal  # noqa: F401
 from . import kaldi_tables  # noqa: F401
 
 __all__ = [
     "kaldi_tables",
+    "probe_signal_info",
     "read_signal",
     "sphere_read_signal",
     "wds_read_signal",
@@ -256,6 +257,69 @@ def read_signal(
             "Try setting force_as = 'soundfile'"
         )
     raise ValueError(msg)
+
+
+def probe_signal_info(
+    rfilename: str, force_as: Optional[str] = None
+) -> Optional[tuple]:
+    """Header-only ``(n_samples_per_channel, n_channels, native_dtype)``.
+
+    For container formats whose headers carry the sample count — PCM wav
+    (via :mod:`wave`), NIST SPHERE, and ``.npy`` — this answers without
+    decoding any audio, which lets ``--precompile`` size its program grid
+    over a large corpus in one cheap header pass instead of a full
+    IO+decode sweep.  Returns ``None`` whenever only a real decode can
+    tell (unknown container, float/compressed wav variants the ``wave``
+    module rejects, archives needing a key, pipes, tables) — callers must
+    fall back to :func:`read_signal`.
+
+    ``native_dtype`` is the container's storage dtype (e.g. ``int16`` for
+    PCM16 wav and every SPHERE coding), before any ``dtype=`` cast a
+    reader would apply.
+    """
+    if not isinstance(rfilename, str):
+        return None
+    try:
+        kind = force_as or _infer_force_as(rfilename)
+    except IOError:
+        return None
+    try:
+        if kind == "wav":
+            import wave
+
+            with wave.open(rfilename, "rb") as wf:
+                if wf.getcomptype() not in ("NONE",):
+                    return None
+                width = wf.getsampwidth()
+                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+                if dtype is None:
+                    return None
+                return (
+                    wf.getnframes(),
+                    wf.getnchannels(),
+                    np.dtype(dtype),
+                )
+        if kind == "sph":
+            with open(rfilename, "rb") as f:
+                (_, _, sampcount, _, chancount, _) = read_sphere_header(f)
+            # every SPHERE coding (pcm/ulaw/alaw, shortened or not)
+            # decodes to int16
+            return int(sampcount), int(chancount), np.dtype(np.int16)
+        if kind == "npy":
+            from numpy.lib import format as npformat
+
+            with open(rfilename, "rb") as f:
+                version = npformat.read_magic(f)
+                npformat._check_version(version)
+                shape, _, dtype = npformat._read_array_header(f, version)
+            if len(shape) == 1:
+                return int(shape[0]), 1, np.dtype(dtype)
+            if len(shape) == 2:
+                return int(shape[0]), int(shape[1]), np.dtype(dtype)
+            return None
+    except Exception:
+        return None
+    return None
 
 
 def wds_read_signal(key: str, data: bytes) -> Optional[np.ndarray]:

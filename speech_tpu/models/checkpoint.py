@@ -167,10 +167,25 @@ class TrainCheckpointer:
                 template["extra"] = self._abstract_from_metadata(
                     tree["extra"], host=False
                 )
-        restored = self._mgr.restore(
-            int(step),
-            args=self._ocp.args.StandardRestore(template),
-        )
+        try:
+            restored = self._mgr.restore(
+                int(step),
+                args=self._ocp.args.StandardRestore(template),
+            )
+        except Exception as e:
+            if extra_like is not None and self._metadata_tree(step) is None:
+                # the descriptive pre-check above needs the metadata tree,
+                # which a fresh manager without item_handlers cannot
+                # produce (known orbax gotcha) — wrap the opaque
+                # structure-mismatch with the same hint instead
+                raise ValueError(
+                    f"restoring step {step} with extra_like failed and "
+                    "the checkpoint metadata is unavailable on this "
+                    "manager.  If this checkpoint was saved WITHOUT "
+                    "save(..., extra=...), omit extra_like; the original "
+                    f"orbax error follows: {e}"
+                ) from e
+            raise
         return (
             int(step),
             restored["params"],

@@ -533,3 +533,59 @@ def test_cli_aot_prune(tmp_path, capsys):
     assert "1 orphan(s) swept" in out
     assert not stale.exists()
     assert len(_entries(tmp_path / "store")) == 1
+
+
+def test_cli_precompile_sizes_from_headers(tmp_path, monkeypatch):
+    """The --precompile scan must size its grid from container headers
+    for wav/sphere/npy corpora — decoding audio only to learn lengths is
+    the slow path (ADVICE r4).  Enforced by making read_signal raise."""
+    import json
+    import wave
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.RandomState(9)
+    map_path = tmp_path / "map.txt"
+    with open(map_path, "w") as mf:
+        for i in range(3):
+            sig = (rng.randn(1000 + 700 * i) * 3000).astype(np.int16)
+            path = str(wav_dir / f"utt{i}.wav")
+            with wave.open(path, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(sig.tobytes())
+            mf.write(f"utt{i} {path}\n")
+    cfg = tmp_path / "computer.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "name": "stft",
+                "bank": CFG,
+                "frame_length_ms": 25,
+                "frame_shift_ms": 10,
+            }
+        )
+    )
+    import speech_tpu.command_line as cl
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "read_signal called during --precompile header scan"
+        )
+
+    monkeypatch.setattr(cl, "read_signal", boom)
+    rc = cl.signals_to_torch_feat_dir(
+        [
+            str(map_path),
+            str(cfg),
+            str(tmp_path / "out"),
+            "--batch-size",
+            "2",
+            "--aot-dir",
+            str(tmp_path / "aot"),
+            "--precompile",
+        ]
+    )
+    assert rc == 0
+    assert len(_entries(tmp_path / "aot")) > 0

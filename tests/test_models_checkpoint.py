@@ -218,6 +218,28 @@ def test_restore_extra_like_against_extraless_checkpoint_raises(tmp_path):
             )
 
 
+def test_restore_extra_like_wraps_when_metadata_unavailable(
+    tmp_path, monkeypatch
+):
+    """When the manager cannot produce the metadata tree (fresh manager
+    without item_handlers — a known orbax gotcha), the pre-check cannot
+    run; the opaque orbax structure-mismatch must still come back wrapped
+    with the extra_like hint."""
+    model = _model()
+    params, _ = model.init(jax.random.PRNGKey(15))
+    tx = optax.sgd(1e-2)
+    opt = tx.init(params)
+    with TrainCheckpointer(str(tmp_path / "nm")) as ckpt:
+        ckpt.save(1, params, opt)  # no extra
+        monkeypatch.setattr(
+            type(ckpt), "_metadata_tree", lambda self, step: None
+        )
+        with pytest.raises(ValueError, match="metadata is unavailable"):
+            ckpt.restore(
+                like=(params, opt), extra_like={"epoch": np.int64(0)}
+            )
+
+
 def test_restore_missing_raises(tmp_path):
     model = _model()
     params, _ = model.init(jax.random.PRNGKey(2))
