@@ -193,13 +193,17 @@ def _fix_bitshift(block: np.ndarray, bitshift: int, ftype: int) -> np.ndarray:
     if ftype == _TYPE_AU1:
         return ULAW_OUTWARD[bitshift][block + 128].astype(np.int32)
     if ftype == _TYPE_AU2:
+        # np.where evaluates BOTH branches: the negative-side index must
+        # be clipped for non-negative blocks too, or any sample >= 127
+        # indexes past the table and crashes on a perfectly valid stream
+        # (caught by the valid-bitstream differential fuzz)
         out = np.where(
             block >= 0,
             ULAW_OUTWARD[bitshift][np.minimum(block, 127) + 128],
             np.where(
                 block == -1,
                 NEGATIVE_ULAW_ZERO,
-                ULAW_OUTWARD[bitshift][np.maximum(block, -129) + 129],
+                ULAW_OUTWARD[bitshift][np.clip(block, -129, 126) + 129],
             ),
         )
         return out.astype(np.int32)
