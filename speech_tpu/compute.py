@@ -455,7 +455,7 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             self._device_params["dft_cos_scale"] = jnp.float32(cs)
             self._device_params["dft_sin_scale"] = jnp.float32(ss)
             if self._dft_size % 4 == 0:
-                # layout for the fused Pallas digit kernel: the
+                # layout for the fused Pallas digit kernels: the
                 # combined matrix needs the sin DC slot free and both
                 # lane blocks equal (half odd <=> dft % 4 == 0).
                 # Non-128-aligned nb lane splits compile and match
@@ -477,6 +477,23 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 )  # host scalar: baked statically into the kernel
                 for name, arr in pdk.items():
                     self._device_params["pdk_" + name] = jnp.asarray(arr)
+                # int8 grouped layout (the round-5 kernel; see
+                # ops/stft.py _I8_* and ops/pallas_stft.py): the pair
+                # schedule bakes the tier's cutoff in
+                i8 = _stft.int8_kernel_matrices(
+                    self._dft_cos,
+                    self._dft_sin,
+                    self._weights,
+                    cutoff=(
+                        _stft._I8_ACC_CUTOFF
+                        if self._precision == "accurate"
+                        else _stft._I8_CUTOFF
+                    ),
+                )
+                self._device_params["i8k_cos_scale"] = i8.pop("cos_scale")
+                self._device_params["i8k_offsets"] = i8.pop("offsets")
+                for name, arr in i8.items():
+                    self._device_params["i8k_" + name] = jnp.asarray(arr)
             self._device_params["weights_lo"] = jnp.asarray(
                 (
                     self._weights
@@ -517,13 +534,10 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
         from .ops import pallas_stft as _pallas
 
         if self._precision in ("double", "accurate"):
-            if self._precision == "accurate":
-                digit_cfg = dict(
-                    n_x=_stft._PAK_X_DIGITS, cutoff=_stft._PAK_CUTOFF
-                )
-            else:
-                digit_cfg = {}
-            return _pallas.stft_feats_pallas_double(
+            # the int8 grouped kernel (round 5) carries both tiers; its
+            # pair schedule (cutoff 4 = 'double' class, 3 = 'accurate')
+            # was baked into the i8k_* params at build time
+            return _pallas.stft_feats_pallas_int8(
                 padded,
                 self.params,
                 num_frames=max_frames,
@@ -535,7 +549,6 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
                 include_energy=self._include_energy,
                 log_floor=config.LOG_FLOOR_VALUE,
                 interpret=jax.default_backend() != "tpu",
-                **digit_cfg,
             )
         return _pallas.stft_feats_pallas(
             padded,

@@ -90,7 +90,13 @@ class FeatureCorpus:
     Parameters
     ----------
     computer
-        A frame computer (or config) with a ``compute_batch`` method.
+        A frame computer (or config) with a ``compute_batch`` method —
+        or ``None`` for feature-file mode, where ``utt2path`` points at
+        PRECOMPUTED feature matrices (a ``signals-to-torch-feat-dir``
+        output directory, ark entries, ``.npy`` files, ...) and batches
+        are read/bucketed without a device extraction stage.  Pair with
+        :class:`speech_tpu.nn.FeatureFrontend` to train the model
+        families on such batches (extract once, train many).
     utt2path
         Mapping/sequence of ``(utt_id, path)`` pairs.
     batch_size
@@ -133,9 +139,21 @@ class FeatureCorpus:
         from .parallel import ShardedExtractor
         from .pre import PreProcessor
 
-        computer = alias_factory_subclass_from_arg(FrameComputer, computer)
-        self.computer = computer
-        self.extractor = ShardedExtractor(computer, mesh, bucket=bucket)
+        if computer is None:
+            # feature-file mode: utt2path points at PRECOMPUTED feature
+            # matrices (e.g. a signals-to-torch-feat-dir output dir or
+            # ark entries) — the loader reads, buckets, and batches them
+            # without a device extraction stage.  This is the
+            # CLI-extraction -> loader -> trainer seam of the Kaldi-style
+            # workflow (extract once, train many).
+            self.computer = None
+            self.extractor = None
+        else:
+            computer = alias_factory_subclass_from_arg(
+                FrameComputer, computer
+            )
+            self.computer = computer
+            self.extractor = ShardedExtractor(computer, mesh, bucket=bucket)
         if hasattr(utt2path, "items"):
             utt2path = list(utt2path.items())
         self.utt2path = list(utt2path)
@@ -154,6 +172,22 @@ class FeatureCorpus:
         self.window_batches = max(1, int(window_batches))
 
     def _load(self, item) -> Tuple[str, np.ndarray]:
+        if self.extractor is None:
+            # feature-file mode: the path holds a (num_frames, num_coeffs)
+            # feature matrix, not audio — no channel/preprocessor logic
+            from .io import read_signal
+
+            idx, (utt_id, path) = item
+            feats = np.asarray(
+                read_signal(path, dtype=np.float64, key=utt_id)
+            )
+            if feats.ndim != 2:
+                raise IOError(
+                    f"Utterance {utt_id}: expected a 2-D feature matrix "
+                    f"in feature-file mode, got shape {feats.shape}"
+                )
+            return utt_id, feats
+
         from .command_line import _load_utt
 
         # compact: exact-int16 PCM ships to the device at half width when
@@ -193,6 +227,28 @@ class FeatureCorpus:
             pool, mapper = None, map
         utt_queue = deque()
         try:
+            if self.extractor is None:
+                # feature-file mode: no device extraction stage
+                if self.preprocessors:
+                    raise ValueError(
+                        "preprocessors operate on raw signals; they do "
+                        "not apply in feature-file mode (computer=None)"
+                    )
+                for wstart in range(0, len(items), window):
+                    loaded = list(
+                        mapper(self._load, items[wstart : wstart + window])
+                    )
+                    if self.sort_by_length:
+                        loaded.sort(key=lambda uf: len(uf[1]))
+                    for start in range(0, len(loaded), self.batch_size):
+                        chunk = loaded[start : start + self.batch_size]
+                        feats = [
+                            np.asarray(f, np.float64) for _, f in chunk
+                        ]
+                        if self.postprocessors:
+                            feats = [self._post(f) for f in feats]
+                        yield [u for u, _ in chunk], feats
+                return
 
             def signal_batches():
                 for wstart in range(0, len(items), window):

@@ -30,6 +30,7 @@ from .ops import framing as _framing
 from .ops import stft as _stft
 
 __all__ = [
+    "FeatureFrontend",
     "GaborFrontend",
     "PCEN",
     "STFTFrontend",
@@ -612,6 +613,70 @@ class SincFrontend:
             return {
                 k: jnp.asarray(data[k], dtype=self.dtype) for k in data.files
             }
+
+
+class FeatureFrontend:
+    """Identity frontend over PRECOMPUTED features.
+
+    The model families (:class:`~speech_tpu.models.KWSModel`,
+    :class:`~speech_tpu.models.CTCModel`,
+    :class:`~speech_tpu.models.SpeakerModel`) normally compute features
+    from raw signals through a trainable frontend.  This frontend instead
+    accepts features extracted ahead of time — the Kaldi-style "extract
+    once, train many" corpus workflow (reference corpus.py:30-83 wraps
+    exactly such precomputed-feature iterators) — e.g. the output of the
+    ``signals-to-torch-feat-dir`` / ``compute-feats-from-kaldi-tables``
+    CLIs loaded through :class:`speech_tpu.corpus.FeatureCorpus` in
+    feature-file mode.
+
+    Under the module contract the ``signals`` argument becomes a padded
+    ``(batch, T, feature_dim)`` feature array and ``lengths`` are FRAME
+    counts; ``apply`` zeroes rows past each utterance's count so batch
+    padding cannot leak into the (masked) downstream heads, and
+    ``frame_counts`` is the identity.  There are no trainable leaves.
+
+    Optional ``mean``/``std`` (per-coefficient, e.g. from a corpus
+    :class:`~speech_tpu.post.Standardize` accumulation) fold a fixed
+    standardization into ``consts``.
+    """
+
+    def __init__(self, feature_dim: int, mean=None, std=None,
+                 dtype=jnp.float32):
+        if feature_dim < 1:
+            raise ValueError(f"feature_dim must be >= 1: {feature_dim}")
+        self.num_coeffs = int(feature_dim)
+        self.dtype = dtype
+        self._mean = None if mean is None else np.asarray(mean, np.float64)
+        self._std = None if std is None else np.asarray(std, np.float64)
+        for name, arr in (("mean", self._mean), ("std", self._std)):
+            if arr is not None and arr.shape != (self.num_coeffs,):
+                raise ValueError(
+                    f"{name} must have shape ({self.num_coeffs},), got "
+                    f"{arr.shape}"
+                )
+
+    def init(self) -> Tuple[dict, dict]:
+        consts = {}
+        if self._mean is not None:
+            consts["mean"] = jnp.asarray(self._mean, dtype=self.dtype)
+        if self._std is not None:
+            consts["std"] = jnp.asarray(self._std, dtype=self.dtype)
+        return {}, consts
+
+    def frame_counts(self, lengths):
+        return jnp.asarray(lengths, jnp.int32)
+
+    def apply(self, params: dict, consts: dict, feats, lengths=None):
+        feats = jnp.asarray(feats, dtype=self.dtype)
+        if "mean" in consts:
+            feats = feats - consts["mean"]
+        if "std" in consts:
+            feats = feats / consts["std"]
+        if lengths is not None:
+            t = jnp.arange(feats.shape[-2], dtype=jnp.int32)
+            mask = t[None, :] < jnp.asarray(lengths, jnp.int32)[:, None]
+            feats = feats * mask[..., None].astype(feats.dtype)
+        return feats
 
 
 class PCEN:

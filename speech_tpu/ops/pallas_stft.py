@@ -47,7 +47,12 @@ __all__ = [
     "stft_feats_pallas",
     "stft_feats_pallas_from_frames",
     "stft_feats_pallas_double",
+    "stft_feats_pallas_int8",
 ]
+
+# v5e scoped-VMEM budget the int8 kernel sizes itself against (the
+# hardware limit is 16 MB; headroom for Mosaic's own scratch)
+_I8_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _resolve_precision(precision):
@@ -522,6 +527,278 @@ def stft_feats_pallas_double(
         params["pdk_w_hi"],
         params["pdk_w_lo"],
         params["pdk_w_nyq"],
+    )
+    return out[:, :num_frames]
+
+
+def _int8_rows_kernel(
+    rows_ref,
+    gmats_ref,
+    mscale_ref,
+    mask_ref,
+    whi_ref,
+    wlo_ref,
+    wnyq_ref,
+    out_ref,
+    *scratch,
+    block_frames: int,
+    frame_shift: int,
+    frame_length: int,
+    n_x: int,
+    base: float,
+    offsets,
+    cos_scale: float,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+):
+    """Fused int8 digit tier (see ops/stft.py ``_I8_*``): per-frame
+    power-of-two scaling, base-254 margin digitization into int8 scratch
+    planes (the scratch stores also normalize the pieces' Mosaic layout
+    offsets, which is what lets the planes lane-concatenate), ONE int8
+    MXU dot per weight group with exact int32 accumulation, and the
+    spectrum->features tail — frames and digit planes never touch HBM.
+    """
+    rows = rows_ref[0]
+    q_full, rem = divmod(frame_length, frame_shift)
+    pieces = [
+        (
+            jax.lax.slice(rows, (r, 0), (r + block_frames, frame_shift)),
+            r,
+            frame_shift,
+        )
+        for r in range(q_full)
+    ]
+    if rem:
+        pieces.append(
+            (
+                jax.lax.slice(rows, (q_full, 0), (q_full + block_frames, rem)),
+                q_full,
+                rem,
+            )
+        )
+
+    m = energy = None
+    for piece, _, _ in pieces:
+        pm = jnp.max(jnp.abs(piece), axis=-1, keepdims=True)
+        m = pm if m is None else jnp.maximum(m, pm)
+        if include_energy:
+            e_t = jnp.sum(piece * piece, axis=-1, keepdims=True)
+            energy = e_t if energy is None else energy + e_t
+    # scale = 4 * frexp's scale: |x|/scale <= 1/2, so the first digit
+    # (and, by the rounding residual bound, every digit) stays <= 127.
+    # One integer add on the exponent bits (Mosaic has no frexp/ldexp).
+    m = jnp.maximum(m, jnp.float32(1e-30))
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((bits >> 23) + 2) << 23, jnp.float32
+    )
+    inv = jnp.float32(1.0) / scale
+
+    fbase = jnp.float32(base)
+    for piece, r, width in pieces:
+        v = piece * inv
+        lo = r * frame_shift
+        for i in range(n_x):
+            d = jnp.round(v * fbase)
+            v = v * fbase - d
+            scratch[i][:, lo : lo + width] = d.astype(jnp.int8)
+    wides = [s[...] for s in scratch[:n_x]]
+
+    acc = None
+    for s, xs, off, span in offsets:  # ascending weight order
+        xg = (
+            wides[xs[0]]
+            if len(xs) == 1
+            else jnp.concatenate([wides[i] for i in xs], axis=-1)
+        )
+        mg = gmats_ref[off : off + span, :]
+        t = jnp.dot(xg, mg, preferred_element_type=jnp.int32)
+        # group sums can exceed 2^24 (up to m*K*127^2), where a direct
+        # int32->f32 conversion rounds — and the log amplifies that dust
+        # at quiet bins (measured 1.9e-5 on real speech).  Splitting the
+        # low 12 bits out makes both conversions exact; the weighted
+        # f32 adds then round like any other acc-chain term.
+        t_lo = jax.lax.bitwise_and(t, jnp.int32(4095))
+        t_hi = t - t_lo
+        w = jnp.float32(base ** -(s + 2))
+        term = t_hi.astype(jnp.float32) * w + t_lo.astype(jnp.float32) * w
+        acc = term if acc is None else acc + term
+
+    nb = mask_ref.shape[0]
+    re = acc[:, :nb] * (scale * jnp.float32(cos_scale))
+    mixed = acc[:, nb:] * (scale * mscale_ref[:])
+    mask = mask_ref[:]
+    im = mixed * mask  # bins 1..nb-1; DC slot (Nyquist cos) zeroed
+    power = re * re + im * im
+    spec = power if use_power else jnp.sqrt(power)
+    nyq = mixed - im  # Nyquist X in the DC slot, zeros elsewhere
+    nyq_spec = nyq * nyq if use_power else jnp.abs(nyq)
+    hi = jax.lax.Precision.HIGHEST
+    feats = (
+        jnp.dot(spec, whi_ref[:], preferred_element_type=jnp.float32,
+                precision=hi)
+        + jnp.dot(spec, wlo_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+        + jnp.dot(nyq_spec, wnyq_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+    )
+    if use_log:
+        feats = xlog(jnp.maximum(feats, log_floor))
+    if include_energy:
+        energy = energy / frame_length
+        if not use_power:
+            energy = jnp.sqrt(energy)
+        if use_log:
+            energy = xlog(jnp.maximum(energy, log_floor))
+        feats = jnp.concatenate([energy, feats], axis=-1)
+    out_ref[0] = feats
+
+
+def stft_feats_pallas_int8(
+    padded,
+    params,
+    *,
+    num_frames: int,
+    frame_length: int,
+    frame_shift: int,
+    dft_size: int,
+    use_log: bool,
+    use_power: bool,
+    include_energy: bool,
+    log_floor: float,
+    block_frames: int = 768,
+    interpret: bool = False,
+):
+    """Fused int8 digit-tier kernel for padded signals.
+
+    The round-5 successor of :func:`stft_feats_pallas_double`: base-254
+    margin digits fit int8 on both operands (2x the bf16 MXU rate on
+    v5e), int32 accumulation is exact without the 2^24 bound, and
+    equal-weight pair groups therefore collapse into single dots — the
+    kernel analog of the XLA tier's 38->8 pass grouping.  The pair
+    schedule (and so the 'double' vs 'accurate' distinction) is baked
+    into ``params["i8k_offsets"]`` at param-build time.  Same contract
+    and fallbacks as :func:`stft_feats_pallas_double`: where the kernel
+    gates fail (no Element blocks, unaligned shift, missing params, or
+    the VMEM estimate exceeding the v5e budget) it falls back to the XLA
+    grouped digit path.
+    """
+    from . import stft as _stft
+
+    padded = jnp.asarray(padded, jnp.float32)
+    q_full, rem = divmod(frame_length, frame_shift)
+    q_rows = q_full + (1 if rem else 0)
+    gmats = params.get("i8k_gmats")
+    vmem_ok = False
+    if gmats is not None:
+        nb2 = gmats.shape[1]
+        offsets = params["i8k_offsets"]
+        m_max = max(len(xs) for _, xs, _, _ in offsets)
+        est = (
+            # f32 rows segment + int8 digit scratch + int8 gmats +
+            # biggest lane-concat operand + int32 dot out + f32 acc
+            4 * (block_frames + 8 * q_rows) * frame_shift
+            + _stft._I8_X_DIGITS * block_frames * frame_length
+            + gmats.shape[0] * nb2
+            + m_max * block_frames * frame_length
+            + 8 * block_frames * nb2
+        )
+        vmem_ok = est <= _I8_VMEM_BUDGET
+    if (
+        _Element is None
+        or frame_shift % 8
+        or gmats is None
+        or not vmem_ok
+    ):
+        from . import framing as _framing
+
+        frames = jax.vmap(
+            lambda p: _framing.frame_padded(
+                p, num_frames, frame_length, frame_shift
+            )
+        )(padded)
+        return _stft.stft_feats_from_frames(
+            frames,
+            params,
+            dft_size=dft_size,
+            use_log=use_log,
+            use_power=use_power,
+            include_energy=include_energy,
+            log_floor=log_floor,
+            fft_mode="matmul",
+            precision="double",
+        )
+
+    batch = padded.shape[0]
+    num_coeffs = params["i8k_w_hi"].shape[1] + int(include_energy)
+    blocks = -(-num_frames // block_frames)
+    seg_rows = -(-(block_frames + q_rows) // 8) * 8
+    need_rows = blocks * block_frames + (seg_rows - block_frames)
+    need = need_rows * frame_shift
+    if padded.shape[1] < need:
+        padded = jnp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+    rows = padded[:, :need].reshape(batch, need_rows, frame_shift)
+
+    kernel = functools.partial(
+        _int8_rows_kernel,
+        block_frames=block_frames,
+        frame_shift=frame_shift,
+        frame_length=frame_length,
+        n_x=_stft._I8_X_DIGITS,
+        base=_stft._I8_BASE,
+        offsets=params["i8k_offsets"],
+        cos_scale=float(params["i8k_cos_scale"]),
+        use_log=use_log,
+        use_power=use_power,
+        include_energy=include_energy,
+        log_floor=log_floor,
+    )
+    n_pairs = sum(len(xs) for _, xs, _, _ in params["i8k_offsets"])
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (_Element(1), _Element(seg_rows), _Element(frame_shift)),
+                lambda b, j: (b, j * block_frames, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, block_frames, num_coeffs),
+            lambda b, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, blocks * block_frames, num_coeffs), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_frames, frame_length), jnp.int8)
+            for _ in range(_stft._I8_X_DIGITS)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2
+            * batch
+            * blocks
+            * block_frames
+            * frame_length
+            * gmats.shape[1]
+            * n_pairs,
+            bytes_accessed=4 * batch * (need + num_frames * num_coeffs),
+            transcendentals=batch * num_frames * num_coeffs,
+        ),
+        interpret=interpret,
+    )(
+        rows,
+        gmats,
+        params["i8k_mixed_scale"],
+        params["i8k_mask"],
+        params["i8k_w_hi"],
+        params["i8k_w_lo"],
+        params["i8k_w_nyq"],
     )
     return out[:, :num_frames]
 

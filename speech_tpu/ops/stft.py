@@ -81,6 +81,32 @@ _PDK_CUTOFF = 4  # truncation ~2^-40 of the summand scale
 _PAK_X_DIGITS = 4
 _PAK_M_DIGITS = 4
 _PAK_CUTOFF = 3
+# int8 digit kernel (round 5): base-128 digits with a margin bit on BOTH
+# operands keep every digit in [-64, 64] — int8 — with POWER-OF-TWO pair
+# weights.  The MXU's int8 path runs at ~2x the bf16 rate on v5e, and
+# int32 accumulation is ALWAYS exact, so equal-weight pairs group into
+# ONE dot each with no 2^24 bound: the kernel analog of the XLA tier's
+# 38->8 pass grouping.  5x5 planes capture 34 bits below the frame peak
+# / of the f64 DFT matrices; 'double' cuts pairs at i+j <= 5 (19 pairs,
+# 6 dots, truncation ~2^-42) and 'accurate' at i+j <= 4 (15 pairs, 5
+# dots, ~2^-35 — BETTER than the old base-256 accurate's 2^-32 class).
+# The po2 weights are load-bearing for accuracy, not a convenience: a
+# base-254 variant (7.99 bits/plane, 13 pairs — measured 8.4 ms) put a
+# ~6e-8-relative rounding on every group term (t * w rounds when w is
+# not a power of two), and term-level dirt is exactly what digit-tier
+# cancellation amplifies: 2e-5 on real speech regardless of plane depth
+# or cutoff.  With po2 weights every term is exact (the int32->f32
+# conversion splits the low 12 bits so both halves convert exactly) and
+# cross-term cancellation is benign, like the bf16 kernel's.
+# Measured (tools/bench_pallas_decomp*.py, v5e 128 x 15 s headline):
+# bf16 pair-dot kernel 13.05 ms -> int8 c=5 10.13 ms; per-stage floors:
+# grid ~1.5 ms (384 steps), input DMA ~0.9 ms (160-lane rows), digitize
+# ~0.9 ms, tail ~1 ms, dots ~5.4 ms at ~80% of the int8 ceiling.
+_I8_BASE = 128.0
+_I8_X_DIGITS = 5
+_I8_M_DIGITS = 5
+_I8_CUTOFF = 5  # 'double'
+_I8_ACC_CUTOFF = 4  # 'accurate'
 _X_DIGITS = 5  # 30 bits below the frame peak.  4 planes (24 bits) are NOT
 # enough: samples quieter than the frame peak truncate at 2^-25*peak, and
 # on real speech those residues add coherently across a frame into DFT
@@ -281,6 +307,77 @@ def digit_kernel_matrices(
     w_nyq[0] = W[nb].astype(np.float32)
     return {
         "mats": mats,
+        "mixed_scale": mixed_scale,
+        "mask": mask,
+        "w_hi": w_hi,
+        "w_lo": w_lo,
+        "w_nyq": w_nyq,
+        "cos_scale": np.float32(cos_scale),
+    }
+
+
+def int8_kernel_matrices(
+    C: np.ndarray,
+    S: np.ndarray,
+    W: np.ndarray,
+    cutoff: int = _I8_CUTOFF,
+):
+    """Host: weight-grouped int8 digit planes for the fused int8 kernel.
+
+    Same combined ``[cos 0..nb-1 | nyq-cos, sin 1..nb-1]`` lane layout as
+    :func:`digit_kernel_matrices` (even DFT sizes only), but digitized at
+    base 128 with margin bits (|digit| <= 64: int8, po2 weights), and with the
+    equal-weight pair groups pre-stacked row-wise: group ``s = i + j``
+    multiplies the lane-concatenated x planes ``[x_i ...]`` against the
+    row-stack of the matching M planes in ONE int8 dot with exact int32
+    accumulation.  Returns ``gmats (sum_g m_g*K, 2*nb) int8``, the group
+    schedule ``offsets`` (``(s, x_plane_ids, row_offset, row_span)``
+    tuples, ascending weight), and the same tail arrays as the bf16
+    kernel layout.
+    """
+    K, half = C.shape
+    assert half % 2 == 1, "even DFT sizes only (half = dft//2 + 1)"
+    nb = half - 1
+    n_x, n_m = _I8_X_DIGITS, _I8_M_DIGITS
+    cos_planes, cos_scale = digitize_matrix(C, n_m, _I8_BASE, margin=True)
+    sin_planes, sin_scale = digitize_matrix(S, n_m, _I8_BASE, margin=True)
+    assert np.abs(cos_planes).max() <= _I8_BASE / 2
+    assert np.abs(sin_planes).max() <= _I8_BASE / 2
+    mats = np.zeros((n_m, K, 2 * nb), np.float32)
+    for j in range(n_m):
+        mats[j, :, :nb] = cos_planes[j][:, :nb]
+        mats[j, :, nb] = cos_planes[j][:, nb]  # Nyquist cos in the DC slot
+        mats[j, :, nb + 1 :] = sin_planes[j][:, 1:nb]
+    groups = []
+    for s in range(n_x + n_m - 2, -1, -1):  # ascending weight
+        if s > cutoff:
+            continue
+        members = [(i, s - i) for i in range(n_x) if 0 <= s - i < n_m]
+        if members:
+            groups.append((s, members))
+    gmats = np.concatenate(
+        [
+            np.concatenate([mats[j] for (_, j) in mem], axis=0)
+            for _, mem in groups
+        ],
+        axis=0,
+    ).astype(np.int8)
+    offsets = []
+    off = 0
+    for s, mem in groups:
+        offsets.append((s, tuple(i for i, _ in mem), off, len(mem) * K))
+        off += len(mem) * K
+    mixed_scale = np.full((nb,), sin_scale, np.float32)
+    mixed_scale[0] = cos_scale
+    mask = np.ones((nb,), np.float32)
+    mask[0] = 0.0
+    w_hi = W[:nb].astype(np.float32)
+    w_lo = (W[:nb] - w_hi.astype(np.float64)).astype(np.float32)
+    w_nyq = np.zeros((nb, W.shape[1]), np.float32)
+    w_nyq[0] = W[nb].astype(np.float32)
+    return {
+        "gmats": gmats,
+        "offsets": tuple(offsets),
         "mixed_scale": mixed_scale,
         "mask": mask,
         "w_hi": w_hi,

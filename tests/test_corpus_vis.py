@@ -229,3 +229,68 @@ def test_compare_feature_frames_too_short_signal_raises(mpl):
     c = STFTFrameComputer(dict(BANK), frame_length_ms=25, dtype="float64")
     with pytest.raises(ValueError):
         compare_feature_frames(c, np.zeros(10))
+
+
+def test_feature_corpus_feature_file_mode(tmp_path):
+    """computer=None reads precomputed feature matrices (.npy here)
+    without a device extraction stage; preprocessors are rejected."""
+    from speech_tpu.corpus import FeatureCorpus
+
+    rng = np.random.RandomState(3)
+    utt2path = []
+    wants = {}
+    for i, t in enumerate((7, 13, 9, 21, 4)):
+        f = rng.randn(t, 6)
+        path = str(tmp_path / f"utt{i}.npy")
+        np.save(path, f)
+        utt2path.append((f"utt{i}", path))
+        wants[f"utt{i}"] = f
+    corpus = FeatureCorpus(None, utt2path, batch_size=2)
+    seen = {}
+    for utts, feats in corpus:
+        assert len(utts) == len(feats) <= 2
+        for u, f in zip(utts, feats):
+            seen[u] = np.asarray(f)
+    assert set(seen) == set(wants)
+    for u in wants:
+        assert np.allclose(seen[u], wants[u])
+    with pytest.raises(ValueError, match="preprocessors"):
+        list(
+            FeatureCorpus(
+                None, utt2path, batch_size=2, preprocessors=["dither"]
+            )
+        )
+
+
+def test_feature_frontend_contract():
+    """FeatureFrontend satisfies the nn frontend contract over padded
+    feature batches: identity frame counts, zeroed padding rows,
+    optional mean/std standardization, KWSModel compatibility."""
+    import jax
+
+    from speech_tpu.models.kws import KWSModel
+    from speech_tpu.nn import FeatureFrontend
+
+    rng = np.random.RandomState(5)
+    feats = rng.randn(3, 10, 8).astype(np.float32)
+    counts = np.array([10, 6, 3], np.int32)
+    fe = FeatureFrontend(8)
+    params, consts = fe.init()
+    out = np.asarray(fe.apply(params, consts, feats, counts))
+    assert np.allclose(out[0], feats[0], atol=1e-6)
+    assert np.all(out[1, 6:] == 0) and np.all(out[2, 3:] == 0)
+    assert np.array_equal(np.asarray(fe.frame_counts(counts)), counts)
+    mean, std = feats.reshape(-1, 8).mean(0), feats.reshape(-1, 8).std(0)
+    fes = FeatureFrontend(8, mean=mean, std=std)
+    p2, c2 = fes.init()
+    out2 = np.asarray(fes.apply(p2, c2, feats, counts))
+    assert np.allclose(out2[0], (feats[0] - mean) / std, atol=1e-5)
+    with pytest.raises(ValueError, match="shape"):
+        FeatureFrontend(8, mean=np.zeros(3))
+    # drives a KWS model end to end (padding-invariant logits)
+    model = KWSModel(fe, num_classes=4, channels=(8,))
+    mp, mc = model.init(jax.random.PRNGKey(0))
+    logits = model.apply(mp, mc, feats, counts)
+    wider = np.concatenate([feats, rng.randn(3, 5, 8).astype(np.float32)], 1)
+    logits2 = model.apply(mp, mc, wider, counts)
+    assert np.allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)

@@ -283,8 +283,11 @@ def test_accurate_tier_adversary_bound_pinned():
         got = c.compute_full(sig.astype(np.float32))
         errs[precision] = np.abs(got - want).max()
         assert errs[precision] <= bound, (precision, errs[precision])
-    # the tiers must stay ordered: 'double' strictly tighter
-    assert errs["double"] < errs["accurate"]
+    # the tiers must stay ordered: 'double' at least as tight.  (With
+    # the round-5 int8 kernel both schedules measure identically on this
+    # adversary — 1.45e-6, down from accurate's old 1.3e-5 — their
+    # truncation difference, 2^-42 vs 2^-35, sits below its floor.)
+    assert errs["double"] <= errs["accurate"]
 
 
 def test_accurate_tier_fallback_is_exact_digit_path():
@@ -320,15 +323,23 @@ def test_accurate_tier_config_factory_and_validation():
         STFTFrameComputer(dict(BANK), precision="bogus")
     from speech_tpu.compute import SIFrameComputer
 
+    # gammatone: fbank-class SI supports are (correctly) rejected by the
+    # digit tiers' construction-time memory guard (test_si.py)
+    SI_BANK = {
+        "name": "gammatone",
+        "scaling_function": "mel",
+        "num_filts": 40,
+        "sampling_rate": 16000,
+    }
     si = alias_factory_subclass_from_arg(
         FrameComputer,
-        {"name": "si", "bank": dict(BANK), "precision": "accurate"},
+        {"name": "si", "bank": dict(SI_BANK), "precision": "accurate"},
     )
     assert si._precision == "accurate" and si._conv_mode == "matmul"
     with pytest.raises(ValueError):
-        SIFrameComputer(dict(BANK), precision="accurate", conv_mode="fft")
+        SIFrameComputer(dict(SI_BANK), precision="accurate", conv_mode="fft")
     with pytest.raises(ValueError):
-        SIFrameComputer(dict(BANK), precision="bogus")
+        SIFrameComputer(dict(SI_BANK), precision="bogus")
 
 
 def test_pallas_double_unaligned_lane_split_matches_xla():
