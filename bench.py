@@ -75,6 +75,39 @@ def _throughput(computer, batch: int, seconds: int, rate: int = 16000):
     return batch * seconds / best
 
 
+# Peak rates for the roofline/MFU keys, by device kind.  MFU here =
+# ALGORITHMIC matmul FLOPs (2MKN of the math as specified, not of the
+# passes the precision lowers to) over wall time, divided by the peak of
+# the arithmetic the program actually issues (bf16 MXU for float paths,
+# int8 for the digit kernels) — so a 6-pass HIGHEST program's MFU
+# ceiling is ~1/6 by construction, and the number honestly answers "how
+# much faster could THIS math possibly go on this chip".
+_PEAKS = {
+    # device_kind prefix: (bf16 TFLOP/s, int8 TOP/s, HBM GB/s)
+    "TPU v5": (197.0, 394.0, 819.0),
+    "TPU v4": (275.0, 275.0, 1228.0),
+}
+
+
+def _peaks():
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in _PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return _PEAKS["TPU v5"]  # fallback: the chip this repo targets
+
+
+def _roofline(flops, bytes_moved, seconds, peak_tflops):
+    """(achieved TFLOP/s, MFU, HBM-bandwidth fraction) for a program."""
+    _, _, hbm = _peaks()
+    tflops = flops / seconds / 1e12
+    return (
+        round(tflops, 1),
+        round(tflops / peak_tflops, 3),
+        round(bytes_moved / seconds / 1e9 / hbm, 3),
+    )
+
+
 def main():
     from speech_tpu.compute import (
         ShortIntegrationFrameComputer,
@@ -149,7 +182,47 @@ def main():
     )
     accurate_rt = _throughput(accurate, batch=128, seconds=15)
 
-    pitch_rt = _pitch_throughput(batch=32, seconds=10)
+    pitch_rt, pitch_flops, pitch_bytes = _pitch_throughput(
+        batch=32, seconds=10
+    )
+
+    # --- roofline / MFU accounting (VERDICT r4 item 2) -----------------
+    bf16_peak, int8_peak, _ = _peaks()
+    nf = (15 * 16000 + stft.frame_shift // 2) // stft.frame_shift
+    half = stft.dft_size // 2 + 1
+    fl = stft.frame_length
+    # fbank HIGHEST: cos + sin DFT matmuls + the filter matmul
+    fbank_flops = 128 * nf * (2 * fl * half * 2 + 2 * half * 40)
+    fbank_bytes = 128 * (15 * 16000 * 4 + nf * 41 * 4)
+    fbank_roof = _roofline(
+        fbank_flops, fbank_bytes, 128 * 15 / fbank_rt, bf16_peak
+    )
+    # int8 digit tiers: pairs x the combined [cos|sin] dot (N = dft)
+    def _i8_flops(computer):
+        pairs = sum(
+            len(xs) for _, xs, _, _ in computer.params["i8k_offsets"]
+        )
+        return 128 * nf * 2 * fl * computer.dft_size * pairs
+
+    exact_roof = _roofline(
+        _i8_flops(exact), fbank_bytes, 128 * 15 / exact_rt, int8_peak
+    )
+    accurate_roof = _roofline(
+        _i8_flops(accurate), fbank_bytes, 128 * 15 / accurate_rt, int8_peak
+    )
+    # SI gammatone: banded-Toeplitz conv einsums (2 complex parts)
+    blocks_shape = si._conv_block_params["conv_re_blocks"].shape
+    Kb, F_si, V = blocks_shape[0], blocks_shape[1], blocks_shape[2]
+    si_nf = (10 * 16000) // si.frame_shift
+    si_ny = (si_nf + 1) * si.frame_shift
+    si_nb = -(-(si._shift_eff + si_ny) // V)
+    parts = 1 if "conv_im_blocks" not in si._conv_block_params else 2
+    si_flops = 32 * parts * 2 * Kb * si_nb * V * V * F_si
+    si_bytes = 32 * (10 * 16000 * 4 + si_nf * 41 * 4)
+    si_roof = _roofline(si_flops, si_bytes, 32 * 10 / si_rt, bf16_peak)
+    pitch_roof = _roofline(
+        pitch_flops, pitch_bytes, 32 * 10 / pitch_rt, bf16_peak
+    )
 
     print(
         json.dumps(
@@ -200,6 +273,29 @@ def main():
                 # beyond-parity Kaldi companion: compute-kaldi-pitch-style
                 # NCCF + Viterbi tracker (device-side, like the other keys)
                 "pitch_rt_factor": round(pitch_rt, 1),
+                # roofline accounting: algorithmic TFLOP/s, MFU (vs the
+                # peak of the arithmetic each program issues: bf16 for
+                # float paths — so a 6-pass HIGHEST program's ceiling is
+                # ~1/6 — int8 for the digit tiers), and the fraction of
+                # HBM bandwidth the program's MINIMUM traffic (inputs +
+                # outputs once) implies.  membw_frac near 0 + mfu well
+                # above it = compute-bound; the decomposition notes in
+                # ops/stft.py and ARCHITECTURE.md say which stages own
+                # the rest of the time.
+                "fbank_tflops": fbank_roof[0],
+                "fbank_mfu": fbank_roof[1],
+                "fbank_membw_frac": fbank_roof[2],
+                "exact_tier_tflops": exact_roof[0],
+                "exact_tier_mfu": exact_roof[1],
+                "exact_tier_membw_frac": exact_roof[2],
+                "accurate_tier_tflops": accurate_roof[0],
+                "accurate_tier_mfu": accurate_roof[1],
+                "si_gammatone_tflops": si_roof[0],
+                "si_gammatone_mfu": si_roof[1],
+                "si_gammatone_membw_frac": si_roof[2],
+                "pitch_tflops": pitch_roof[0],
+                "pitch_mfu": pitch_roof[1],
+                "pitch_membw_frac": pitch_roof[2],
             }
         )
     )
@@ -224,8 +320,20 @@ def _pitch_throughput(batch: int, seconds: int, rate: int = 16000):
     )
     lengths = jnp.full((batch,), seconds * rate, jnp.int32)
     fn = jax.jit(lambda x, l: pitch_feats(x, rate, lengths=l))
+    # XLA's own FLOP count for the whole pitch program (frontend convs +
+    # NCCF + Viterbi): the one benched pipeline whose matmul inventory
+    # is too heterogeneous to hand-count
+    flops = 0.0
+    try:
+        ca = fn.lower(sigs, lengths).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
     out = fn(sigs, lengths)
     np.asarray(out[0, 0, 0])
+    byts = sigs.size * 4 + np.prod(out.shape) * 4
     inner, best = 10, float("inf")
     for _ in range(3):
         start = time.perf_counter()
@@ -233,7 +341,7 @@ def _pitch_throughput(batch: int, seconds: int, rate: int = 16000):
             out = fn(sigs, lengths)
         np.asarray(out[0, 0, 0])
         best = min(best, (time.perf_counter() - start) / inner)
-    return batch * seconds / best
+    return batch * seconds / best, flops, float(byts)
 
 
 def _tunnel_probe():

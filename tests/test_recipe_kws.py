@@ -12,6 +12,13 @@ examples are seeded random crops with additive noise, a synthetic room
 impulse response, and gain perturbation.  Everything is deterministic
 (seeded numpy + jax PRNG), CPU float64, and small enough for the default
 test tier.
+
+
+Real-speech diversity caveat: the image ships exactly three
+recordings, so keyword/speaker classes here are segments of one
+utterance expanded by augmentation — the recipes prove the
+pipeline seams and training dynamics, not benchmark-grade
+generalization.  Scale the same code to a real corpus for that.
 """
 
 import os

@@ -8,6 +8,13 @@ over a trainable frontend) train steps -> held-out verification (same- vs
 different-speaker cosine separation) -> ``TrainCheckpointer`` params-only
 serving hand-off (``restore_params`` embeddings match the trained
 model's exactly).  Deterministic, CPU float64, default test tier.
+
+
+Real-speech diversity caveat: the image ships exactly three
+recordings, so keyword/speaker classes here are segments of one
+utterance expanded by augmentation — the recipes prove the
+pipeline seams and training dynamics, not benchmark-grade
+generalization.  Scale the same code to a real corpus for that.
 """
 
 import os
