@@ -13,7 +13,7 @@ matmul).  Batch and corpus scale come from ``vmap``/``shard_map`` over device
 meshes rather than per-utterance Python loops.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import alias, config, scales, utils  # noqa: F401
 from . import filters, compute  # noqa: F401

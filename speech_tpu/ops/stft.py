@@ -102,6 +102,11 @@ _PAK_CUTOFF = 3
 # bf16 pair-dot kernel 13.05 ms -> int8 c=5 10.13 ms; per-stage floors:
 # grid ~1.5 ms (384 steps), input DMA ~0.9 ms (160-lane rows), digitize
 # ~0.9 ms, tail ~1 ms, dots ~5.4 ms at ~80% of the int8 ceiling.
+# Lower cutoffs cannot beat the plain HIGHEST path as a reduced tier:
+# c=3 measures 1.9e-5 speech / 4.6e-5 adversary (HIGHEST's accuracy
+# class) at a projected ~7.1 ms ~= HIGHEST's 7.2 — the fixed stages eat
+# the dot savings; c=2 is 1.7e-3 on speech (not a tier).  Measured and
+# rejected.
 _I8_BASE = 128.0
 _I8_X_DIGITS = 5
 _I8_M_DIGITS = 5
