@@ -694,10 +694,26 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             pad_left = self._pad_left
             use_pallas = self._use_pallas()
             dtype = self._dtype
+            pallas_min_len = 0
+            if use_pallas:
+                # pad to the kernel's rows layout here, in pad_signal_
+                # full's single concat — the kernel's own pad then
+                # no-ops (saves one whole-buffer copy per batch)
+                from .ops import pallas_stft as _pallas
+
+                bf = (
+                    _pallas._I8_BLOCK_FRAMES
+                    if self._precision in ("double", "accurate")
+                    else _pallas._BLOCK_FRAMES
+                )
+                pallas_min_len = _pallas.padded_need(
+                    max_frames, frame_length, frame_shift, bf
+                )
 
             def one(signal):
                 padded = _framing.pad_signal_full(
-                    signal, frame_length, pad_left
+                    signal, frame_length, pad_left,
+                    min_len=pallas_min_len,
                 )
                 if use_pallas:
                     return padded

@@ -54,6 +54,31 @@ __all__ = [
 # hardware limit is 16 MB; headroom for Mosaic's own scratch)
 _I8_VMEM_BUDGET = 13 * 1024 * 1024
 
+# default frame-block sizes (grid-step granularity).  int8: 768 beat 512
+# (fewer grid steps; the int8 scratch is 4x smaller so VMEM allows it)
+# and 1024 regressed — see tools/bench_int8_prod.py
+_I8_BLOCK_FRAMES = 768
+_BLOCK_FRAMES = 512
+
+
+def padded_need(
+    num_frames: int,
+    frame_length: int,
+    frame_shift: int,
+    block_frames: int,
+) -> int:
+    """The padded sample count the fused kernels' rows layout needs.
+
+    Callers that pad their own buffers (``pad_signal_full(...,
+    min_len=padded_need(...))``) save the kernels' internal whole-buffer
+    pad copy.
+    """
+    q_full, rem = divmod(frame_length, frame_shift)
+    q_rows = q_full + (1 if rem else 0)
+    blocks = -(-num_frames // block_frames)
+    seg_rows = -(-(block_frames + q_rows) // 8) * 8
+    return (blocks * block_frames + (seg_rows - block_frames)) * frame_shift
+
 
 def _resolve_precision(precision):
     if precision is None or precision == "highest":
@@ -668,7 +693,7 @@ def stft_feats_pallas_int8(
     use_power: bool,
     include_energy: bool,
     log_floor: float,
-    block_frames: int = 768,
+    block_frames: int = _I8_BLOCK_FRAMES,
     interpret: bool = False,
 ):
     """Fused int8 digit-tier kernel for padded signals.

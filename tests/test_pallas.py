@@ -370,3 +370,37 @@ def test_pallas_double_unaligned_lane_split_matches_xla():
     assert np.allclose(np.asarray(fp), np.asarray(fx), atol=2e-6), np.abs(
         np.asarray(fp) - np.asarray(fx)
     ).max()
+
+
+def test_pallas_int8_vmem_gate_falls_back():
+    """Configs whose int8-kernel VMEM estimate exceeds the v5e budget
+    (here: 1600-sample frames -> ~60 MB of grouped digit matrices) must
+    route to the XLA digit path with identical-class results."""
+    from speech_tpu.ops import pallas_stft as _pk
+
+    rng = np.random.RandomState(15)
+    sig = rng.randn(8000).astype(np.float32)
+    kw = dict(frame_length_ms=100, frame_shift_ms=40)  # frame 1600
+    xla = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", **kw
+    )
+    pal = STFTFrameComputer(
+        dict(BANK), dtype="float32", precision="double", fft_mode="pallas",
+        **kw
+    )
+    # the gate must actually be the reason (estimate over budget)
+    gmats = pal.params["i8k_gmats"]
+    offsets = pal.params["i8k_offsets"]
+    m_max = max(len(xs) for _, xs, _, _ in offsets)
+    fl = pal.frame_length
+    est = (
+        4 * (768 + 8 * 3) * pal.frame_shift
+        + 5 * 768 * fl
+        + gmats.shape[0] * gmats.shape[1]
+        + m_max * 768 * fl
+        + 8 * 768 * gmats.shape[1]
+    )
+    assert est > _pk._I8_VMEM_BUDGET
+    want = xla.compute_full(sig)
+    got = pal.compute_full(sig)
+    assert np.allclose(got, want, atol=2e-6)
