@@ -269,12 +269,12 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
           (:mod:`speech_tpu.ops.stft`) — ~7e-7 max on any signal; on
           real TPUs it runs as one fused int8 Pallas kernel (base-128
           margin digits, power-of-two pair weights, exact int32
-          accumulation) at ~171,000x real time (~1.55x the 'highest'
+          accumulation) at ~183,000x real time (~1.55x the 'highest'
           cost); float32 dtype only.
         - 'accurate': the reduced-pair schedule of the same int8
           kernel (15 pairs / 5 grouped dots vs 19/6) — measured
           <=7e-7 on speech and 1.45e-6 on the pinned tonal adversary
-          (truncation class 2^-35 vs 'double's 2^-42), ~184,000x real
+          (truncation class 2^-35 vs 'double's 2^-42), ~196,000x real
           time; where the kernel gate fails both tiers fall back to
           the exact XLA digit path; float32 dtype only.
         - 'default': single-pass bf16 MXU — ~25% faster than 'highest'

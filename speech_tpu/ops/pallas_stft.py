@@ -1,6 +1,6 @@
 """Fused Pallas TPU kernels for the STFT feature pipeline.
 
-Two kernels:
+The kernels:
 
 - :func:`stft_feats_pallas` — the full fused pipeline from padded signals.
   Frames are never materialized: the signal arrives as rows of
@@ -11,18 +11,32 @@ Two kernels:
   everything between the raw signal and the features stays in VMEM.
 - :func:`stft_feats_pallas_from_frames` — same post-framing fusion for
   pre-materialized frames.
+- :func:`stft_feats_pallas_int8` — the exact/accurate digit tiers on the
+  int8 MXU (round 5): base-128 margin digits (|d| <= 64, power-of-two
+  weights), exact int32 accumulation, one dot per equal-weight pair
+  group.  Carries both ``precision='double'`` and ``'accurate'`` (the
+  pair schedule is baked into the params).
+- :func:`stft_feats_pallas_double` — the earlier bf16 digit kernel
+  (base-256 per-pair dots), kept as a reference implementation; the
+  production digit path is the int8 kernel.
 
 Measured on v5e (128 x 15 s batch, host-readback timing): the fused kernel
 at DEFAULT matmul precision is the fastest tier end to end (7.5 ms,
 ~255,000x real time, ~1.5e-2 max abs error on log features); at HIGHEST
 precision Mosaic's f32 matmuls trail XLA's (13.1 ms vs 9.2 ms), so the
-accurate default remains the XLA matmul path.
+accurate default remains the XLA matmul path.  The int8 digit kernel runs
+the exact tier at 10.5 ms (~183,000x RT) and the accurate schedule at
+9.8 ms (~196,000x) — see ops/stft.py's ``_I8_*`` notes and
+ARCHITECTURE.md for the measured decomposition.
 
 Mosaic notes (hard-won): vector slices must be unit-stride; no 1D->2D
 reshape of loaded vectors; no concat of slices at different sublane
-offsets; block sublane dims must be multiples of 8; Element-indexed blocks
-must be all-Element.  Hence: rows of ``frame_shift``, per-band dot
-accumulation instead of frame assembly, and all-Element input specs.
+offsets (values inherit their source slice's layout OFFSETS — a store
+to a scratch ref normalizes them, which is what lets the int8 kernel
+lane-concatenate its digit planes); block sublane dims must be
+multiples of 8; Element-indexed blocks must be all-Element;
+``jnp.dot(int8, int8, preferred_element_type=int32)`` engages the int8
+MXU (~1.8x bf16 measured) — XLA einsums do NOT.
 """
 
 import functools
@@ -579,7 +593,7 @@ def _int8_rows_kernel(
     log_floor: float,
 ):
     """Fused int8 digit tier (see ops/stft.py ``_I8_*``): per-frame
-    power-of-two scaling, base-254 margin digitization into int8 scratch
+    power-of-two scaling, base-128 margin digitization into int8 scratch
     planes (the scratch stores also normalize the pieces' Mosaic layout
     offsets, which is what lets the planes lane-concatenate), ONE int8
     MXU dot per weight group with exact int32 accumulation, and the
@@ -661,13 +675,18 @@ def _int8_rows_kernel(
     nyq = mixed - im  # Nyquist X in the DC slot, zeros elsewhere
     nyq_spec = nyq * nyq if use_power else jnp.abs(nyq)
     hi = jax.lax.Precision.HIGHEST
+    # w_nyq has exactly one nonzero row (the Nyquist weights at the DC
+    # slot), so its dot is rank-1: a broadcast multiply replaces the
+    # third MXU pass bit-exactly (a 1-term "sum" cannot round)
+    nyq_col = jax.lax.slice(
+        nyq_spec, (0, 0), (nyq_spec.shape[0], 1)
+    )
     feats = (
         jnp.dot(spec, whi_ref[:], preferred_element_type=jnp.float32,
                 precision=hi)
         + jnp.dot(spec, wlo_ref[:], preferred_element_type=jnp.float32,
                   precision=hi)
-        + jnp.dot(nyq_spec, wnyq_ref[:], preferred_element_type=jnp.float32,
-                  precision=hi)
+        + nyq_col * wnyq_ref[0:1, :]
     )
     if use_log:
         feats = xlog(jnp.maximum(feats, log_floor))
