@@ -294,3 +294,30 @@ def test_feature_frontend_contract():
     wider = np.concatenate([feats, rng.randn(3, 5, 8).astype(np.float32)], 1)
     logits2 = model.apply(mp, mc, wider, counts)
     assert np.allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
+
+
+def test_feature_corpus_feature_file_mode_ark(tmp_path):
+    """Feature-file mode also reads ark rspecifiers (the
+    compute-feats-from-kaldi-tables CLI's output container): utt2path
+    entries like ('utt', 'ark:feats.ark') round-trip through
+    read_signal's table dispatch with key= selection."""
+    from speech_tpu.corpus import FeatureCorpus
+    from speech_tpu.io import kaldi_tables as kt
+
+    rng = np.random.RandomState(7)
+    ark = str(tmp_path / "feats.ark")
+    wants = {}
+    with kt.KaldiTableWriter("ark:" + ark) as writer:
+        for i, t in enumerate((5, 11, 8)):
+            f = rng.randn(t, 4).astype(np.float32)
+            writer.write(f"utt{i}", f)
+            wants[f"utt{i}"] = f
+    utt2path = [(u, "ark:" + ark) for u in wants]
+    corpus = FeatureCorpus(None, utt2path, batch_size=2)
+    seen = {}
+    for utts, feats in corpus:
+        for u, f in zip(utts, feats):
+            seen[u] = np.asarray(f)
+    assert set(seen) == set(wants)
+    for u in wants:
+        assert np.allclose(seen[u], wants[u], atol=1e-6)
