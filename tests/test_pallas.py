@@ -404,3 +404,99 @@ def test_pallas_int8_vmem_gate_falls_back():
     want = xla.compute_full(sig)
     got = pal.compute_full(sig)
     assert np.allclose(got, want, atol=2e-6)
+
+
+def test_bf16_reference_kernel_matches_int8_and_xla():
+    """stft_feats_pallas_double (the bf16 digit kernel) is kept as a
+    reference implementation for the production int8 kernel; all three
+    digit realizations must stay in the same exactness class."""
+    from speech_tpu.ops import framing as F2
+    from speech_tpu.ops import stft as S2
+    from speech_tpu.ops.pallas_stft import (
+        stft_feats_pallas_double,
+        stft_feats_pallas_int8,
+    )
+
+    c = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=True,
+        dtype="float32",
+        precision="double",
+    )
+    rng = np.random.RandomState(21)
+    sig = rng.randn(1, 8000).astype(np.float32)
+    MF = F2.frame_count_np(8000, c.frame_length, c.frame_shift)
+    pad_to = (MF + 4) * c.frame_shift + c.frame_length
+    padded = np.zeros((1, pad_to), np.float32)
+    padded[:, :8000] = sig
+    kw = dict(
+        num_frames=MF,
+        frame_length=c.frame_length,
+        frame_shift=c.frame_shift,
+        dft_size=c.dft_size,
+        use_log=True,
+        use_power=True,
+        include_energy=True,
+        log_floor=1e-5,
+        interpret=True,
+    )
+    bf16 = np.asarray(
+        stft_feats_pallas_double(jnp.asarray(padded), c.params, **kw)
+    )
+    i8 = np.asarray(
+        stft_feats_pallas_int8(jnp.asarray(padded), c.params, **kw)
+    )
+    frames = jax.vmap(
+        lambda p: F2.frame_padded(p, MF, c.frame_length, c.frame_shift)
+    )(jnp.asarray(padded))
+    xla = np.asarray(
+        S2.stft_feats_from_frames(
+            frames,
+            c.params,
+            dft_size=c.dft_size,
+            use_log=True,
+            use_power=True,
+            include_energy=True,
+            log_floor=1e-5,
+            fft_mode="matmul",
+            precision="double",
+        )
+    )
+    assert np.abs(bf16 - xla).max() < 2e-6, np.abs(bf16 - xla).max()
+    assert np.abs(i8 - xla).max() < 2e-6, np.abs(i8 - xla).max()
+
+
+def test_pallas_int8_sharded_extractor_on_mesh():
+    """The int8 digit kernel under the sharded extractor's mesh programs
+    (interpret mode on the CPU mesh) matches the unsharded XLA tier."""
+    from speech_tpu.parallel import ShardedExtractor, make_mesh
+
+    mesh = make_mesh(("data",))
+    c = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        dtype="float32",
+        precision="double",
+        fft_mode="pallas",
+    )
+    ref = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        dtype="float32",
+        precision="double",
+    )
+    ex = ShardedExtractor(c, mesh)
+    rng = np.random.RandomState(31)
+    signals = [
+        rng.randn(rng.randint(4000, 9000)).astype(np.float32)
+        for _ in range(9)
+    ]
+    outs = ex.extract(signals)
+    for s, got in zip(signals, outs):
+        want = ref.compute_full(s)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, atol=2e-6), np.abs(got - want).max()
