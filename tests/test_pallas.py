@@ -500,3 +500,42 @@ def test_pallas_int8_sharded_extractor_on_mesh():
         want = ref.compute_full(s)
         assert got.shape == want.shape
         assert np.allclose(got, want, atol=2e-6), np.abs(got - want).max()
+
+
+@pytest.mark.parametrize("include_energy", [False, True], ids=["", "energy"])
+@pytest.mark.parametrize("use_power", [False, True], ids=["mag", "power"])
+@pytest.mark.parametrize("use_log", [False, True], ids=["lin", "log"])
+def test_pallas_int8_config_combos_match_xla(
+    include_energy, use_power, use_log
+):
+    """Every (energy, power, log) branch of the int8 kernel vs the XLA
+    digit path — the digit-tier tests above only exercise the
+    energy+power+log configuration."""
+    c = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=include_energy,
+        use_power=use_power,
+        use_log=use_log,
+        dtype="float32",
+        precision="double",
+    )
+    ref = STFTFrameComputer(
+        dict(BANK),
+        frame_length_ms=25,
+        frame_shift_ms=10,
+        include_energy=include_energy,
+        use_power=use_power,
+        use_log=use_log,
+        dtype="float32",
+        precision="double",
+        fft_mode="pallas",
+    )
+    rng = np.random.RandomState(41)
+    sig = rng.randn(6000).astype(np.float32)
+    want = c.compute_full(sig)
+    got = ref.compute_full(sig)
+    assert got.shape == want.shape
+    tol = 2e-6 if use_log else 5e-5  # linear features carry the scale
+    assert np.allclose(got, want, atol=tol), np.abs(got - want).max()
