@@ -161,6 +161,21 @@ class ShardedExtractor:
             )
             use_pallas = c._use_pallas()
             dtype = c._dtype
+            pallas_min_len = 0
+            if use_pallas:
+                # pad to the fused kernels' rows layout in the same
+                # concat, saving their internal whole-buffer pad copy
+                # (see compute._batch_full_fn)
+                from ..ops import pallas_stft as _pallas
+
+                bf = (
+                    _pallas._I8_BLOCK_FRAMES
+                    if c._precision in ("double", "accurate")
+                    else _pallas._BLOCK_FRAMES
+                )
+                pallas_min_len = _pallas.padded_need(
+                    max_frames, frame_length, frame_shift, bf
+                )
 
             def run(signals, lengths):
                 signals = signals.astype(dtype)
@@ -171,7 +186,8 @@ class ShardedExtractor:
                     # headline batch; see compute.compute_batch)
                     def pad_one(signal, length):
                         return _framing.pad_signal_full(
-                            signal, frame_length, pad_left
+                            signal, frame_length, pad_left,
+                            min_len=pallas_min_len,
                         )
 
                 else:

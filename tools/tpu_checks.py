@@ -344,6 +344,21 @@ def tpu_main(smoke: bool = False, full: bool = False) -> int:
             time.time() - t0,
         )
 
+        # FeatureServer over the int8 'accurate' digit tier: serving +
+        # micro-batching + compact ingress through the Mosaic kernel
+        t0 = time.time()
+        acc = STFTFrameComputer(
+            dict(BANK_STFT), precision="accurate", **_stft_kwargs()
+        )
+        with FeatureServer(acc, max_batch=4) as srv:
+            served_acc = srv.extract_many(list(sigs16))
+        battery.check(
+            "FeatureServer int8 accurate tier",
+            _vs_oracle(served_acc, oracle(), "stft"),
+            2e-5,
+            time.time() - t0,
+        )
+
         # StreamPool: concurrent vmapped sessions drain to batch parity
         t0 = time.time()
         pool = StreamPool(computer, slots=4, chunk_size=1600)
